@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB against the same parquet tables and compare with the Spark dump
+produced by `graft.Verify`. Columns are sorted by name before comparison
+(mirroring the driver); values compared exactly.
+
+Usage: python3 tools/compare.py [sf_dir] [verify_out_dir]
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails, passes, warns = [], [], []
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+for name in sorted(oracle):
+    sql = oracle[name]
+    dump = f"{OUT}/{name}"
+    if not glob.glob(f"{dump}/*.parquet"):
+        fails.append((name, "no spark dump"))
+        continue
+    try:
+        got = norm(con.execute(
+            f"SELECT * FROM read_parquet('{dump}/*.parquet')").fetchdf())
+        want = norm(con.execute(sql).fetchdf())
+    except Exception as e:
+        fails.append((name, f"query error: {e}"))
+        continue
+    if list(got.columns) != list(want.columns):
+        fails.append((name, f"columns differ: spark={list(got.columns)} oracle={list(want.columns)}"))
+        continue
+    if got.shape != want.shape:
+        fails.append((name, f"shape differ: spark={got.shape} oracle={want.shape}"))
+        continue
+    ok = True
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if str(a.dtype) != str(b.dtype):
+            warns.append((name, c, f"dtype spark={a.dtype} oracle={b.dtype}"))
+        try:
+            av = a.to_numpy()
+            bv = b.to_numpy()
+            if a.dtype == object or b.dtype == object:
+                eq = all((x == y) or (pd.isna(x) and pd.isna(y))
+                         for x, y in zip(a.tolist(), b.tolist()))
+            elif np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+                af = a.astype("float64").to_numpy()
+                bf = b.astype("float64").to_numpy()
+                eq = bool(np.all((af == bf) | (np.isnan(af) & np.isnan(bf))))
+            elif "datetime" in str(a.dtype) or "datetime" in str(b.dtype):
+                eq = bool((a.astype("datetime64[us]") == b.astype("datetime64[us]")).all())
+            else:
+                eq = bool(np.array_equal(av, bv))
+        except Exception as e:
+            eq = False
+        if not eq:
+            ok = False
+            diff = None
+            try:
+                mask = ~(a.astype(str) == b.astype(str))
+                idx = mask[mask].index[:3].tolist()
+                diff = [(i, a.iloc[i], b.iloc[i]) for i in idx]
+            except Exception:
+                pass
+            fails.append((name, f"values differ in col {c}: {diff}"))
+            break
+    if ok:
+        passes.append(name)
+
+print(f"PASS {len(passes)}: {passes}")
+for w in warns:
+    print(f"WARN {w}")
+for f in fails:
+    print(f"FAIL {f}")
+sys.exit(1 if fails else 0)
