@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+/** Text/hash expression vocabulary shared by the dedup + text-analysis
+  * operators. Everything here is built from codegen'd built-in functions
+  * (no UDFs), and every hash is derived from MD5 so the DuckDB oracle can
+  * compute bit-identical values (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`).
+  */
+object TextFns {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Deterministic 60-bit non-negative hash of a string, identical in Spark
+    * and DuckDB: first 15 hex digits of MD5, parsed base-16. Used instead of
+    * xxhash64 (whose seed/algorithm DuckDB lacks) wherever an oracle needs to
+    * reproduce the value.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB rendering of [[hash60]]. */
+  def hash60Sql(sql: String): String =
+    s"CAST(('0x' || substr(md5($sql), 1, 15)) AS BIGINT)"
+
+  /** Word n-gram shingles (space-joined) of a token array; empty when the
+    * document has fewer than n tokens.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** DuckDB rendering of [[shingles]] for n=3 over a token-array column. */
+  def shingles3Sql(toksSql: String): String =
+    s"[$toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2] " +
+      s"for i in range(1, greatest(len($toksSql) - 1, 1))]"
+
+  /** Character n-gram substrings (for winnowing-style fingerprints). */
+  def charGrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast(ArrayType(StringType)))
+}

@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for a training-data pipeline: exact
+  * (hash groupBy), fingerprint (MD5 of normalized text), n-gram Jaccard via
+  * an inverted shingle index, MinHash + LSH banding, and SimHash.
+  *
+  * Scale posture (100 TB): nothing here compares documents pairwise across
+  * the corpus. Exact/fingerprint dedup shuffles a 128-bit digest, not the
+  * text. Jaccard candidates come from an inverted-index equi-join on
+  * shingles (only docs sharing a shingle ever meet); MinHash reduces each
+  * doc to a 32-long signature and LSH banding turns near-dup search into an
+  * equi-join on band keys. All hashes are MD5-derived ([[hash60]]) so the
+  * DuckDB oracle reproduces them bit-for-bit.
+  */
+object Dedup {
+
+  private val NumPerms = 32
+  private val NumBands = 8 // 4 rows per band
+  private val RowsPerBand = NumPerms / NumBands
+  private val JaccardThreshold = 0.3
+
+  /** Exact dedup: keep the lowest doc_id per identical text
+    * (`dropDuplicates` semantics, made deterministic + auditable). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("dup_count"), col("text"))
+
+  val exactSql: String =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count, text
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY doc_id""".stripMargin
+
+  /** Fingerprint dedup: MD5 over whitespace-normalized lowercase text. This
+    * is the exact-dedup scale path — the shuffle key is 32 hex chars, not
+    * the document body. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("fp"), col("dup_count"))
+
+  val fingerprintSql: String =
+    """SELECT MIN(doc_id) AS doc_id,
+      |       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |       COUNT(*) AS dup_count
+      |FROM documents
+      |GROUP BY 2
+      |ORDER BY doc_id""".stripMargin
+
+  /** Distinct (doc_id, 3-gram shingle) pairs — the inverted index shared by
+    * the Jaccard and MinHash paths. */
+  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(shingles(col("ts"), 3)).as("shingle"))
+      .distinct()
+
+  private val shingleIndexSql: String =
+    s"""tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |        FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s.shingle
+       |       FROM tok, UNNEST(${shingles3Sql("ts")}) AS s(shingle))""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs above [[JaccardThreshold]], found
+    * through the inverted shingle index (docs never meet unless they share a
+    * shingle — no O(n²) cross join). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("sa.n") + col("sb.n") - col("n_common")).as("n_union"),
+        (col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shingleIndexSql,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |          FROM sh a JOIN sh b
+       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |       sa.n + sb.n - n_common AS n_union,
+       |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash signatures (32 perms), LSH banding (8 bands × 4 rows), candidate
+    * pairs from band-key equi-join, then exact-Jaccard verification of the
+    * candidates — the full scalable near-dup pipeline. Output = candidate
+    * pairs that verified at ≥ [[JaccardThreshold]], with both the MinHash
+    * estimate and the exact similarity.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val minhashes = (0 until NumPerms).map(i =>
+      min(hash60(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id")
+      .agg(minhashes.head, minhashes.tail: _*)
+      .withColumn("sig", array((0 until NumPerms).map(i => col(s"h$i")): _*))
+      .select("doc_id", "sig")
+
+    // one row per (doc, band): band key = md5 of the comma-joined band slice
+    val bands = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => md5(array_join(
+          transform(slice(col("sig"), b * RowsPerBand + lit(1), lit(RowsPerBand)),
+            h => h.cast("string")), ",")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val estMatches = aggregate(
+      zip_with(col("sa.sig"), col("sb.sig"), (x, y) => (x === y).cast("int")),
+      lit(0), (acc, v) => acc + v)
+    val withEst = cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (estMatches.cast("double") / NumPerms).as("est_jaccard"))
+
+    // verify candidates with exact jaccard (candidate set is tiny vs corpus)
+    val verified = ngramJaccard(spark, dir)
+      .select(col("doc_a").as("va"), col("doc_b").as("vb"), col("jaccard"))
+    withEst
+      .join(verified, col("doc_a") === col("va") && col("doc_b") === col("vb"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  val minhashLshSql: String = {
+    val minCols = (0 until NumPerms)
+      .map(i => s"MIN(${hash60Sql(s"'$i:' || shingle")}) AS h$i")
+      .mkString(",\n       ")
+    val sigList = (0 until NumPerms).map(i => s"h$i").mkString("[", ", ", "]")
+    val estSum = (1 to NumPerms)
+      .map(i => s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH $shingleIndexSql,
+       |sigc AS (SELECT doc_id,
+       |       $minCols
+       |       FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM sigc),
+       |bands AS (SELECT doc_id, sig, b,
+       |                 md5(array_to_string(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], ',')) AS band_key
+       |          FROM sig, UNNEST(range(0, $NumBands)) AS u(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |est AS (SELECT doc_a, doc_b, CAST($estSum AS DOUBLE) / $NumPerms AS est_jaccard
+       |        FROM cand
+       |        JOIN sig sa ON sa.doc_id = doc_a
+       |        JOIN sig sb ON sb.doc_id = doc_b),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_common
+       |          FROM sh a JOIN sh b
+       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |ex AS (SELECT ia, ib, CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+       |       FROM inter
+       |       JOIN sz sa ON sa.doc_id = ia
+       |       JOIN sz sb ON sb.doc_id = ib
+       |       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $JaccardThreshold)
+       |SELECT doc_a, doc_b, est_jaccard, jaccard
+       |FROM est JOIN ex ON doc_a = ia AND doc_b = ib
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val SimhashBits = 60
+
+  /** SimHash: 60-bit locality-sensitive digest per document. Each token's
+    * [[hash60]] votes ±1 on every bit; the sign of each bit-sum forms the
+    * digest. Near-dups differ in few bits (candidate search = band
+    * equi-join on digest slices; the digest itself is this query's output).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("h", hash60(col("token")))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j"))
+    val digest = (0 until SimhashBits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a + b)
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), digest.as("simhash"))
+  }
+
+  val simhashSql: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n       ")
+    val digest = (0 until SimhashBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH tok AS (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |            FROM documents),
+       |h AS (SELECT doc_id, ${hash60Sql("token")} AS h FROM tok),
+       |s AS (SELECT doc_id,
+       |       $bitSums
+       |      FROM h GROUP BY doc_id)
+       |SELECT doc_id, $digest AS simhash
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("dedup_exact", exact(_, _).orderBy("doc_id"), Some(exactSql)),
+    Q("dedup_fingerprint", fingerprint(_, _).orderBy("doc_id"), Some(fingerprintSql)),
+    Q("dedup_ngram_jaccard", ngramJaccard(_, _).orderBy("doc_a", "doc_b"),
+      Some(ngramJaccardSql)),
+    Q("dedup_minhash_lsh", minhashLsh(_, _).orderBy("doc_a", "doc_b"),
+      Some(minhashLshSql)),
+    Q("dedup_simhash", simhash(_, _).orderBy("doc_id"), Some(simhashSql)))
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (`Array[Float]`, dim 64).
+  *
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     The query set is broadcast; the corpus streams (one pass, no shuffle
+  *     of the corpus side), then a per-query top-k window. At 100 TB this is
+  *     the right *exact* plan: broadcast-nested-loop against a small query
+  *     batch, k rows per query survive.
+  *   - [[lshTopK]]: sign-random-projection LSH — the approximate scale
+  *     path. Deterministic ±1 hyperplanes (seeded from (plane, dim), no
+  *     RNG), 16-bit bucket key, candidates = bucket equi-join, exact cosine
+  *     re-rank within buckets.
+  *
+  * All arithmetic is double, folded left-to-right over the 64 dims in both
+  * engines, so scores are bit-identical with the DuckDB oracle.
+  */
+object Similarity {
+
+  private val K = 10
+  private val NumQueries = 10
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+
+  /** Exact brute-force cosine top-k for the first [[NumQueries]] vectors. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
+  val bruteForceTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |p AS (SELECT query_id, vec_id AS neighbor_id,
+       |             ${cosineSql("qv", "v")} AS cos_sim
+       |      FROM e, q WHERE vec_id <> query_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER)
+       |               AS rank
+       |      FROM p)
+       |SELECT query_id, neighbor_id, rank, cos_sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val NumTables = 8
+  private val BitsPerTable = 4
+
+  /** Deterministic ±1 hyperplane matrix: coef(plane, dim) from a splitmix-
+    * style integer mix — reproducible in plain SQL, no RNG state. */
+  private[operators] def planeCoef(plane: Int, d: Int): Int = {
+    var z = plane.toLong * 64L + d.toLong + 0x9E3779B9L
+    z = (z ^ (z >>> 16)) * 0x85EBCA6BL
+    z = (z ^ (z >>> 13)) * 0xC2B2AE35L
+    z = z ^ (z >>> 16)
+    if ((z & 1L) == 0L) -1 else 1
+  }
+
+  private def planeArray(p: Int) =
+    array((0 until 64).map(d => lit(planeCoef(p, d).toDouble)): _*)
+
+  /** Sign-random-projection key for hash table `t`: [[BitsPerTable]] sign
+    * bits packed into an int. */
+  private def tableKey(t: Int) =
+    (0 until BitsPerTable).map { j =>
+      when(dot(col("v"), planeArray(t * BitsPerTable + j)) > 0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Multi-table SRP-LSH + exact cosine re-rank: candidates are vectors
+    * sharing any of [[NumTables]] band keys with the query, deduplicated,
+    * then re-ranked with exact cosine. Approximate — recall vs
+    * [[bruteForceTopK]] is measured in the spec. At scale the band explode
+    * multiplies the corpus by NumTables but turns ANN into an equi-join.
+    */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val bands = e.select(col("vec_id"), col("v"),
+      posexplode(array((0 until NumTables).map(tableKey): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkey")
+      .select("vec_id", "tbl", "bkey")
+    val qBands = bands.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"), col("bkey").as("qkey"))
+    val cand = bands.join(broadcast(qBands),
+      col("tbl") === col("qtbl") && col("bkey") === col("qkey") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id"), col("v").as("qv")), col("query_id") === col("vec_id")).drop("vec_id")
+      .join(e, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
+  val lshTopKSql: String = {
+    def keySql(t: Int): String =
+      (0 until BitsPerTable).map { j =>
+        val coefs = (0 until 64).map(d => s"${planeCoef(t * BitsPerTable + j, d)}.0")
+          .mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(v, ${coefs}::DOUBLE[]) > 0 THEN ${1 << j} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val bandBranches = (0 until NumTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, ${keySql(t)} AS bkey FROM e")
+      .mkString("\n      UNION ALL\n      ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bands AS (
+       |      $bandBranches),
+       |qb AS (SELECT vec_id AS query_id, tbl AS qtbl, bkey AS qkey
+       |       FROM bands WHERE vec_id < $NumQueries),
+       |cand AS (SELECT DISTINCT query_id, b.vec_id AS neighbor_id
+       |         FROM bands b JOIN qb
+       |           ON b.tbl = qb.qtbl AND b.bkey = qb.qkey AND b.vec_id <> qb.query_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |                  ${cosineSql("eq.v", "en.v")} AS cos_sim
+       |           FROM cand
+       |           JOIN e eq ON eq.vec_id = query_id
+       |           JOIN e en ON en.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER)
+       |               AS rank
+       |      FROM scored)
+       |SELECT query_id, neighbor_id, rank, cos_sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("sim_bruteforce_topk", bruteForceTopK(_, _).orderBy("query_id", "rank"),
+      Some(bruteForceTopKSql)),
+    Q("sim_lsh_topk", lshTopK(_, _).orderBy("query_id", "rank"), Some(lshTopKSql)))
+}

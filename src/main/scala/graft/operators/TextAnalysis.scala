@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, n-gram-heuristic language ID, and winnowing-style
+  * document fingerprinting. All per-document map-side work — no shuffle at
+  * all until an ORDER BY; at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Token + character counts (whitespace tokenizer). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        col("n_chars"))
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      |       CAST(length(text) AS INTEGER) AS n_chars_measured,
+      |       n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Heuristic quality score from length / lexical-diversity / stopword
+    * signals (the classic pre-training corpus filters). All ratios are
+    * int/int divisions promoted to double — bit-identical across engines.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nTok = size(toks).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val uniqRatio = nUniq / nTok
+    val stopRatio = nStop / nTok
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_unique_tokens"),
+        uniqRatio.as("unique_ratio"),
+        stopRatio.as("stopword_ratio"),
+        (lenScore * 0.5 + uniqRatio * 0.3 + stopRatio * 0.2).as("quality_score"))
+  }
+
+  val qualityScoreSql: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |       CAST(len($toks) AS INTEGER) AS n_tokens,
+       |       CAST(len(list_distinct($toks)) AS INTEGER) AS n_unique_tokens,
+       |       CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) AS unique_ratio,
+       |       CAST(len(list_filter($toks, t -> list_contains($stopList, t))) AS DOUBLE)
+       |         / len($toks) AS stopword_ratio,
+       |       least(CAST(len($toks) AS DOUBLE) / 64.0, 1.0) * 0.5
+       |         + CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) * 0.3
+       |         + CAST(len(list_filter($toks, t -> list_contains($stopList, t))) AS DOUBLE)
+       |           / len($toks) * 0.2 AS quality_score
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Marker words per language for the n-gram-heuristic language ID. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "ein"),
+    "fr" -> Seq("le", "la", "et", "un"),
+    "es" -> Seq("el", "los", "y", "una"))
+
+  /** Language ID by marker-word hits, argmax with fixed tie-break order
+    * (list order above). Deterministic; the synthetic corpus draws from one
+    * shared vocabulary, so this demonstrates the operator rather than
+    * recovering the `lang` label. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = LangMarkers.map { case (langCode, markers) =>
+      val arr = array(markers.map(lit): _*)
+      langCode -> size(filter(toks, t => array_contains(arr, t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val predicted = scores.reverse.foldLeft(lit("und")) {
+      case (acc, (langCode, score)) => when(score === best && best > 0, langCode).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(
+        Seq(col("doc_id")) ++
+          scores.map { case (langCode, s) => s.as(s"score_$langCode") } ++
+          Seq(predicted.as("predicted_lang"), col("lang").as("actual_lang")): _*)
+  }
+
+  val langIdSql: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    def scoreSql(markers: Seq[String]): String = {
+      val list = markers.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter($toks, t -> list_contains($list, t))) AS INTEGER)"
+    }
+    val scoreCols = LangMarkers
+      .map { case (langCode, m) => s"${scoreSql(m)} AS score_$langCode" }
+      .mkString(",\n       ")
+    val best = LangMarkers.map { case (_, m) => scoreSql(m) }
+      .mkString("greatest(", ", ", ")")
+    // same fixed tie-break order as the Spark side: first language in
+    // LangMarkers whose score equals the max wins
+    val predicted = LangMarkers.map { case (langCode, m) =>
+      s"WHEN ${scoreSql(m)} = $best AND $best > 0 THEN '$langCode'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id,
+       |       $scoreCols,
+       |       $predicted AS predicted_lang,
+       |       lang AS actual_lang
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Winnowing-style fingerprint: minimum [[hash60]] over character 8-grams
+    * plus the gram count — a rolling-hash document sketch usable for
+    * containment checks. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val grams = charGrams(col("text"), 8)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("doc_id")
+      .agg(
+        min(hash60(col("gram"))).as("min_gram_hash"),
+        count(lit(1)).as("n_grams"))
+  }
+
+  val winnowFingerprintSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, UNNEST([substr(text, i, 8)
+       |                         for i in range(1, greatest(length(text) - 6, 1))]) AS gram
+       |  FROM documents WHERE length(text) >= 8)
+       |SELECT doc_id, MIN(${hash60Sql("gram")}) AS min_gram_hash, COUNT(*) AS n_grams
+       |FROM grams
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("text_token_counts", tokenCounts(_, _).orderBy("doc_id"), Some(tokenCountsSql)),
+    Q("text_quality_score", qualityScore(_, _).orderBy("doc_id"), Some(qualityScoreSql)),
+    Q("text_lang_id", langId(_, _).orderBy("doc_id"), Some(langIdSql)),
+    Q("text_winnow_fingerprint", winnowFingerprint(_, _).orderBy("doc_id"),
+      Some(winnowFingerprintSql)))
+}

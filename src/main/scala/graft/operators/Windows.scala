@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators. The reference has none (SURVEY §2.5) — these
+  * are the extension tier's analytic vocabulary: running totals, per-group
+  * top-k (the scalable replacement for global ORDER BY + LIMIT), and lag
+  * deltas for event streams.
+  *
+  * Scale posture: every window partitions by a high-cardinality key
+  * (user_id, p_brand) — one shuffle by that key, then per-partition sorted
+  * evaluation; no global sort, no driver-side state.
+  */
+object Windows {
+
+  /** Per-user running transaction total + row number (exact decimal running
+    * sum, so partial-order evaluation can't drift). */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"),
+        dec2(sum(dec(col("value"))).over(w)).as("running_value"))
+  }
+
+  val runningTotalSql: String =
+    """SELECT event_id, user_id, event_type,
+      |       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Top-3 parts by retail price within each brand — per-group top-k via
+    * row_number, the scalable form of the reference's global
+    * ORDER BY + LIMIT (`etl_medallion.py:352-356`). */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"), col("p_retailprice"),
+        row_number().over(w).as("rank_in_brand"))
+      .filter(col("rank_in_brand") <= 3)
+  }
+
+  val topKPerGroupSql: String =
+    """SELECT * FROM (
+      |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+      |                                 ORDER BY p_retailprice DESC, p_partkey) AS INTEGER)
+      |           AS rank_in_brand
+      |  FROM part)
+      |WHERE rank_in_brand <= 3
+      |ORDER BY p_brand, rank_in_brand""".stripMargin
+
+  /** Per-user inter-event gap in microseconds (lag). */
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"))
+  }
+
+  val lagDeltaSql: String =
+    """SELECT event_id, user_id,
+      |       epoch_us(CAST(ts AS TIMESTAMP))
+      |         - epoch_us(CAST(LAG(ts, 1) OVER (PARTITION BY user_id
+      |                                          ORDER BY ts, event_id) AS TIMESTAMP))
+      |         AS gap_us
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("win_running_total", runningTotal(_, _).orderBy("event_id"), Some(runningTotalSql)),
+    Q("win_topk_per_group", topKPerGroup(_, _).orderBy("p_brand", "rank_in_brand"),
+      Some(topKPerGroupSql)),
+    Q("win_lag_delta", lagDelta(_, _).orderBy("event_id"), Some(lagDeltaSql)))
+}
