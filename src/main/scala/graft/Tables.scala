@@ -126,11 +126,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    eventsRaw(spark, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Convert the raw nanos-long ts column to a micros TimestampType.
+    * Shared by the batch reader and the streaming source
+    * (`graft.streaming.EventStream`). */
+  def convertEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    convertEventTs(eventsRaw(spark, dir))
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 }

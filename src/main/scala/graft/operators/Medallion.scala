@@ -74,8 +74,11 @@ object Medallion {
     */
   def goldSalesAnalytics(spark: SparkSession, dir: String): DataFrame = {
     val sales = silverSales(spark, dir)
-    val products = Tables.part(spark, dir)
-    val reps = Tables.supplier(spark, dir)
+    // gold joins SILVER dims, like the reference (`etl_medallion.py:177-178`
+    // joins silver.products / silver.employees): rows whose dim was cleaned
+    // away surface with NULL dim attributes.
+    val products = silverProducts(spark, dir)
+    val reps = silverSuppliers(spark, dir)
     sales
       .join(broadcast(products), sales("l_partkey") === products("p_partkey"), "left")
       .join(broadcast(reps), sales("l_suppkey") === reps("s_suppkey"), "left")
@@ -111,8 +114,12 @@ object Medallion {
       |       s.s_acctbal AS rep_acctbal,
       |       l.l_returnflag AS channel, l.l_linestatus AS region
       |FROM lineitem l
-      |LEFT JOIN part p ON l.l_partkey = p.p_partkey
-      |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |LEFT JOIN (SELECT * FROM part WHERE p_retailprice > 0 AND p_size > 0) p
+      |  ON l.l_partkey = p.p_partkey
+      |LEFT JOIN (SELECT s_suppkey, TRIM(s_name) AS s_name, s_nationkey, s_acctbal
+      |           FROM supplier
+      |           WHERE LOWER(TRIM(s_name)) IS NOT NULL AND s_acctbal > 0) s
+      |  ON l.l_suppkey = s.s_suppkey
       |WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
       |ORDER BY l.l_orderkey, l.l_linenumber, product_key, rep_key""".stripMargin
 
@@ -123,7 +130,7 @@ object Medallion {
     * divide the same exact numerator.
     */
   def goldProductMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val products = Tables.part(spark, dir)
+    val products = silverProducts(spark, dir)
     val sales = silverSales(spark, dir)
     products
       .join(sales, products("p_partkey") === sales("l_partkey"), "left")
@@ -145,7 +152,7 @@ object Medallion {
        |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_quantity_sold,
        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
        |       $avg AS avg_sale_amount
-       |FROM part p
+       |FROM (SELECT * FROM part WHERE p_retailprice > 0 AND p_size > 0) p
        |LEFT JOIN (SELECT * FROM lineitem
        |           WHERE l_quantity > 0 AND l_extendedprice > 0) l
        |  ON p.p_partkey = l.l_partkey
@@ -232,7 +239,7 @@ object Medallion {
     */
   def salesByDepartment(spark: SparkSession, dir: String): DataFrame = {
     val sales = silverSales(spark, dir)
-    val reps = Tables.supplier(spark, dir)
+    val reps = silverSuppliers(spark, dir)
     val depts = Tables.nation(spark, dir)
     sales
       .join(broadcast(reps), sales("l_suppkey") === reps("s_suppkey"), "left")
@@ -250,7 +257,9 @@ object Medallion {
     """SELECT n.n_name AS department, COUNT(*) AS sales_count,
       |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
       |FROM lineitem l
-      |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |LEFT JOIN (SELECT s_suppkey, s_nationkey FROM supplier
+      |           WHERE LOWER(TRIM(s_name)) IS NOT NULL AND s_acctbal > 0) s
+      |  ON l.l_suppkey = s.s_suppkey
       |LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
       |WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
       |GROUP BY n.n_name

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.Tables
+import graft.operators.EventTime
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming face of the engine. The reference has no streaming
+  * compute model (SURVEY §2.9 — its "streaming" is HTTP re-triggering of the
+  * full batch), so this module is the extension-tier design: the same
+  * DataFrame transforms as the batch tier (`EventTime.hourlyAgg`), bound to
+  * `readStream` instead of `read` — write the logic once, run it either way.
+  *
+  * Scale posture: file-source streaming with `maxFilesPerTrigger` backpressure,
+  * event-time watermarks bounding state, and windowed partial aggregation —
+  * state per (window, event_type) group only, never per event.
+  */
+object EventStream {
+
+  /** File-source stream of the events table (same pinned schema + ts
+    * conversion as the batch reader). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.convertEventTs(
+      spark.readStream
+        .schema(Tables.eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
+  }
+
+  /** Streaming tumbling-hour aggregation — the exact batch transform with a
+    * watermark bounding late data and state size. Append-mode-capable. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    EventTime.hourlyAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Run the streaming hourly aggregation over a static directory to
+    * completion via the in-memory sink; returns the final result rows.
+    * (Local harness for specs; production would use a real sink + trigger.)
+    */
+  def runToCompletion(spark: SparkSession, srcDir: String, queryName: String): Array[Row] = {
+    val q = hourlyAgg(readEvents(spark, srcDir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).collect()
+  }
+}

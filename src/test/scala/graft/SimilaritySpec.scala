@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val brute = Similarity.bruteForceTopK(spark, TestSpark.Sf0001).collect()
+
+  test("brute-force top-k: 10 neighbors per query, self excluded, cosine in [-1,1]") {
+    val byQuery = brute.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 10)
+      assert(!rows.exists(_.getLong(1) == q), "self must be excluded")
+      assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+      val ranks = rows.map(_.getInt(2)).sorted
+      assert(ranks.sameElements(1 to 10))
+      val sims = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "ranked by descending cosine")
+    }
+  }
+
+  test("LSH top-k achieves nonzero recall vs brute force on unclustered vectors") {
+    val lsh = Similarity.lshTopK(spark, TestSpark.Sf0001).collect()
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshSet = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet & lshSet).size.toDouble / bruteSet.size
+    // 8 tables x 4 bits over ~uniform random vectors: candidate sets cover
+    // ~40% of the corpus; near-neighbors (high cosine) hash together more
+    // often, so recall must clearly beat the random-candidate floor.
+    assert(recall >= 0.4, s"recall@10 was $recall")
+  }
+}
