@@ -24,6 +24,14 @@ object Dedup {
   private val RowsPerBand = NumPerms / NumBands
   private val JaccardThreshold = 0.3
 
+  /** MinHash permutations are affine maps h_i(x) = (a_i·x + b_i) mod P over
+    * a single MD5-derived base hash — one MD5 per shingle instead of
+    * [[NumPerms]], with constants small enough that a_i·x never overflows a
+    * 64-bit long (x < P = 2³¹−1, a_i < P ⇒ product < 2⁶²). */
+  private val MersenneP = 2147483647L // 2^31 - 1
+  private def permA(i: Int): Long = ((i + 1) * 0x9E3779B9L) % (MersenneP - 1) + 1
+  private def permB(i: Int): Long = ((i + 1) * 0x85EBCA6BL) % MersenneP
+
   /** Exact dedup: keep the lowest doc_id per identical text
     * (`dropDuplicates` semantics, made deterministic + auditable). */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -58,12 +66,18 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   /** Distinct (doc_id, 3-gram shingle) pairs — the inverted index shared by
-    * the Jaccard and MinHash paths. */
+    * the Jaccard and MinHash paths. Persisted because one near-dup pipeline
+    * references it several times (signatures, pair intersection, doc sizes)
+    * and Spark would otherwise recompute the scan+explode per reference; at
+    * production scale this materialization would be an intermediate table.
+    * (Cache key is the logical plan, so all queries share one copy per sf.)
+    */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), explode(shingles(col("ts"), 3)).as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val shingleIndexSql: String =
     s"""tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
@@ -116,8 +130,9 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(spark, dir)
+      .withColumn("base", hash60(col("shingle")) % MersenneP)
     val minhashes = (0 until NumPerms).map(i =>
-      min(hash60(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+      min((lit(permA(i)) * col("base") + lit(permB(i))) % MersenneP).as(s"h$i"))
     val sig = sh.groupBy("doc_id")
       .agg(minhashes.head, minhashes.tail: _*)
       .withColumn("sig", array((0 until NumPerms).map(i => col(s"h$i")): _*))
@@ -149,26 +164,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (estMatches.cast("double") / NumPerms).as("est_jaccard"))
 
-    // verify candidates with exact jaccard (candidate set is tiny vs corpus)
-    val verified = ngramJaccard(spark, dir)
-      .select(col("doc_a").as("va"), col("doc_b").as("vb"), col("jaccard"))
-    withEst
-      .join(verified, col("doc_a") === col("va") && col("doc_b") === col("vb"))
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+    // verify candidates with exact jaccard, computed ONLY for the candidate
+    // pairs (shingle intersection semi-joined to the candidate set) — the
+    // whole point of LSH is that the exact O(pairs) work touches ~nothing
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val nCommon = withEst
+      .join(sh.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sh.as("cb"),
+        col("doc_b") === col("cb.doc_id") && col("ca.shingle") === col("cb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .agg(count(lit(1)).as("n_common"))
+    nCommon
+      .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (col("n_common").cast("double") / (col("za.n") + col("zb.n") - col("n_common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
   }
 
   val minhashLshSql: String = {
     val minCols = (0 until NumPerms)
-      .map(i => s"MIN(${hash60Sql(s"'$i:' || shingle")}) AS h$i")
+      .map(i => s"MIN((${permA(i)} * base + ${permB(i)}) % $MersenneP) AS h$i")
       .mkString(",\n       ")
     val sigList = (0 until NumPerms).map(i => s"h$i").mkString("[", ", ", "]")
     val estSum = (1 to NumPerms)
       .map(i => s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END")
       .mkString("(", " + ", ")")
     s"""WITH $shingleIndexSql,
+       |shb AS (SELECT doc_id, ${hash60Sql("shingle")} % $MersenneP AS base FROM sh),
        |sigc AS (SELECT doc_id,
        |       $minCols
-       |       FROM sh GROUP BY doc_id),
+       |       FROM shb GROUP BY doc_id),
        |sig AS (SELECT doc_id, $sigList AS sig FROM sigc),
        |bands AS (SELECT doc_id, sig, b,
        |                 md5(array_to_string(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], ',')) AS band_key
@@ -181,17 +208,17 @@ object Dedup {
        |        JOIN sig sa ON sa.doc_id = doc_a
        |        JOIN sig sb ON sb.doc_id = doc_b),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_common
-       |          FROM sh a JOIN sh b
-       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2),
-       |ex AS (SELECT ia, ib, CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-       |       FROM inter
-       |       JOIN sz sa ON sa.doc_id = ia
-       |       JOIN sz sb ON sb.doc_id = ib
-       |       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $JaccardThreshold)
-       |SELECT doc_a, doc_b, est_jaccard, jaccard
-       |FROM est JOIN ex ON doc_a = ia AND doc_b = ib
+       |nc AS (SELECT doc_a, doc_b, est_jaccard, COUNT(*) AS n_common
+       |       FROM est
+       |       JOIN sh ca ON ca.doc_id = doc_a
+       |       JOIN sh cb ON cb.doc_id = doc_b AND cb.shingle = ca.shingle
+       |       GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, est_jaccard,
+       |       CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
+       |FROM nc
+       |JOIN sz za ON za.doc_id = doc_a
+       |JOIN sz zb ON zb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -74,16 +74,25 @@ object Similarity {
     if ((z & 1L) == 0L) -1 else 1
   }
 
-  private def planeArray(p: Int) =
-    array((0 until 64).map(d => lit(planeCoef(p, d).toDouble)): _*)
-
-  /** Sign-random-projection key for hash table `t`: [[BitsPerTable]] sign
-    * bits packed into an int. */
-  private def tableKey(t: Int) =
-    (0 until BitsPerTable).map { j =>
-      when(dot(col("v"), planeArray(t * BitsPerTable + j)) > 0, lit(1 << j))
-        .otherwise(lit(0))
-    }.reduce(_ + _)
+  /** The hyperplanes as a 64-row dim table (tbl, bit j, coefficients).
+    * Joining a broadcast dim beats inlining 16×64 literal arrays into the
+    * expression tree: the plan stays small (fast to optimize + codegen) and
+    * at scale the same broadcast pattern distributes the projection matrix
+    * to every executor once. */
+  private def planesTable(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val rows = for {
+      t <- 0 until NumTables
+      j <- 0 until BitsPerTable
+    } yield R(t, j, (0 until 64).map(d => planeCoef(t * BitsPerTable + j, d).toDouble))
+    spark.createDataFrame(
+      new java.util.ArrayList[R](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("tbl", IntegerType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("coefs", ArrayType(DoubleType), nullable = false))))
+  }
 
   /** Multi-table SRP-LSH + exact cosine re-rank: candidates are vectors
     * sharing any of [[NumTables]] band keys with the query, deduplicated,
@@ -93,10 +102,12 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
-    val bands = e.select(col("vec_id"), col("v"),
-      posexplode(array((0 until NumTables).map(tableKey): _*)))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkey")
-      .select("vec_id", "tbl", "bkey")
+    val bands = e.crossJoin(broadcast(planesTable(spark)))
+      .select(col("vec_id"), col("tbl"),
+        when(dot(col("v"), col("coefs")) > 0, expr("shiftleft(1, j)"))
+          .otherwise(lit(0)).as("bit"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(col("bit")).as("bkey"))
     val qBands = bands.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"), col("bkey").as("qkey"))
     val cand = bands.join(broadcast(qBands),
@@ -116,18 +127,21 @@ object Similarity {
   }
 
   val lshTopKSql: String = {
-    def keySql(t: Int): String =
-      (0 until BitsPerTable).map { j =>
-        val coefs = (0 until 64).map(d => s"${planeCoef(t * BitsPerTable + j, d)}.0")
-          .mkString("[", ", ", "]")
-        s"CASE WHEN list_dot_product(v, ${coefs}::DOUBLE[]) > 0 THEN ${1 << j} ELSE 0 END"
-      }.mkString("(", " + ", ")")
-    val bandBranches = (0 until NumTables)
-      .map(t => s"SELECT vec_id, $t AS tbl, ${keySql(t)} AS bkey FROM e")
-      .mkString("\n      UNION ALL\n      ")
+    val planeValues = (for {
+      t <- 0 until NumTables
+      j <- 0 until BitsPerTable
+    } yield {
+      val coefs = (0 until 64).map(d => s"${planeCoef(t * BitsPerTable + j, d)}.0")
+        .mkString("[", ", ", "]")
+      s"($t, $j, ${coefs}::DOUBLE[])"
+    }).mkString(",\n       ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |bands AS (
-       |      $bandBranches),
+       |planes(tbl, j, coefs) AS (VALUES
+       |       $planeValues),
+       |bands AS (SELECT vec_id, tbl,
+       |                 SUM(CASE WHEN list_dot_product(v, coefs) > 0
+       |                          THEN (1 << j) ELSE 0 END) AS bkey
+       |          FROM e, planes GROUP BY 1, 2),
        |qb AS (SELECT vec_id AS query_id, tbl AS qtbl, bkey AS qkey
        |       FROM bands WHERE vec_id < $NumQueries),
        |cand AS (SELECT DISTINCT query_id, b.vec_id AS neighbor_id
