@@ -14,8 +14,9 @@ object SparkEntry {
 
   /** All declared queries, in module groups. */
   def declared: Seq[Q] =
-    Medallion.all ++ Notebook.all ++ Windows.all ++ EventTime.all ++
-      Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all
+    Medallion.all ++ Notebook.all ++ Relational.all ++ Windows.all ++
+      EventTime.all ++ Dedup.all ++ TextAnalysis.all ++ Similarity.all ++
+      Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship denormalization (gold.sales_analytics,

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the reference's own surface, completing the
+  * engine vocabulary: set operations (SURVEY §2.7 — absent in reference),
+  * distinct aggregates, ROLLUP grouping sets (§2.4 absent rows), and the
+  * bronze CSV edge (S1/S2/S4) as a lossless round-trip through the CSV
+  * source/sink.
+  */
+object Relational {
+
+  /** Set operations over user cohorts: buyers who clicked, minus errors.
+    * UNION/INTERSECT/EXCEPT all compile to hash aggregates/joins on a
+    * shuffled key — no driver-side sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def ids(t: String) = ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    ids("click").intersect(ids("purchase")).except(ids("error"))
+  }
+
+  val setOpsSql: String =
+    """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |EXCEPT
+      |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** Distinct aggregate: exact per-type distinct users + event count.
+    * Catalyst plans COUNT(DISTINCT) as a two-phase expand+aggregate — the
+    * scalable exact form (approx_count_distinct is the sketch variant). */
+  def countDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  val countDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** ROLLUP over (channel, region): per-pair, per-channel subtotal, and
+    * grand total in one pass (Expand + single shuffle). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Medallion.silverSales(spark, dir)
+      .rollup(col("l_returnflag").as("channel"), col("l_linestatus").as("region"))
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(sum(dec(col("l_extendedprice")))).as("total_revenue"))
+
+  val rollupRevenueSql: String =
+    """SELECT l_returnflag AS channel, l_linestatus AS region,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue
+      |FROM lineitem
+      |WHERE l_quantity > 0 AND l_extendedprice > 0
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY channel NULLS FIRST, region NULLS FIRST""".stripMargin
+
+  /** Bronze CSV edge (S1/S2/S4): parquet → CSV sink (header, explicit sep)
+    * → CSV source (header + schema inference) must be lossless for this
+    * schema, so the oracle is simply the parquet table. Mirrors the
+    * reference's LOAD DATA … skip_leading_rows=1 (`etl_medallion.py:90-99`)
+    * and the notebook's sep=';', inferSchema read (`etl_spark.ipynb:113`).
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_bronze/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/part"
+    Tables.part(spark, dir)
+      .write.mode("overwrite")
+      .option("header", "true").option("sep", ";")
+      .csv(out)
+    spark.read
+      .option("header", "true").option("sep", ";").option("inferSchema", "true")
+      .csv(out)
+      .select(col("p_partkey").cast("long"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size").cast("int"), col("p_retailprice").cast("double"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Catalog inventory (S6/S7/S9 + the reference's expected-table contract,
+    * `etl_medallion.py:261-265`): register the medallion relations as temp
+    * views in a session catalog namespace-by-prefix, then read the inventory
+    * back from `spark.catalog`. The oracle pins the expected inventory as a
+    * literal — a schema contract, like the reference's hardcoded lists. */
+  def catalogInventory(spark: SparkSession, dir: String): DataFrame = {
+    val layers: Seq[(String, DataFrame)] = Seq(
+      "bronze_lineitem" -> Tables.lineitem(spark, dir),
+      "bronze_part" -> Tables.part(spark, dir),
+      "bronze_supplier" -> Tables.supplier(spark, dir),
+      "silver_sales" -> Medallion.silverSales(spark, dir),
+      "silver_products" -> Medallion.silverProducts(spark, dir),
+      "silver_suppliers" -> Medallion.silverSuppliers(spark, dir),
+      "gold_sales_analytics" -> Medallion.goldSalesAnalytics(spark, dir),
+      "gold_product_metrics" -> Medallion.goldProductMetrics(spark, dir),
+      "gold_sales_summary" -> Medallion.goldSalesSummary(spark, dir))
+    layers.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    val inventory = spark.catalog.listTables()
+      .filter(col("isTemporary") === true)
+      .select(col("name"))
+      .filter(col("name").startsWith("bronze_") ||
+        col("name").startsWith("silver_") || col("name").startsWith("gold_"))
+      .withColumn("layer", split(col("name"), "_").getItem(0))
+      .withColumn("n_columns",
+        element_at(
+          map(layers.flatMap { case (n, df) =>
+            Seq(lit(n), lit(df.schema.fields.length))
+          }: _*),
+          col("name")))
+    inventory.select(col("layer"), col("name"), col("n_columns"))
+  }
+
+  val catalogInventorySql: String =
+    """SELECT * FROM (VALUES
+      |  ('bronze', 'bronze_lineitem', 11),
+      |  ('bronze', 'bronze_part', 6),
+      |  ('bronze', 'bronze_supplier', 4),
+      |  ('gold', 'gold_product_metrics', 7),
+      |  ('gold', 'gold_sales_analytics', 14),
+      |  ('gold', 'gold_sales_summary', 7),
+      |  ('silver', 'silver_products', 6),
+      |  ('silver', 'silver_sales', 11),
+      |  ('silver', 'silver_suppliers', 5)
+      |) AS t(layer, name, n_columns)
+      |ORDER BY name""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),
+    Q("rel_count_distinct", countDistinct(_, _).orderBy("event_type"),
+      Some(countDistinctSql)),
+    Q("rel_rollup", rollupRevenue(_, _)
+      .orderBy(col("channel").asc_nulls_first, col("region").asc_nulls_first),
+      Some(rollupRevenueSql)),
+    Q("rel_csv_roundtrip", csvRoundtrip(_, _).orderBy("p_partkey"), Some(csvRoundtripSql)),
+    Q("rel_catalog_inventory", catalogInventory(_, _).orderBy("name"),
+      Some(catalogInventorySql)))
+}
