@@ -11,16 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Cast an ArrayType(Float) column to ArrayType(Double). */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast an ArrayType(Float) column to ArrayType(Double). A native array
+    * Cast, NOT `transform(v, _.cast)`: higher-order functions are
+    * CodegenFallback and would break whole-stage codegen for every
+    * expression in the same projection. */
+  def toDouble(v: Column): Column =
+    v.cast(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
   /** Sequential dot product of two double arrays. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Cosine similarity: dot / (||a|| * ||b||). */
+  /** Cosine similarity via composed higher-order functions:
+    * dot / (||a|| * ||b||). Kept as the reference implementation for the
+    * codegen'd [[cosineFast]]. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Cosine similarity as a native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]) — one fused loop, no
+    * intermediate array, same bit-exact result as [[cosine]]. */
+  def cosineFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      CosineSimilarity(
+        org.apache.spark.sql.GraftSql.expression(a),
+        org.apache.spark.sql.GraftSql.expression(b)))
 
   /** DuckDB rendering of [[cosine]] over DOUBLE[] columns. */
   def cosineSql(a: String, b: String): String =

@@ -243,23 +243,66 @@ object Dedup {
       .select(col("doc_id"), digest.as("simhash"))
   }
 
-  val simhashSql: String = {
+  /** Shared CTE prefix computing (doc_id, simhash) as `d`. */
+  private val simhashCoreSql: String = {
     val bitSums = (0 until SimhashBits)
       .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n       ")
     val digest = (0 until SimhashBits)
       .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString("(", " + ", ")")
-    s"""WITH tok AS (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+    s"""tok AS (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
        |            FROM documents),
        |h AS (SELECT doc_id, ${hash60Sql("token")} AS h FROM tok),
        |s AS (SELECT doc_id,
        |       $bitSums
-       |      FROM h GROUP BY doc_id)
-       |SELECT doc_id, $digest AS simhash
-       |FROM s
-       |ORDER BY doc_id""".stripMargin
+       |      FROM h GROUP BY doc_id),
+       |d AS (SELECT doc_id, $digest AS simhash FROM s)""".stripMargin
   }
+
+  val simhashSql: String =
+    s"""WITH $simhashCoreSql
+       |SELECT doc_id, simhash FROM d
+       |ORDER BY doc_id""".stripMargin
+
+  private val SimhashBands = 4 // 15 bits each; pigeonhole-complete for hamming <= 3
+  private val HammingMax = 8
+
+  /** SimHash near-dup pairs: candidates share one of [[SimhashBands]] 15-bit
+    * digest bands (equi-join — never all-pairs), kept when full Hamming
+    * distance ≤ [[HammingMax]]. Band match is guaranteed for distance ≤ 3
+    * (pigeonhole over 4 bands) and probabilistic above — the standard
+    * SimHash recall/cost dial. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = simhash(spark, dir)
+    val bands = d.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimhashBands).map(b =>
+        expr(s"shiftright(simhash, ${b * 15}) & 32767")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ah"), col("y.simhash").as("bh"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ah ^ bh)"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH $simhashCoreSql,
+       |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bkey
+       |          FROM d, UNNEST(range(0, $SimhashBands)) AS u(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                x.simhash AS ah, y.simhash AS bh
+       |         FROM bands x JOIN bands y
+       |           ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ah, bh)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(ah, bh)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("dedup_exact", exact(_, _).orderBy("doc_id"), Some(exactSql)),
@@ -268,5 +311,7 @@ object Dedup {
       Some(ngramJaccardSql)),
     Q("dedup_minhash_lsh", minhashLsh(_, _).orderBy("doc_a", "doc_b"),
       Some(minhashLshSql)),
-    Q("dedup_simhash", simhash(_, _).orderBy("doc_id"), Some(simhashSql)))
+    Q("dedup_simhash", simhash(_, _).orderBy("doc_id"), Some(simhashSql)),
+    Q("dedup_simhash_pairs", simhashPairs(_, _).orderBy("doc_a", "doc_b"),
+      Some(simhashPairsSql)))
 }

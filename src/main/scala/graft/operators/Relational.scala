@@ -135,8 +135,36 @@ object Relational {
       |) AS t(layer, name, n_columns)
       |ORDER BY name""".stripMargin
 
+  /** Skew-resistant aggregation: pre-aggregate on (key, salt) — 16-way fan
+    * of any hot key — then combine partials. Same result as a direct
+    * groupBy (the oracle is the plain form); at 100 TB this is the pattern
+    * that keeps one hot event_type from pinning a single reducer.
+    * (Catalyst's partial aggregation already does this for algebraic aggs;
+    * the explicit form is for sketches/collect-style states that lack a
+    * map-side combine, and composes with AQE skew handling.)
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("_salt", pmod(hash(col("user_id")), lit(16)))
+      .groupBy(col("event_type"), col("_salt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        dec2(sum(col("v"))).as("total_value"))
+
+  val saltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),
+    Q("rel_salted_agg", saltedAgg(_, _).orderBy("event_type"), Some(saltedAggSql)),
     Q("rel_count_distinct", countDistinct(_, _).orderBy("event_type"),
       Some(countDistinctSql)),
     Q("rel_rollup", rollupRevenue(_, _)

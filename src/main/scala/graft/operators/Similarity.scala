@@ -37,7 +37,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("cos_sim"))
+        cosineFast(col("qv"), col("v")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     pairs
@@ -120,7 +120,7 @@ object Similarity {
     cand
       .join(e.select(col("vec_id"), col("v").as("qv")), col("query_id") === col("vec_id")).drop("vec_id")
       .join(e, col("neighbor_id") === col("vec_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos_sim"))
+      .select(col("query_id"), col("neighbor_id"), cosineFast(col("qv"), col("v")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))

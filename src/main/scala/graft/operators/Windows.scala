@@ -80,9 +80,36 @@ object Windows {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** As-of (carry-forward) join within one stream: each event annotated with
+    * the user's most recent prior-or-equal 'signup' event — `last(…, ignore
+    * nulls)` over an unbounded-preceding row frame. This is the composed-ops
+    * form of an as-of join (SURVEY §2.3: absent in the reference); a
+    * two-table as-of joins after a union of both sides tagged by source.
+    */
+  def asofLastSignup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true)
+          .over(w).as("asof_signup_event"))
+  }
+
+  val asofLastSignupSql: String =
+    """SELECT event_id, user_id, event_type,
+      |       LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_event
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("win_running_total", runningTotal(_, _).orderBy("event_id"), Some(runningTotalSql)),
     Q("win_topk_per_group", topKPerGroup(_, _).orderBy("p_brand", "rank_in_brand"),
       Some(topKPerGroupSql)),
-    Q("win_lag_delta", lagDelta(_, _).orderBy("event_id"), Some(lagDeltaSql)))
+    Q("win_lag_delta", lagDelta(_, _).orderBy("event_id"), Some(lagDeltaSql)),
+    Q("win_asof_last_signup", asofLastSignup(_, _).orderBy("event_id"),
+      Some(asofLastSignupSql)))
 }
