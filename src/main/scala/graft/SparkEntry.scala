@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All declared queries, in module groups. */
   def declared: Seq[Q] =
-    Medallion.all ++ Notebook.all ++ Relational.all ++ Windows.all ++
+    Medallion.all ++ Analytics.all ++ Notebook.all ++ Relational.all ++ Windows.all ++
       EventTime.all ++ Dedup.all ++ TextAnalysis.all ++ Similarity.all ++
       Multimodal.all
 

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-way analytical joins over the full star schema — the join-tree
+  * shapes (fact ⋈ fact ⋈ dims chain, semi, anti) a warehouse engine must
+  * plan well. Catalyst reorders the dim chain and broadcasts every small
+  * side; the two fact tables (lineitem ⋈ orders) meet in the only real
+  * shuffle. AQE handles runtime skew.
+  */
+object Analytics {
+
+  /** Revenue by region/nation/year across 6 tables (TPC-H Q5 shape):
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, dims broadcast. */
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Medallion.silverSales(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name").as("region"), n("n_name").as("nation"),
+        year(o("o_orderdate")).as("year"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        dec2(sum(dec(li("l_extendedprice")))).as("revenue"))
+  }
+
+  val regionalRevenueSql: String =
+    """SELECT r.r_name AS region, n.n_name AS nation,
+      |       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS year,
+      |       COUNT(*) AS n_lineitems,
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+      |GROUP BY 1, 2, 3
+      |ORDER BY region, nation, year""".stripMargin
+
+  /** Semi-join driven by an aggregate predicate (TPC-H Q18 shape): orders
+    * whose total quantity exceeds a threshold — HAVING output used purely
+    * as a filter, so a LEFT SEMI join (no row multiplication, build side is
+    * only the qualifying keys). */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 90)
+      .select(col("l_orderkey").as("big_key"))
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("big_key"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("o_totalprice"))
+  }
+
+  val bigOrdersSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 90)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Anti-join: customers with no completed ('F') orders — NOT EXISTS as a
+    * LEFT ANTI join (streams the probe side; never materializes a NOT-IN
+    * list on the driver). */
+  def customersWithoutF(spark: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(fOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val customersWithoutFSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("analytics_regional_revenue",
+      regionalRevenue(_, _).orderBy("region", "nation", "year"),
+      Some(regionalRevenueSql)),
+    Q("analytics_big_orders", bigOrders(_, _).orderBy("o_orderkey"), Some(bigOrdersSql)),
+    Q("analytics_inactive_customers", customersWithoutF(_, _).orderBy("c_custkey"),
+      Some(customersWithoutFSql)))
+}

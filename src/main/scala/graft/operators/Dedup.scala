@@ -133,10 +133,14 @@ object Dedup {
       .withColumn("base", hash60(col("shingle")) % MersenneP)
     val minhashes = (0 until NumPerms).map(i =>
       min((lit(permA(i)) * col("base") + lit(permB(i))) % MersenneP).as(s"h$i"))
+    // referenced three times below (banding + both sides of the estimate
+    // join) — persist like the shingle index; at scale this is the
+    // "signature table" a production dedup job would materialize once
     val sig = sh.groupBy("doc_id")
       .agg(minhashes.head, minhashes.tail: _*)
       .withColumn("sig", array((0 until NumPerms).map(i => col(s"h$i")): _*))
       .select("doc_id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one row per (doc, band): band key = md5 of the comma-joined band slice
     val bands = sig.select(
