@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts — the 100 TB posture, pinned as assertions so a
+  * refactor can't silently regress them:
+  *   - silver filters reach the parquet scan (PushedFilters);
+  *   - column pruning holds (ReadSchema strictly narrower than the table);
+  *   - dim joins broadcast (no shuffle of the fact side for gold);
+  *   - the count-only verification reads zero columns.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Full formatted plan (untruncated PushedFilters/ReadSchema). */
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.Sf001)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  /** Post-execution plan: AQE finalized, whole-stage-codegen ids assigned. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.Sf001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("silver_sales pushes both range predicates into the scan") {
+    val p = plan("silver_sales")
+    assert(p.contains("PushedFilters:"), p.take(400))
+    assert(p.contains("GreaterThan(l_quantity,0.0)"))
+    assert(p.contains("GreaterThan(l_extendedprice,0.0)"))
+  }
+
+  test("gold_sales_analytics broadcasts both dims and prunes the fact scan") {
+    val p = plan("gold_sales_analytics")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+    // l_discount / l_tax are never used → must not be read
+    assert(!p.contains("l_discount"), "column pruning lost l_discount")
+  }
+
+  test("gold_product_metrics is partial+final hash aggregation, broadcast join") {
+    val p = plan("gold_product_metrics")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("meta_row_counts scans zero columns per table") {
+    val p = plan("meta_row_counts")
+    assert(p.contains("ReadSchema: struct<>"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("analytics_top_products is a top-k, not a global sort") {
+    val p = plan("analytics_top_products")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("similarity scoring runs inside whole-stage codegen") {
+    val p = finalPlan("sim_bruteforce_topk")
+    assert(p.linesIterator.exists(l =>
+      l.contains("cosine_similarity") && l.contains("*(")), p.take(800))
+  }
+}
