@@ -162,8 +162,43 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Exact interpolated percentiles per group (median, p90). Spark's
+    * `percentile` and DuckDB's `quantile_cont` both linearly interpolate
+    * over the sorted group. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  val quantilesSql: String =
+    """SELECT event_type,
+      |       quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.9) AS p90,
+      |       MIN(value) AS min_value,
+      |       MAX(value) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** HyperLogLog distinct-count sketch next to the exact count. No DuckDB
+    * oracle (sketch estimates are engine-specific) — the spec bounds the
+    * relative error instead. At 100 TB the sketch is the only affordable
+    * way to count distincts per high-cardinality group. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+
   val all: Seq[Q] = Seq(
     Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),
+    Q("rel_quantiles", quantiles(_, _).orderBy("event_type"), Some(quantilesSql)),
+    Q("rel_approx_distinct", approxDistinct(_, _).orderBy("event_type"), None),
     Q("rel_salted_agg", saltedAgg(_, _).orderBy("event_type"), Some(saltedAggSql)),
     Q("rel_count_distinct", countDistinct(_, _).orderBy("event_type"),
       Some(countDistinctSql)),
