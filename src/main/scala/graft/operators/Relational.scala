@@ -64,6 +64,23 @@ object Relational {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY channel NULLS FIRST, region NULLS FIRST""".stripMargin
 
+  /** CUBE over (channel, region): all four grouping sets in one pass. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Medallion.silverSales(spark, dir)
+      .cube(col("l_returnflag").as("channel"), col("l_linestatus").as("region"))
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(sum(dec(col("l_extendedprice")))).as("total_revenue"))
+
+  val cubeRevenueSql: String =
+    """SELECT l_returnflag AS channel, l_linestatus AS region,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue
+      |FROM lineitem
+      |WHERE l_quantity > 0 AND l_extendedprice > 0
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY channel NULLS FIRST, region NULLS FIRST""".stripMargin
+
   /** Bronze CSV edge (S1/S2/S4): parquet → CSV sink (header, explicit sep)
     * → CSV source (header + schema inference) must be lossless for this
     * schema, so the oracle is simply the parquet table. Mirrors the
@@ -205,6 +222,9 @@ object Relational {
     Q("rel_rollup", rollupRevenue(_, _)
       .orderBy(col("channel").asc_nulls_first, col("region").asc_nulls_first),
       Some(rollupRevenueSql)),
+    Q("rel_cube", cubeRevenue(_, _)
+      .orderBy(col("channel").asc_nulls_first, col("region").asc_nulls_first),
+      Some(cubeRevenueSql)),
     Q("rel_csv_roundtrip", csvRoundtrip(_, _).orderBy("p_partkey"), Some(csvRoundtripSql)),
     Q("rel_catalog_inventory", catalogInventory(_, _).orderBy("name"),
       Some(catalogInventorySql)))

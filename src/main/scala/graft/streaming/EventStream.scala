@@ -34,6 +34,16 @@ object EventStream {
   def hourlyAgg(events: DataFrame): DataFrame =
     EventTime.hourlyAgg(events.withWatermark("ts", "2 hours"))
 
+  /** Streaming exact dedup: first occurrence per (user_id, event_type) with
+    * duplicate arrivals inside the watermark horizon dropped — state is one
+    * key per distinct pair, evicted as the watermark passes (the streaming
+    * face of the dedup tier; content dedup would key on a fingerprint
+    * column, exactly like `Dedup.fingerprint`). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+
   /** Run the streaming hourly aggregation over a static directory to
     * completion via the in-memory sink; returns the final result rows.
     * (Local harness for specs; production would use a real sink + trigger.)
