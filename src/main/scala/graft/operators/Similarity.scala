@@ -162,8 +162,98 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  private val IvfProbes = 2
+
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into lists via
+    * nearest centroid, probe the [[IvfProbes]] nearest lists per query,
+    * exact cosine re-rank inside the probed lists. Centroids are seeded
+    * from the label column and computed in QUANTIZED integer space
+    * (micro-units, floor) so every stage — centroid, assignment, probe — is
+    * exactly deterministic regardless of partitioning/summation order.
+    * At scale: centroids broadcast (k×64 longs), assignment is one scan,
+    * probing turns ANN into an equi-join on list_id, and each query touches
+    * probes/k of the corpus.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    // quantized dims: (vec_id, d, q)  with q = floor(v[d] * 1e6)
+    val dims = e.select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").as("d"),
+        floor(col("col") * 1000000).cast("long").as("q"))
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    // integer centroids per seed list: floor(sum(q)/n) per dimension
+    val cent = dims.join(broadcast(lab), "vec_id")
+      .groupBy(col("label").as("list_id"), col("d"))
+      .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
+    // exact integer L2 distance of every vector to every centroid
+    val dist = dims.join(broadcast(cent), "d")
+      .groupBy(col("vec_id"), col("list_id"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
+    val assign = dist
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("list_id"))
+    val probes = dist
+      .filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("list_id").as("probe_list"))
+    val cand = assign.join(broadcast(probes),
+      col("list_id") === col("probe_list") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id"), col("v").as("qv")), col("query_id") === col("vec_id"))
+      .drop("vec_id")
+      .join(e, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), cosineFast(col("qv"), col("v")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT vec_id, i - 1 AS d,
+       |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+       |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+       |cent AS (SELECT emb.label AS list_id, d,
+       |                CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |         FROM dims JOIN embeddings emb USING (vec_id)
+       |         GROUP BY 1, 2),
+       |dist AS (SELECT vec_id, list_id, SUM((q - cq) * (q - cq)) AS d2
+       |         FROM dims JOIN cent USING (d)
+       |         GROUP BY 1, 2),
+       |assign AS (SELECT vec_id, list_id FROM (
+       |             SELECT vec_id, list_id,
+       |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+       |             FROM dist) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, list_id AS probe_list FROM (
+       |             SELECT vec_id, list_id,
+       |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+       |             FROM dist WHERE vec_id < $NumQueries) WHERE rn <= $IvfProbes),
+       |cand AS (SELECT query_id, a.vec_id AS neighbor_id
+       |         FROM assign a JOIN probes p
+       |           ON a.list_id = p.probe_list AND a.vec_id <> p.query_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |                  ${cosineSql("eq.v", "en.v")} AS cos_sim
+       |           FROM cand
+       |           JOIN e eq ON eq.vec_id = query_id
+       |           JOIN e en ON en.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER)
+       |               AS rank
+       |      FROM scored)
+       |SELECT query_id, neighbor_id, rank, cos_sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sim_bruteforce_topk", bruteForceTopK(_, _).orderBy("query_id", "rank"),
       Some(bruteForceTopKSql)),
-    Q("sim_lsh_topk", lshTopK(_, _).orderBy("query_id", "rank"), Some(lshTopKSql)))
+    Q("sim_lsh_topk", lshTopK(_, _).orderBy("query_id", "rank"), Some(lshTopKSql)),
+    Q("sim_ivf_topk", ivfTopK(_, _).orderBy("query_id", "rank"), Some(ivfTopKSql)))
 }

@@ -32,4 +32,18 @@ class SimilaritySpec extends AnyFunSuite {
     // often, so recall must clearly beat the random-candidate floor.
     assert(recall >= 0.4, s"recall@10 was $recall")
   }
+
+  test("IVF top-k: full lists probed deterministically, sane output shape") {
+    val ivf = Similarity.ivfTopK(spark, TestSpark.Sf0001).collect()
+    val byQuery = ivf.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 10)
+      assert(!rows.exists(_.getLong(1) == q))
+    }
+    // deterministic across runs (quantized integer centroid math)
+    val again = Similarity.ivfTopK(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == ivf.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+  }
 }
