@@ -64,6 +64,31 @@ object Relational {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY channel NULLS FIRST, region NULLS FIRST""".stripMargin
 
+  /** Semi-structured extraction: pull a typed field out of the JSON props
+    * column and aggregate it — the JSON path stays inside codegen
+    * (get_json_object), no UDF, no driver-side parsing. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("total_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |       COUNT(k) AS n_parsed,
+      |       CAST(SUM(k) AS BIGINT) AS total_k,
+      |       MIN(k) AS min_k,
+      |       MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** CUBE over (channel, region): all four grouping sets in one pass. */
   def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
     Medallion.silverSales(spark, dir)
@@ -215,6 +240,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),
     Q("rel_quantiles", quantiles(_, _).orderBy("event_type"), Some(quantilesSql)),
+    Q("rel_json_extract", jsonExtract(_, _).orderBy("event_type"), Some(jsonExtractSql)),
     Q("rel_approx_distinct", approxDistinct(_, _).orderBy("event_type"), None),
     Q("rel_salted_agg", saltedAgg(_, _).orderBy("event_type"), Some(saltedAggSql)),
     Q("rel_count_distinct", countDistinct(_, _).orderBy("event_type"),
