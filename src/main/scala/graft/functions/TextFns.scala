@@ -17,9 +17,15 @@ object TextFns {
   /** Deterministic 60-bit non-negative hash of a string, identical in Spark
     * and DuckDB: first 15 hex digits of MD5, parsed base-16. Used instead of
     * xxhash64 (whose seed/algorithm DuckDB lacks) wherever an oracle needs to
-    * reproduce the value.
-    */
+    * reproduce the value. Computed by the native [[Hash60]] expression
+    * (digest bytes → long directly; no hex string, substring, or conv). */
   def hash60(c: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      Hash60(org.apache.spark.sql.GraftSql.expression(c)))
+
+  /** The composed-builtins form of [[hash60]] (reference implementation;
+    * spec-pinned equal to the native expression). */
+  def hash60Hof(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** DuckDB rendering of [[hash60]]. */
