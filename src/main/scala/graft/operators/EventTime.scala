@@ -40,7 +40,43 @@ object EventTime {
       |GROUP BY 1, 2
       |ORDER BY window_start_epoch, event_type""".stripMargin
 
+  /** Interval (range) join: purchases attributed to the same user's clicks
+    * within the preceding hour — equi-key on user plus a time-range
+    * predicate (SURVEY §2.3 marks theta/range joins absent in the
+    * reference). One shuffle on user_id; the range condition filters inside
+    * the joined partitions. Shares its condition with the stream-stream
+    * face (`EventStream.attribution`).
+    */
+  def clickAttribution(events: DataFrame, windowUs: Long = 3600L * 1000000): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        unix_micros(col("p_ts")) <= unix_micros(col("click_ts")) + windowUs)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    clickAttribution(Tables.events(spark, dir))
+
+  val attributionSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+      |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts
+      | AND epoch_us(CAST(p.ts AS TIMESTAMP)) <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 3600000000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),
-      Some(hourlySql)))
+      Some(hourlySql)),
+    Q("events_click_attribution", attribution(_, _).orderBy("click_id", "purchase_id"),
+      Some(attributionSql)))
 }

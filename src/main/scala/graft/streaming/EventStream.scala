@@ -44,6 +44,13 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream interval join: the same click→purchase attribution as
+    * the batch query (`EventTime.clickAttribution`), with watermarks on both
+    * sides so join state is bounded — a click can only match purchases up
+    * to one hour later, so clicks older than watermark−1h are evicted. */
+  def attribution(events: DataFrame): DataFrame =
+    EventTime.clickAttribution(events.withWatermark("ts", "2 hours"))
+
   /** Run the streaming hourly aggregation over a static directory to
     * completion via the in-memory sink; returns the final result rows.
     * (Local harness for specs; production would use a real sink + trigger.)
