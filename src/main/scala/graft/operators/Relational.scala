@@ -64,6 +64,29 @@ object Relational {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY channel NULLS FIRST, region NULLS FIRST""".stripMargin
 
+  /** Pivot: revenue per (year, month) with one column per return-flag
+    * channel — `groupBy().pivot(values)` compiles to conditional aggregates
+    * in a single pass (values pinned, so no extra distinct-scan job). */
+  def pivotRevenue(spark: SparkSession, dir: String): DataFrame =
+    Medallion.silverSales(spark, dir)
+      .groupBy(year(col("l_shipdate")).as("year"), month(col("l_shipdate")).as("month"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dec2(sum(dec(col("l_extendedprice")))))
+
+  val pivotRevenueSql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS year,
+      |       CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS month,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |            FILTER (WHERE l_returnflag = 'A') AS DECIMAL(18,2)) AS "A",
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |            FILTER (WHERE l_returnflag = 'N') AS DECIMAL(18,2)) AS "N",
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |            FILTER (WHERE l_returnflag = 'R') AS DECIMAL(18,2)) AS "R"
+      |FROM lineitem
+      |WHERE l_quantity > 0 AND l_extendedprice > 0
+      |GROUP BY 1, 2
+      |ORDER BY year, month""".stripMargin
+
   /** Semi-structured extraction: pull a typed field out of the JSON props
     * column and aggregate it — the JSON path stays inside codegen
     * (get_json_object), no UDF, no driver-side parsing. */
@@ -241,6 +264,7 @@ object Relational {
     Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),
     Q("rel_quantiles", quantiles(_, _).orderBy("event_type"), Some(quantilesSql)),
     Q("rel_json_extract", jsonExtract(_, _).orderBy("event_type"), Some(jsonExtractSql)),
+    Q("rel_pivot", pivotRevenue(_, _).orderBy("year", "month"), Some(pivotRevenueSql)),
     Q("rel_approx_distinct", approxDistinct(_, _).orderBy("event_type"), None),
     Q("rel_salted_agg", saltedAgg(_, _).orderBy("event_type"), Some(saltedAggSql)),
     Q("rel_count_distinct", countDistinct(_, _).orderBy("event_type"),

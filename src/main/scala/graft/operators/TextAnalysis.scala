@@ -146,8 +146,30 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-wide top-20 bigrams: explode word 2-grams (Generator op) →
+    * count → top-k. Partial aggregation collapses the exploded rows
+    * map-side; TakeOrderedAndProject keeps k rows per partition. */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  val topBigramsSql: String =
+    """WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+      |bg AS (SELECT ts[i] || ' ' || ts[i+1] AS bigram
+      |       FROM tok, UNNEST(range(1, greatest(len(ts), 1))) AS u(i))
+      |SELECT bigram, COUNT(*) AS n
+      |FROM bg
+      |GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_token_counts", tokenCounts(_, _).orderBy("doc_id"), Some(tokenCountsSql)),
+    Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
     Q("text_quality_score", qualityScore(_, _).orderBy("doc_id"), Some(qualityScoreSql)),
     Q("text_lang_id", langId(_, _).orderBy("doc_id"), Some(langIdSql)),
     Q("text_winnow_fingerprint", winnowFingerprint(_, _).orderBy("doc_id"),
