@@ -31,19 +31,34 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
       // min of two timed runs: GC/compilation hiccups inflate single
-      // samples by seconds on this box; the min is the steady-state cost
+      // samples by seconds on this box; the min is the steady-state cost.
+      // A failed run yields None — never a partial elapsed time that would
+      // make a broken query look like a fast pass.
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> samples.min
+      val good = samples.collect { case (true, s) => s }
+      name -> (if (good.nonEmpty) Some(good.min) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("\"error\"")
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val nErrors = results.count(_._2.isEmpty)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$nErrors}"""
+    println(line)
+    // also land the metric line in a file: sbt wraps stdout in [info]
+    // decoration that a line-oriented parser can miss
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
   }
 }

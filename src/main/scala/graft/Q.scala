@@ -23,30 +23,42 @@ object Q {
 
   def dec(c: Column): Column = c.cast(Dec18)
 
-  /** Re-narrow an aggregated decimal (Spark widens sum(dec(18,2)) to
-    * dec(28,2); DuckDB to dec(38,2)) back to a common DECIMAL(18,2).
+  /** Finalize an aggregated decimal for OUTPUT: quantize to DECIMAL(18,2)
+    * (Spark widens sum(dec(18,2)) to dec(28,2); DuckDB to dec(38,2)), then
+    * emit DOUBLE. The decimal math stays exact and shuffle-order-independent;
+    * the final DOUBLE is exact too (these magnitudes are ≤ 2³⁵ cents ≪ 2⁵³)
+    * and renders identically everywhere — fixed-scale decimals do not
+    * (`123.40` vs `123.4`), which is a hash-gate trap. Oracle side mirrors
+    * with `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
     */
-  def dec2(c: Column): Column = c.cast(Dec18)
+  def dec2(c: Column): Column = c.cast(Dec18).cast(DoubleType)
 
   def dbl(c: Column): Column = c.cast(DoubleType)
 
   import org.apache.spark.sql.functions.{col, expr, lit, when}
 
-  /** Exact ROUND-HALF-UP average to 2 decimals, in integer cents:
-    * `floor((2*sum_cents + cnt) / (2*cnt)) / 100` for non-negative sums.
-    * `round(sum_double/cnt, 2)` differs between Spark and DuckDB on half-cent
-    * boundaries (observed at sf0.01); integer division is bit-identical
-    * everywhere. Takes the *names* of an exact cents sum column (LongType)
-    * and a count column; emits DOUBLE (NULL when cnt = 0).
+  /** Exact ROUND-HALF-AWAY-FROM-ZERO average to 2 decimals, in integer
+    * cents: `sign(s) * floor((2*|s| + cnt) / (2*cnt)) / 100`.
+    * `round(sum_double/cnt, 2)` differs between Spark and DuckDB on
+    * half-cent boundaries (observed at sf0.01); integer division is
+    * bit-identical everywhere. The abs/sign split matters because Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors — they agree
+    * only on non-negative operands, so the division always runs on |s|
+    * (measures like acctbal can go negative). Takes the *names* of an exact
+    * cents sum column (LongType) and a count column; emits DOUBLE (NULL
+    * when cnt = 0).
     */
   def avgCents2(sumCentsCol: String, cntCol: String): Column =
     when(col(cntCol) === 0, lit(null).cast(DoubleType))
       .otherwise(
-        expr(s"(2 * $sumCentsCol + $cntCol) div (2 * $cntCol)")
+        (expr(s"sign($sumCentsCol)") *
+          expr(s"(2 * abs($sumCentsCol) + $cntCol) div (2 * $cntCol)"))
           .cast(DoubleType) / 100)
 
   /** DuckDB rendering of [[avgCents2]] over a DECIMAL(18,2)-summed measure. */
   def avgCents2Sql(sumDecSql: String, cntSql: String): String =
     s"CASE WHEN $cntSql = 0 THEN NULL ELSE " +
-      s"CAST((2 * CAST($sumDecSql * 100 AS BIGINT) + $cntSql) // (2 * $cntSql) AS DOUBLE) / 100 END"
+      s"CAST(SIGN(CAST($sumDecSql * 100 AS BIGINT)) * " +
+      s"((2 * ABS(CAST($sumDecSql * 100 AS BIGINT)) + $cntSql) // (2 * $cntSql)) " +
+      s"AS DOUBLE) / 100 END"
 }

@@ -32,8 +32,24 @@ object TextFns {
   def hash60Sql(sql: String): String =
     s"CAST(('0x' || substr(md5($sql), 1, 15)) AS BIGINT)"
 
+  /** Word n-gram shingles of a document, computed by the native
+    * [[WordNGrams]] expression — one pass, fully codegen'd, so
+    * `explode(wordNGrams(text, n))` stays inside whole-stage codegen.
+    * Equals `shingles(tokens(text), n)` (spec-pinned). */
+  def wordNGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSql.column(
+      WordNGrams(org.apache.spark.sql.GraftSql.expression(text), n))
+
+  /** Character n-grams of a document via the native [[CharNGrams]]
+    * expression. Equals `charGrams(text, n)` (spec-pinned). */
+  def charNGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSql.column(
+      CharNGrams(org.apache.spark.sql.GraftSql.expression(text), n))
+
   /** Word n-gram shingles (space-joined) of a token array; empty when the
-    * document has fewer than n tokens.
+    * document has fewer than n tokens. Composed-builtins reference
+    * implementation of [[wordNGrams]] — `transform` is CodegenFallback, so
+    * keep this out of hot paths.
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
@@ -46,7 +62,8 @@ object TextFns {
     s"[$toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2] " +
       s"for i in range(1, greatest(len($toksSql) - 1, 1))]"
 
-  /** Character n-gram substrings (for winnowing-style fingerprints). */
+  /** Character n-gram substrings (for winnowing-style fingerprints).
+    * Composed-builtins reference implementation of [[charNGrams]]. */
   def charGrams(text: Column, n: Int): Column =
     when(length(text) >= n,
       transform(sequence(lit(1), length(text) - (n - 1)),

@@ -36,7 +36,7 @@ object Analytics {
     """SELECT r.r_name AS region, n.n_name AS nation,
       |       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS year,
       |       COUNT(*) AS n_lineitems,
-      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
       |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -58,13 +58,11 @@ object Analytics {
       .select(col("l_orderkey").as("big_key"))
     Tables.orders(spark, dir)
       .join(big, col("o_orderkey") === col("big_key"), "left_semi")
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        dec(col("o_totalprice")).as("o_totalprice"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
   }
 
   val bigOrdersSql: String =
-    """SELECT o_orderkey, o_orderstatus,
-      |       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
       |FROM orders
       |WHERE o_orderkey IN (
       |  SELECT l_orderkey FROM lineitem

@@ -33,17 +33,24 @@ object Dedup {
   private def permB(i: Int): Long = ((i + 1) * 0x85EBCA6BL) % MersenneP
 
   /** Exact dedup: keep the lowest doc_id per identical text
-    * (`dropDuplicates` semantics, made deterministic + auditable). */
+    * (`dropDuplicates` semantics, made deterministic + auditable). The
+    * GROUP BY key is the 128-bit md5 digest, NOT the text — at 100 TB the
+    * shuffle ships 16 bytes per row instead of whole documents; the
+    * representative text rides along as MIN(text) (all values in a digest
+    * group are identical, so MIN = the text itself). */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .groupBy(md5(col("text")).as("k"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("dup_count"),
+        min(col("text")).as("text"))
       .select(col("doc_id"), col("dup_count"), col("text"))
 
   val exactSql: String =
-    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count, text
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count, MIN(text) AS text
       |FROM documents
-      |GROUP BY text
+      |GROUP BY md5(text)
       |ORDER BY doc_id""".stripMargin
 
   /** Fingerprint dedup: MD5 over whitespace-normalized lowercase text. This
@@ -74,8 +81,7 @@ object Dedup {
     */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .select(col("doc_id"), explode(shingles(col("ts"), 3)).as("shingle"))
+      .select(col("doc_id"), explode(wordNGrams(col("text"), 3)).as("shingle"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -85,11 +91,27 @@ object Dedup {
        |sh AS (SELECT DISTINCT doc_id, s.shingle
        |       FROM tok, UNNEST(${shingles3Sql("ts")}) AS s(shingle))""".stripMargin
 
+  /** Max document frequency for a shingle to participate in the Jaccard
+    * inverted index. A shingle shared by k docs contributes k² candidate
+    * pairs to the self-join — one stop-phrase shared by 10⁶ docs would
+    * produce 10¹² pairs at corpus scale. Capping df bounds the self-join
+    * fan-out at DfCap² per shingle; non-discriminative shingles carry almost
+    * no similarity signal, so dropping them (from sizes AND intersections —
+    * both engines compute over the same filtered index) barely moves the
+    * score while making the plan linear in the corpus. */
+  private val DfCap = 64
+
   /** Exact n-gram Jaccard near-dup pairs above [[JaccardThreshold]], found
     * through the inverted shingle index (docs never meet unless they share a
-    * shingle — no O(n²) cross join). */
+    * shingle — no O(n²) cross join), restricted to discriminative shingles
+    * (df ≤ [[DfCap]]). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleIndex(spark, dir)
+    val idx = shingleIndex(spark, dir)
+    val rare = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("shingle")
+    // same shuffle key (shingle) as the self-join below, so the filter
+    // co-partitions with the work it gates — no extra exchange on sh
+    val sh = idx.join(rare, "shingle").select("doc_id", "shingle")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -108,9 +130,12 @@ object Dedup {
 
   val ngramJaccardSql: String =
     s"""WITH $shingleIndexSql,
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |shf AS (SELECT sh.doc_id, sh.shingle FROM sh
+       |        JOIN (SELECT shingle FROM sh GROUP BY shingle
+       |              HAVING COUNT(*) <= $DfCap) r USING (shingle)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-       |          FROM sh a JOIN sh b
+       |          FROM shf a JOIN shf b
        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_common,
@@ -122,32 +147,48 @@ object Dedup {
        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** MinHash signatures (32 perms), LSH banding (8 bands × 4 rows), candidate
-    * pairs from band-key equi-join, then exact-Jaccard verification of the
-    * candidates — the full scalable near-dup pipeline. Output = candidate
-    * pairs that verified at ≥ [[JaccardThreshold]], with both the MinHash
-    * estimate and the exact similarity.
+  /** MinHash signatures (`numPerms` perms), LSH banding (`numBands` bands ×
+    * numPerms/numBands rows), candidate pairs from band-key equi-join, then
+    * exact-Jaccard verification of the candidates — the full scalable
+    * near-dup pipeline. Output = candidate pairs that verified at ≥
+    * [[JaccardThreshold]], with both the MinHash estimate and the exact
+    * similarity.
+    *
+    * Band geometry is THE recall/cost dial at 100 TB: the probability a pair
+    * with true Jaccard j becomes a candidate is the S-curve
+    * 1−(1−j^r)^b with r = numPerms/numBands rows and b = numBands — more
+    * bands (smaller r) pushes the curve left (higher recall, more candidate
+    * verification work), fewer bands pushes it right (cheaper, misses
+    * borderline pairs). Defaults 32 perms × 8 bands put the curve's midpoint
+    * near j ≈ 0.3 = [[JaccardThreshold]]; the declared oracle query pins the
+    * defaults, BandingSpec exercises a second geometry.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(
+      spark: SparkSession,
+      dir: String,
+      numPerms: Int = NumPerms,
+      numBands: Int = NumBands): DataFrame = {
+    require(numPerms % numBands == 0, "numBands must divide numPerms")
+    val rowsPerBand = numPerms / numBands
     val sh = shingleIndex(spark, dir)
       .withColumn("base", hash60(col("shingle")) % MersenneP)
-    val minhashes = (0 until NumPerms).map(i =>
+    val minhashes = (0 until numPerms).map(i =>
       min((lit(permA(i)) * col("base") + lit(permB(i))) % MersenneP).as(s"h$i"))
     // referenced three times below (banding + both sides of the estimate
     // join) — persist like the shingle index; at scale this is the
     // "signature table" a production dedup job would materialize once
     val sig = sh.groupBy("doc_id")
       .agg(minhashes.head, minhashes.tail: _*)
-      .withColumn("sig", array((0 until NumPerms).map(i => col(s"h$i")): _*))
+      .withColumn("sig", array((0 until numPerms).map(i => col(s"h$i")): _*))
       .select("doc_id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one row per (doc, band): band key = md5 of the comma-joined band slice
     val bands = sig.select(
       col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => md5(array_join(
-          transform(slice(col("sig"), b * RowsPerBand + lit(1), lit(RowsPerBand)),
+          transform(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
             h => h.cast("string")), ",")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
@@ -166,7 +207,7 @@ object Dedup {
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (estMatches.cast("double") / NumPerms).as("est_jaccard"))
+        (estMatches.cast("double") / numPerms).as("est_jaccard"))
 
     // verify candidates with exact jaccard, computed ONLY for the candidate
     // pairs (shingle intersection semi-joined to the candidate set) — the
@@ -270,18 +311,32 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   private val SimhashBands = 4 // 15 bits each; pigeonhole-complete for hamming <= 3
+  private val SimhashBandBits = 15
   private val HammingMax = 8
 
-  /** SimHash near-dup pairs: candidates share one of [[SimhashBands]] 15-bit
-    * digest bands (equi-join — never all-pairs), kept when full Hamming
-    * distance ≤ [[HammingMax]]. Band match is guaranteed for distance ≤ 3
-    * (pigeonhole over 4 bands) and probabilistic above — the standard
-    * SimHash recall/cost dial. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** SimHash near-dup pairs: candidates share one of `nBands` digest bands
+    * of `bandBits` bits (equi-join — never all-pairs), kept when full
+    * Hamming distance ≤ `hammingMax`. By pigeonhole, a band match is
+    * GUARANTEED for pairs with distance < nBands (distance < number of
+    * bands ⇒ some band untouched) and probabilistic above — so nBands sets
+    * the guaranteed-recall radius and bandBits sets the bucket selectivity
+    * (expected docs per bucket = corpus / 2^bandBits under uniform hashing;
+    * at 10⁹ docs, 15-bit bands put ~30k docs in a bucket — widen bandBits /
+    * raise nBands together to keep nBands·bandBits ≤ 60). Defaults pin the
+    * declared oracle query; BandingSpec exercises a second geometry.
+    */
+  def simhashPairs(
+      spark: SparkSession,
+      dir: String,
+      nBands: Int = SimhashBands,
+      bandBits: Int = SimhashBandBits,
+      hammingMax: Int = HammingMax): DataFrame = {
+    require(nBands * bandBits <= SimhashBits, "bands must tile the digest")
+    val mask = (1L << bandBits) - 1
     val d = simhash(spark, dir)
     val bands = d.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimhashBands).map(b =>
-        expr(s"shiftright(simhash, ${b * 15}) & 32767")): _*)))
+      posexplode(array((0 until nBands).map(b =>
+        expr(s"shiftright(simhash, ${b * bandBits}) & $mask")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     bands.as("x")
       .join(bands.as("y"),
@@ -291,7 +346,7 @@ object Dedup {
         col("x.simhash").as("ah"), col("y.simhash").as("bh"))
       .distinct()
       .withColumn("hamming", expr("bit_count(ah ^ bh)"))
-      .filter(col("hamming") <= HammingMax)
+      .filter(col("hamming") <= hammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 

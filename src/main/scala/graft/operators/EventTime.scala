@@ -35,7 +35,7 @@ object EventTime {
       |         AS window_start_epoch,
       |       event_type,
       |       COUNT(*) AS n_events,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start_epoch, event_type""".stripMargin

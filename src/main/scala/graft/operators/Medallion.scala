@@ -89,10 +89,10 @@ object Medallion {
         sales("l_suppkey").as("rep_key"),
         sales("l_shipdate").as("sale_date"),
         sales("l_quantity").as("quantity"),
-        dec(sales("l_extendedprice")).as("total_amount"),
+        sales("l_extendedprice").as("total_amount"),
         products("p_name").as("product_name"),
         products("p_type").as("category"),
-        dec(products("p_retailprice")).as("unit_price"),
+        products("p_retailprice").as("unit_price"),
         // reference `etl_medallion.py:171`: first_name || ' ' || last_name —
         // concat (NULL-propagating, like BigQuery ||), NOT concat_ws.
         concat(reps("s_name"), lit(" "), reps("s_nationkey").cast("string"))
@@ -107,9 +107,9 @@ object Medallion {
       |       l.l_partkey AS product_key, l.l_suppkey AS rep_key,
       |       l.l_shipdate AS sale_date,
       |       l.l_quantity AS quantity,
-      |       CAST(l.l_extendedprice AS DECIMAL(18,2)) AS total_amount,
+      |       l.l_extendedprice AS total_amount,
       |       p.p_name AS product_name, p.p_type AS category,
-      |       CAST(p.p_retailprice AS DECIMAL(18,2)) AS unit_price,
+      |       p.p_retailprice AS unit_price,
       |       s.s_name || ' ' || CAST(s.s_nationkey AS VARCHAR) AS sales_rep,
       |       s.s_acctbal AS rep_acctbal,
       |       l.l_returnflag AS channel, l.l_linestatus AS region
@@ -149,8 +149,8 @@ object Medallion {
       "SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))", "COUNT(l.l_orderkey)")
     s"""SELECT p.p_partkey, p.p_name, p.p_type AS category,
        |       COUNT(l.l_orderkey) AS total_sales,
-       |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_quantity_sold,
-       |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+       |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity_sold,
+       |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
        |       $avg AS avg_sale_amount
        |FROM (SELECT * FROM part WHERE p_retailprice > 0 AND p_size > 0) p
        |LEFT JOIN (SELECT * FROM lineitem
@@ -182,7 +182,7 @@ object Medallion {
        |       CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS month,
        |       l_returnflag AS channel, l_linestatus AS region,
        |       COUNT(*) AS total_transactions,
-       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
        |       $avg AS avg_transaction_value
        |FROM lineitem
        |WHERE l_quantity > 0 AND l_extendedprice > 0
@@ -212,7 +212,9 @@ object Medallion {
     goldSalesSummary(spark, dir)
       .groupBy(col("channel"))
       .agg(
-        dec2(sum(col("total_revenue"))).as("total_revenue"),
+        // total_revenue arrives as DOUBLE (exact cents); re-narrow to decimal
+        // before summing so the re-aggregation stays order-independent.
+        dec2(sum(dec(col("total_revenue")))).as("total_revenue"),
         sum(col("total_transactions")).as("total_transactions"),
         (sum(dec(col("avg_transaction_value"))) * 100).cast("long").as("_sum_cents"),
         count(col("avg_transaction_value")).as("_n"))
@@ -225,7 +227,7 @@ object Medallion {
       "SUM(CAST(avg_transaction_value AS DECIMAL(18,2)))",
       "COUNT(avg_transaction_value)")
     s"""SELECT channel,
-       |       CAST(SUM(total_revenue) AS DECIMAL(18,2)) AS total_revenue,
+       |       CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
        |       CAST(SUM(total_transactions) AS BIGINT) AS total_transactions,
        |       $avg AS avg_transaction_value
        |FROM (${subquery(goldSalesSummarySqlNoOrder)})
@@ -255,7 +257,7 @@ object Medallion {
 
   val salesByDepartmentSql: String =
     """SELECT n.n_name AS department, COUNT(*) AS sales_count,
-      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
       |FROM lineitem l
       |LEFT JOIN (SELECT s_suppkey, s_nationkey FROM supplier
       |           WHERE LOWER(TRIM(s_name)) IS NOT NULL AND s_acctbal > 0) s

@@ -114,6 +114,54 @@ object Notebook {
       |       MIN(p_retailprice) AS min, MAX(p_retailprice) AS max
       |FROM part""".stripMargin
 
+  /** Full `df.describe()` analog (A9, `etl_spark.ipynb:194,536`): one row
+    * per numeric column of `part` with count/mean/stddev/min/max — the same
+    * exact-decimal mechanics as [[describeStats]], all columns computed in a
+    * SINGLE scan (one partial aggregate of 5 measures per column) and then
+    * unpivoted from the one aggregate row. min/max emit DOUBLE so the long
+    * format is one uniform schema across int and double columns.
+    */
+  private val DescribeCols = Seq("p_partkey", "p_size", "p_retailprice")
+
+  def describeAll(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = DescribeCols.flatMap { c =>
+      val x = dec(col(c))
+      Seq(
+        count(col(c)).as(s"${c}_n"),
+        sum(x).as(s"${c}_s"),
+        sum(x * x).as(s"${c}_ss"),
+        min(dbl(col(c))).as(s"${c}_min"),
+        max(dbl(col(c))).as(s"${c}_max"))
+    }
+    val one = Tables.part(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = DescribeCols.map { c =>
+      val n = col(s"${c}_n")
+      val s = dbl(col(s"${c}_s"))
+      val ss = dbl(col(s"${c}_ss"))
+      struct(
+        lit(c).as("col_name"),
+        n.as("n"),
+        round(s / n, 6).as("mean"),
+        round(sqrt((ss - s * s / n) / (n - 1)), 6).as("stddev"),
+        col(s"${c}_min").as("min"),
+        col(s"${c}_max").as("max"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  val describeAllSql: String =
+    DescribeCols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+         |       ROUND(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c), 6) AS mean,
+         |       ROUND(SQRT((CAST(SUM(CAST($c AS DECIMAL(18,2))
+         |                            * CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+         |                   - CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+         |                     * CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c))
+         |                  / (COUNT($c) - 1)), 6) AS stddev,
+         |       CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max
+         |FROM part""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val all: Seq[Q] = Seq(
     Q("nb_distinct", distinctProjection(_, _).orderBy("p_brand", "p_type", "p_size"),
       Some(distinctProjectionSql)),
@@ -124,5 +172,6 @@ object Notebook {
     Q("nb_null_scan", nullScan(_, _).orderBy("l_orderkey", "l_linenumber"),
       Some(nullScanSql)),
     Q("nb_groupby_count", groupByCount, Some(groupByCountSql)),
-    Q("nb_describe", describeStats, Some(describeStatsSql)))
+    Q("nb_describe", describeStats, Some(describeStatsSql)),
+    Q("nb_describe_all", describeAll(_, _).orderBy("col_name"), Some(describeAllSql)))
 }

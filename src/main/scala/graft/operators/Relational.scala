@@ -58,7 +58,7 @@ object Relational {
   val rollupRevenueSql: String =
     """SELECT l_returnflag AS channel, l_linestatus AS region,
       |       COUNT(*) AS n,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
       |FROM lineitem
       |WHERE l_quantity > 0 AND l_extendedprice > 0
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -77,11 +77,11 @@ object Relational {
     """SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS year,
       |       CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS month,
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-      |            FILTER (WHERE l_returnflag = 'A') AS DECIMAL(18,2)) AS "A",
+      |            FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS "A",
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-      |            FILTER (WHERE l_returnflag = 'N') AS DECIMAL(18,2)) AS "N",
+      |            FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS "N",
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-      |            FILTER (WHERE l_returnflag = 'R') AS DECIMAL(18,2)) AS "R"
+      |            FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS "R"
       |FROM lineitem
       |WHERE l_quantity > 0 AND l_extendedprice > 0
       |GROUP BY 1, 2
@@ -123,7 +123,7 @@ object Relational {
   val cubeRevenueSql: String =
     """SELECT l_returnflag AS channel, l_linestatus AS region,
       |       COUNT(*) AS n,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
       |FROM lineitem
       |WHERE l_quantity > 0 AND l_extendedprice > 0
       |GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -136,14 +136,21 @@ object Relational {
     * and the notebook's sep=';', inferSchema read (`etl_spark.ipynb:113`).
     */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // per-session nonce (applicationId) keeps two concurrent runs against
+    // the same sf dir from racing on one output path
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_bronze/" +
+      spark.sparkContext.applicationId + "/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + "/part"
     Tables.part(spark, dir)
       .write.mode("overwrite")
       .option("header", "true").option("sep", ";")
       .csv(out)
+    // FAILFAST mirrors the reference's allow_jagged_rows=false
+    // (`etl_medallion.py:96`): a malformed row aborts the load instead of
+    // silently becoming NULLs (PERMISSIVE) or vanishing (DROPMALFORMED)
     spark.read
       .option("header", "true").option("sep", ";").option("inferSchema", "true")
+      .option("mode", "FAILFAST")
       .csv(out)
       .select(col("p_partkey").cast("long"), col("p_name"), col("p_brand"),
         col("p_type"), col("p_size").cast("int"), col("p_retailprice").cast("double"))
@@ -159,8 +166,10 @@ object Relational {
     * views in a session catalog namespace-by-prefix, then read the inventory
     * back from `spark.catalog`. The oracle pins the expected inventory as a
     * literal — a schema contract, like the reference's hardcoded lists. */
-  def catalogInventory(spark: SparkSession, dir: String): DataFrame = {
-    val layers: Seq[(String, DataFrame)] = Seq(
+  /** The medallion relations registered as temp views (the reference's
+    * expected-table inventory, `etl_medallion.py:261-265`). */
+  private def medallionLayers(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    Seq(
       "bronze_lineitem" -> Tables.lineitem(spark, dir),
       "bronze_part" -> Tables.part(spark, dir),
       "bronze_supplier" -> Tables.supplier(spark, dir),
@@ -170,6 +179,9 @@ object Relational {
       "gold_sales_analytics" -> Medallion.goldSalesAnalytics(spark, dir),
       "gold_product_metrics" -> Medallion.goldProductMetrics(spark, dir),
       "gold_sales_summary" -> Medallion.goldSalesSummary(spark, dir))
+
+  def catalogInventory(spark: SparkSession, dir: String): DataFrame = {
+    val layers = medallionLayers(spark, dir)
     layers.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     val inventory = spark.catalog.listTables()
       .filter(col("isTemporary") === true)
@@ -200,6 +212,50 @@ object Relational {
       |) AS t(layer, name, n_columns)
       |ORDER BY name""".stripMargin
 
+  /** Catalog column probe (S8): each medallion table's first-5 column names
+    * in ordinal order, read back through `spark.catalog.listColumns` after
+    * view registration — the reference's INFORMATION_SCHEMA.COLUMNS probe
+    * with `ordinal_position <= 5` (`etl_medallion.py:280-290`). The oracle
+    * pins the expected names as a literal VALUES list: a schema contract,
+    * so any accidental column rename/reorder in silver/gold turns this row
+    * red. */
+  def catalogColumns(spark: SparkSession, dir: String): DataFrame = {
+    val layers = medallionLayers(spark, dir)
+    layers.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    // spark.catalog.listColumns yields schema (ordinal) order for views;
+    // zip the ordinal on per table and keep the first five
+    layers.map { case (name, _) =>
+      spark.catalog.listColumns(name)
+        .select(col("name").as("col_name"))
+        .withColumn("_mid", monotonically_increasing_id())
+        .withColumn("ordinal",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("_mid"))))
+        .filter(col("ordinal") <= 5)
+        .select(lit(name).as("name"), col("ordinal"), col("col_name"))
+    }.reduce(_ union _)
+  }
+
+  val catalogColumnsSql: String = {
+    val expected = Seq(
+      "bronze_lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"),
+      "bronze_part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
+      "bronze_supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "silver_sales" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"),
+      "silver_products" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
+      "silver_suppliers" -> Seq("s_suppkey", "s_name", "s_contact", "s_nationkey", "s_acctbal"),
+      "gold_sales_analytics" -> Seq("l_orderkey", "l_linenumber", "product_key", "rep_key", "sale_date"),
+      "gold_product_metrics" -> Seq("p_partkey", "p_name", "category", "total_sales", "total_quantity_sold"),
+      "gold_sales_summary" -> Seq("year", "month", "channel", "region", "total_transactions"))
+    val values = expected.flatMap { case (t, cols) =>
+      cols.zipWithIndex.map { case (c, i) => s"  ('$t', ${i + 1}, '$c')" }
+    }.mkString(",\n")
+    s"""SELECT * FROM (VALUES
+       |$values
+       |) AS t(name, ordinal, col_name)
+       |ORDER BY name, ordinal""".stripMargin
+  }
+
   /** Skew-resistant aggregation: pre-aggregate on (key, salt) — 16-way fan
     * of any hot key — then combine partials. Same result as a direct
     * groupBy (the oracle is the plain form); at 100 TB this is the pattern
@@ -222,7 +278,7 @@ object Relational {
 
   val saltedAggSql: String =
     """SELECT event_type, COUNT(*) AS n_events,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -249,23 +305,40 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  /** HyperLogLog distinct-count sketch next to the exact count. No DuckDB
-    * oracle (sketch estimates are engine-specific) — the spec bounds the
-    * relative error instead. At 100 TB the sketch is the only affordable
-    * way to count distincts per high-cardinality group. */
+  /** HyperLogLog distinct-count sketch next to the exact count. The sketch
+    * estimate itself is engine-specific, so the oracle-checkable output is
+    * the exact count plus a deterministic error bound: Spark's HLL++ is a
+    * pure function of the input multiset (order-independent max-merge of
+    * registers), so `within_5pct` is reproducible for fixed input and the
+    * oracle pins it as literal TRUE. At 100 TB the sketch is the only
+    * affordable way to count distincts per high-cardinality group; the spec
+    * (SketchSpec) additionally bounds the raw estimate at 5% relative error.
+    */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count_distinct(col("user_id")).as("exact_users"))
+      .select(
+        col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.05).as("within_5pct"))
+
+  val approxDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |       true AS within_5pct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),
     Q("rel_quantiles", quantiles(_, _).orderBy("event_type"), Some(quantilesSql)),
     Q("rel_json_extract", jsonExtract(_, _).orderBy("event_type"), Some(jsonExtractSql)),
     Q("rel_pivot", pivotRevenue(_, _).orderBy("year", "month"), Some(pivotRevenueSql)),
-    Q("rel_approx_distinct", approxDistinct(_, _).orderBy("event_type"), None),
+    Q("rel_approx_distinct", approxDistinct(_, _).orderBy("event_type"),
+      Some(approxDistinctSql)),
     Q("rel_salted_agg", saltedAgg(_, _).orderBy("event_type"), Some(saltedAggSql)),
     Q("rel_count_distinct", countDistinct(_, _).orderBy("event_type"),
       Some(countDistinctSql)),
@@ -277,5 +350,7 @@ object Relational {
       Some(cubeRevenueSql)),
     Q("rel_csv_roundtrip", csvRoundtrip(_, _).orderBy("p_partkey"), Some(csvRoundtripSql)),
     Q("rel_catalog_inventory", catalogInventory(_, _).orderBy("name"),
-      Some(catalogInventorySql)))
+      Some(catalogInventorySql)),
+    Q("rel_catalog_columns", catalogColumns(_, _).orderBy("name", "ordinal"),
+      Some(catalogColumnsSql)))
 }

@@ -127,9 +127,8 @@ object TextAnalysis {
     * plus the gram count — a rolling-hash document sketch usable for
     * containment checks. */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val grams = charGrams(col("text"), 8)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(grams).as("gram"))
+      .select(col("doc_id"), explode(charNGrams(col("text"), 8)).as("gram"))
       .groupBy("doc_id")
       .agg(
         min(hash60(col("gram"))).as("min_gram_hash"),
@@ -151,7 +150,7 @@ object TextAnalysis {
     * map-side; TakeOrderedAndProject keeps k rows per partition. */
   def topBigrams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+      .select(explode(wordNGrams(col("text"), 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))

@@ -33,7 +33,7 @@ object Windows {
   val runningTotalSql: String =
     """SELECT event_id, user_id, event_type,
       |       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running_value
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -12,9 +12,9 @@ class WindowsSpec extends AnyFunSuite {
     rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
       val ordered = rs.sortBy(_.getInt(3))
       assert(ordered.map(_.getInt(3)).sameElements(1 to ordered.length))
-      val totals = ordered.map(_.getDecimal(4))
+      val totals = ordered.map(_.getDouble(4))
       totals.zip(totals.tail).foreach { case (a, b) =>
-        assert(b.compareTo(a) >= 0, "running sum of non-negative values must not decrease")
+        assert(b >= a, "running sum of non-negative values must not decrease")
       }
     }
   }
@@ -35,9 +35,9 @@ class WindowsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
       java.nio.file.Paths.get(s"$srcDir/events.parquet"))
     val streamed = EventStream.runToCompletion(spark, srcDir, "hourly_test")
-      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDecimal(3))).toMap
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     val batch = EventTime.hourly(spark, TestSpark.Sf0001).collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDecimal(3))).toMap
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(streamed == batch)
   }
 }

@@ -78,6 +78,32 @@ for name in sorted(oracle):
                 pass
             fails.append((name, f"values differ in col {c}: {diff}"))
             break
+    # Render-sensitive pass, mimicking the driver's hash: the driver hashes
+    # STRING-RENDERED rows, so two value-identical frames can still mismatch
+    # when a type renders differently on the two sides (the round-1 trap:
+    # DECIMAL(18,2) `123.40` vs `123.4`). Compare str() of every cell too.
+    if ok:
+        def rend(v):
+            if isinstance(v, (list, np.ndarray)):
+                return str([rend(x) for x in v])
+            try:
+                if pd.isna(v):
+                    return "NULL"
+            except Exception:
+                pass
+            return str(v)
+        for c in got.columns:
+            ra = got[c].map(rend)
+            rb = want[c].map(rend)
+            neq = ra[ra != rb]
+            if len(neq):
+                ok = False
+                i = neq.index[0]
+                fails.append((name,
+                    f"RENDER differs in col {c} (values equal!): "
+                    f"spark={ra.iloc[i]!r} oracle={rb.iloc[i]!r} "
+                    f"dtypes spark={got[c].dtype} oracle={want[c].dtype}"))
+                break
     if ok:
         passes.append(name)
 
