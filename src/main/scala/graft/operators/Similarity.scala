@@ -79,13 +79,14 @@ object Similarity {
     * expression tree: the plan stays small (fast to optimize + codegen) and
     * at scale the same broadcast pattern distributes the projection matrix
     * to every executor once. */
-  private def planesTable(spark: SparkSession): DataFrame = {
+  private def planesTable(spark: SparkSession, tables: Int = NumTables,
+      bits: Int = BitsPerTable): DataFrame = {
     import org.apache.spark.sql.{Row => R}
     import org.apache.spark.sql.types._
     val rows = for {
-      t <- 0 until NumTables
-      j <- 0 until BitsPerTable
-    } yield R(t, j, (0 until 64).map(d => planeCoef(t * BitsPerTable + j, d).toDouble))
+      t <- 0 until tables
+      j <- 0 until bits
+    } yield R(t, j, (0 until 64).map(d => planeCoef(t * bits + j, d).toDouble))
     spark.createDataFrame(
       new java.util.ArrayList[R](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       StructType(Seq(
@@ -160,6 +161,70 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, cos_sim
        |FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val PairTables = 4
+  private val PairBits = 4
+  private val PairTau = 0.35
+
+  /** Embedding-cosine near-dup PAIRS over the whole corpus — the vector
+    * face of the dedup tier (MinHash finds lexical near-dups; this finds
+    * semantic ones). Candidates are vectors sharing any of [[PairTables]]
+    * SRP band keys (bucketed equi-join — never all-pairs), deduplicated,
+    * then verified with exact cosine ≥ [[PairTau]]. Both sides of the
+    * oracle run the identical deterministic pipeline, so the result is
+    * exactly reproducible; recall vs the brute-force ground truth is the
+    * S-curve ((1−θ/π)^bits per table) measured in SimilaritySpec. At scale:
+    * corpus × PairTables band rows, self-join on (tbl, band key), exact
+    * verification only on candidates — the same shape as MinHash-LSH.
+    */
+  def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val bands = e.crossJoin(broadcast(planesTable(spark, PairTables, PairBits)))
+      .select(col("vec_id"), col("tbl"),
+        when(dot(col("v"), col("coefs")) > 0, expr("shiftleft(1, j)"))
+          .otherwise(lit(0)).as("bit"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(col("bit")).as("bkey"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id"), col("v").as("va")), col("vec_a") === col("vec_id"))
+      .drop("vec_id")
+      .join(e.select(col("vec_id"), col("v").as("vb")), col("vec_b") === col("vec_id"))
+      .select(col("vec_a"), col("vec_b"), cosineFast(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= PairTau)
+  }
+
+  val embeddingCosinePairsSql: String = {
+    val planeValues = (for {
+      t <- 0 until PairTables
+      j <- 0 until PairBits
+    } yield {
+      val coefs = (0 until 64).map(d => s"${planeCoef(t * PairBits + j, d)}.0")
+        .mkString("[", ", ", "]")
+      s"($t, $j, ${coefs}::DOUBLE[])"
+    }).mkString(",\n       ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planes(tbl, j, coefs) AS (VALUES
+       |       $planeValues),
+       |bands AS (SELECT vec_id, tbl,
+       |                 SUM(CASE WHEN list_dot_product(v, coefs) > 0
+       |                          THEN (1 << j) ELSE 0 END) AS bkey
+       |          FROM e, planes GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM bands x JOIN bands y
+       |           ON x.tbl = y.tbl AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, ${cosineSql("ea.v", "eb.v")} AS cos_sim
+       |FROM cand
+       |JOIN e ea ON ea.vec_id = vec_a
+       |JOIN e eb ON eb.vec_id = vec_b
+       |WHERE ${cosineSql("ea.v", "eb.v")} >= $PairTau
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   private val IvfProbes = 2
@@ -255,5 +320,7 @@ object Similarity {
     Q("sim_bruteforce_topk", bruteForceTopK(_, _).orderBy("query_id", "rank"),
       Some(bruteForceTopKSql)),
     Q("sim_lsh_topk", lshTopK(_, _).orderBy("query_id", "rank"), Some(lshTopKSql)),
+    Q("dedup_embedding_cosine", embeddingCosinePairs(_, _).orderBy("vec_a", "vec_b"),
+      Some(embeddingCosinePairsSql)),
     Q("sim_ivf_topk", ivfTopK(_, _).orderBy("query_id", "rank"), Some(ivfTopKSql)))
 }

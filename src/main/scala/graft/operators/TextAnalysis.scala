@@ -29,6 +29,38 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish pre-tokenization pattern: letter runs, digit runs, and runs of
+    * other non-space symbols — the GPT-2-style coarse split a byte-pair
+    * tokenizer refines. Both Java regex (Spark) and RE2 (DuckDB) support
+    * `\p{L}`/`\p{N}` with identical semantics on this pattern. */
+  private val BpeTokenPattern = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"
+
+  /** Token counting, tokenizer-style (the training-pipeline budget metric):
+    * whitespace tokens vs BPE-ish pre-tokens per document, plus the
+    * chars-per-token ratio that approximates real tokenizer cost. Pure
+    * map-side regex — runs at scan speed, no shuffle before the ORDER BY. */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        bpe.as("n_bpe_tokens"),
+        when(bpe > 0, length(col("text")).cast("double") / bpe)
+          .as("chars_per_token"))
+  }
+
+  val regexTokensSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '$BpeTokenPattern')) AS INTEGER) AS n_bpe_tokens,
+       |       CASE WHEN len(regexp_extract_all(text, '$BpeTokenPattern')) > 0
+       |            THEN CAST(length(text) AS DOUBLE)
+       |                 / len(regexp_extract_all(text, '$BpeTokenPattern'))
+       |       END AS chars_per_token
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Heuristic quality score from length / lexical-diversity / stopword
@@ -168,6 +200,7 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(
     Q("text_token_counts", tokenCounts(_, _).orderBy("doc_id"), Some(tokenCountsSql)),
+    Q("text_regex_tokens", regexTokens(_, _).orderBy("doc_id"), Some(regexTokensSql)),
     Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
     Q("text_quality_score", qualityScore(_, _).orderBy("doc_id"), Some(qualityScoreSql)),
     Q("text_lang_id", langId(_, _).orderBy("doc_id"), Some(langIdSql)),

@@ -63,4 +63,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l =>
       l.contains("cosine_similarity") && l.contains("*(")), p.take(800))
   }
+
+  test("bigram explode stays inside whole-stage codegen (native generator child)") {
+    val p = finalPlan("text_top_bigrams")
+    // the Generate node must carry the native word_ngrams expression and be
+    // codegen'd (starred); the HOF form would appear as transform(...) and
+    // knock the stage out of codegen
+    assert(p.linesIterator.exists(l =>
+      l.contains("word_ngrams") && l.contains("*(")), p.take(1200))
+    assert(!p.contains("transform("), "HOF crept back into the bigram path")
+  }
+
+  test("winnow char-gram explode stays inside whole-stage codegen") {
+    val p = finalPlan("text_winnow_fingerprint")
+    assert(p.linesIterator.exists(l =>
+      l.contains("char_ngrams") && l.contains("*(")), p.take(1200))
+  }
+
+  test("embedding near-dup verifies only candidates, never all pairs") {
+    val p = plan("dedup_embedding_cosine")
+    // candidate generation is an equi-join on (tbl, band key) — a hash join,
+    // not a cartesian/BNL over the corpus
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the only BNLs allowed are corpus × 16-row broadcast plane table (one
+    // per side of the band self-join); count plan NODES ("(n) BNLJ" detail
+    // lines), not text mentions — formatted explain names each node twice
+    val bnl = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnl <= 2, s"unexpected nested-loop joins: $bnl")
+    // candidate generation is an equi-join on the band key
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+  }
 }

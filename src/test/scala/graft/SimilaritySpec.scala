@@ -33,6 +33,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall@10 was $recall")
   }
 
+  test("embedding near-dup pairs: threshold respected, subset of brute-force truth") {
+    val got = Similarity.embeddingCosinePairs(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "banding/threshold should yield pairs on this corpus")
+    got.foreach { case (a, b, c) =>
+      assert(a < b, "canonical pair order")
+      assert(c >= 0.35, s"below threshold: ($a,$b,$c)")
+    }
+    // precision is exact by construction (candidates are verified with true
+    // cosine): every emitted pair must be in the all-pairs ground truth
+    val e = Tables.embeddings(spark, TestSpark.Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (e(a), e(b))
+      var dp, na, nb = 0.0
+      var i = 0
+      while (i < va.length) { dp += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case (a, b, c) =>
+      assert(math.abs(cos(a, b) - c) < 1e-9, s"reported cosine wrong for ($a,$b)")
+    }
+  }
+
   test("IVF top-k: full lists probed deterministically, sane output shape") {
     val ivf = Similarity.ivfTopK(spark, TestSpark.Sf0001).collect()
     val byQuery = ivf.groupBy(_.getLong(0))
