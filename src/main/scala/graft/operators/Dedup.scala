@@ -72,23 +72,31 @@ object Dedup {
       |GROUP BY 2
       |ORDER BY doc_id""".stripMargin
 
-  /** Distinct (doc_id, 3-gram shingle) pairs — the inverted index shared by
-    * the Jaccard and MinHash paths. Persisted because one near-dup pipeline
-    * references it several times (signatures, pair intersection, doc sizes)
-    * and Spark would otherwise recompute the scan+explode per reference; at
-    * production scale this materialization would be an intermediate table.
-    * (Cache key is the logical plan, so all queries share one copy per sf.)
+  /** Distinct (doc_id, 60-bit shingle hash) pairs — the inverted index
+    * shared by the Jaccard and MinHash paths. The index stores [[hash60]] of
+    * each 3-gram shingle, NOT the string: the distinct/self-join shuffle key
+    * is 8 bytes instead of a ~25-byte text shingle, and every downstream
+    * comparison is a long equality (hashed-shingle Jaccard, the standard
+    * at-scale form; a 60-bit collision merging two shingles is ~n²/2⁶¹ and
+    * deterministic on both engines, so the oracle still matches exactly).
+    * Persisted because one near-dup pipeline references it several times
+    * (signatures, pair intersection, doc sizes) and Spark would otherwise
+    * recompute the scan+explode per reference; at production scale this
+    * materialization would be an intermediate table, dropped (unpersisted)
+    * when the dedup stage ends. (Cache key is the logical plan, so all
+    * queries share one copy per sf.)
     */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(wordNGrams(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), hash60(col("shingle")).as("h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val shingleIndexSql: String =
     s"""tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
        |        FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, s.shingle
+       |sh AS (SELECT DISTINCT doc_id, ${hash60Sql("s.shingle")} AS h
        |       FROM tok, UNNEST(${shingles3Sql("ts")}) AS s(shingle))""".stripMargin
 
   /** Max document frequency for a shingle to participate in the Jaccard
@@ -107,15 +115,15 @@ object Dedup {
     * (df ≤ [[DfCap]]). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val idx = shingleIndex(spark, dir)
-    val rare = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("shingle")
-    // same shuffle key (shingle) as the self-join below, so the filter
+    val rare = idx.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("h")
+    // same shuffle key (h) as the self-join below, so the filter
     // co-partitions with the work it gates — no extra exchange on sh
-    val sh = idx.join(rare, "shingle").select("doc_id", "shingle")
+    val sh = idx.join(rare, "h").select("doc_id", "h")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
@@ -130,13 +138,13 @@ object Dedup {
 
   val ngramJaccardSql: String =
     s"""WITH $shingleIndexSql,
-       |shf AS (SELECT sh.doc_id, sh.shingle FROM sh
-       |        JOIN (SELECT shingle FROM sh GROUP BY shingle
-       |              HAVING COUNT(*) <= $DfCap) r USING (shingle)),
+       |shf AS (SELECT sh.doc_id, sh.h FROM sh
+       |        JOIN (SELECT h FROM sh GROUP BY h
+       |              HAVING COUNT(*) <= $DfCap) r USING (h)),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
        |          FROM shf a JOIN shf b
-       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |            ON a.h = b.h AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_common,
        |       sa.n + sb.n - n_common AS n_union,
@@ -171,7 +179,7 @@ object Dedup {
     require(numPerms % numBands == 0, "numBands must divide numPerms")
     val rowsPerBand = numPerms / numBands
     val sh = shingleIndex(spark, dir)
-      .withColumn("base", hash60(col("shingle")) % MersenneP)
+      .withColumn("base", col("h") % MersenneP)
     val minhashes = (0 until numPerms).map(i =>
       min((lit(permA(i)) * col("base") + lit(permB(i))) % MersenneP).as(s"h$i"))
     // referenced three times below (banding + both sides of the estimate
@@ -216,7 +224,7 @@ object Dedup {
     val nCommon = withEst
       .join(sh.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(sh.as("cb"),
-        col("doc_b") === col("cb.doc_id") && col("ca.shingle") === col("cb.shingle"))
+        col("doc_b") === col("cb.doc_id") && col("ca.h") === col("cb.h"))
       .groupBy(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .agg(count(lit(1)).as("n_common"))
     nCommon
@@ -237,7 +245,7 @@ object Dedup {
       .map(i => s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END")
       .mkString("(", " + ", ")")
     s"""WITH $shingleIndexSql,
-       |shb AS (SELECT doc_id, ${hash60Sql("shingle")} % $MersenneP AS base FROM sh),
+       |shb AS (SELECT doc_id, h % $MersenneP AS base FROM sh),
        |sigc AS (SELECT doc_id,
        |       $minCols
        |       FROM shb GROUP BY doc_id),
@@ -256,7 +264,7 @@ object Dedup {
        |nc AS (SELECT doc_a, doc_b, est_jaccard, COUNT(*) AS n_common
        |       FROM est
        |       JOIN sh ca ON ca.doc_id = doc_a
-       |       JOIN sh cb ON cb.doc_id = doc_b AND cb.shingle = ca.shingle
+       |       JOIN sh cb ON cb.doc_id = doc_b AND cb.h = ca.h
        |       GROUP BY 1, 2, 3)
        |SELECT doc_a, doc_b, est_jaccard,
        |       CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
