@@ -23,11 +23,21 @@ object Pipeline {
 
   final case class StatementResult(name: String, ok: Boolean, error: Option[String])
   final case class LayerResult(layer: String, ok: Boolean, statements: Seq[StatementResult])
+
+  /** One expected-table inventory row (reference `etl_medallion.py:261-265`:
+    * the post-run check that every expected table exists, with its count). */
+  final case class InventoryCheck(name: String, present: Boolean, rows: Long)
+
   final case class RunReport(
       status: String,
       layersProcessed: Seq[String],
       layers: Seq[LayerResult],
-      durationSec: Double)
+      durationSec: Double,
+      inventory: Seq[InventoryCheck]) {
+    /** True iff every expected table materialized (reference's
+      * `verification` gate). */
+    def inventoryComplete: Boolean = inventory.forall(_.present)
+  }
 
   type Statement = (String, (SparkSession, String) => DataFrame)
 
@@ -80,10 +90,21 @@ object Pipeline {
         else halted = true // inter-layer: dependent, stop at first failure
       }
     }
+    // post-run expected-table inventory (reference `etl_medallion.py:261-265`):
+    // every DECLARED statement is expected, including those of layers that
+    // never ran — a halted pipeline reports them as absent
+    val expected = layers.flatMap(_._2.map(_._1))
+    val inventory = expected.map { name =>
+      val present = spark.catalog.tableExists(name) &&
+        results.exists(_.statements.exists(s => s.name == name && s.ok))
+      InventoryCheck(name, present,
+        if (present) spark.table(name).count() else -1L)
+    }
     RunReport(
       status = if (halted) "error" else "success",
       layersProcessed = processed.toSeq,
       layers = results.toSeq,
-      durationSec = (System.nanoTime() - t0) / 1e9)
+      durationSec = (System.nanoTime() - t0) / 1e9,
+      inventory = inventory)
   }
 }

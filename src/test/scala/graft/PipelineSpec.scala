@@ -8,11 +8,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("happy path: all layers processed in order") {
+  test("happy path: all layers processed in order, inventory complete") {
     val report = Pipeline.run(spark, TestSpark.Sf0001)
     assert(report.status == "success")
     assert(report.layersProcessed == Seq("bronze", "silver", "gold"))
     assert(report.durationSec > 0)
+    assert(report.inventory.map(_.name) == Seq(
+      "bronze_lineitem", "bronze_part", "bronze_supplier",
+      "silver_sales", "silver_products", "silver_suppliers",
+      "gold_sales_analytics", "gold_product_metrics", "gold_sales_summary"))
+    assert(report.inventoryComplete)
+    assert(report.inventory.forall(_.rows > 0))
   }
 
   test("failing statement stops later layers but not its own layer's siblings") {
@@ -36,5 +42,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(silver.statements.last.ok)
     assert(silver.statements.head.error.get.length == 100, "errors truncate to 100 chars")
     assert(!report.layers.exists(_.layer == "gold"), "gold must never start")
+    // inventory reflects the halt: failed + never-run statements are absent
+    assert(!report.inventoryComplete)
+    val inv = report.inventory.map(c => c.name -> c.present).toMap
+    assert(inv("b_ok") && inv("s_ok_after_fail"))
+    assert(!inv("s_fail") && !inv("g_never"))
   }
 }
