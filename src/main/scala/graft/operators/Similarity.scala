@@ -239,21 +239,47 @@ object Similarity {
     * probing turns ANN into an equi-join on list_id, and each query touches
     * probes/k of the corpus.
     */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir)
-    // quantized dims: (vec_id, d, q)  with q = floor(v[d] * 1e6)
-    val dims = e.select(col("vec_id"), posexplode(col("v")))
+  /** Quantized dims relation: (vec_id, d, q) with q = floor(v[d] * 1e6). */
+  private def quantDims(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("v")))
       .select(col("vec_id"), col("pos").as("d"),
         floor(col("col") * 1000000).cast("long").as("q"))
+
+  /** Integer centroids seeded from the label column:
+    * floor(sum(q)/n) per (list, dimension). */
+  private def seedCentroids(spark: SparkSession, dir: String, dims: DataFrame): DataFrame = {
     val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
-    // integer centroids per seed list: floor(sum(q)/n) per dimension
-    val cent = dims.join(broadcast(lab), "vec_id")
+    dims.join(broadcast(lab), "vec_id")
       .groupBy(col("label").as("list_id"), col("d"))
       .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
-    // exact integer L2 distance of every vector to every centroid
-    val dist = dims.join(broadcast(cent), "d")
+  }
+
+  /** Exact integer L2 distance of every vector to every centroid. */
+  private def centDist(dims: DataFrame, cent: DataFrame): DataFrame =
+    dims.join(broadcast(cent), "d")
       .groupBy(col("vec_id"), col("list_id"))
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+
+  /** One Lloyd step: assign each vector to its nearest centroid, then
+    * recompute integer centroids from the assignment. Everything is
+    * quantized-integer + floor, so the step is a pure function of its
+    * input — reproducible across partitionings and engines. */
+  private def lloydStep(dims: DataFrame, cent: DataFrame): DataFrame = {
+    val dist = centDist(dims, cent)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
+    val assign = dist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("list_id"))
+    dims.join(assign, "vec_id")
+      .groupBy(col("list_id"), col("d"))
+      .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
+  }
+
+  /** IVF probe + search against a given centroid table: assignment is one
+    * scan, probing turns ANN into an equi-join on list_id, exact cosine
+    * re-rank inside the probed lists. */
+  private def ivfSearch(e: DataFrame, dims: DataFrame, cent: DataFrame): DataFrame = {
+    val dist = centDist(dims, cent)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
     val assign = dist
       .withColumn("rn", row_number().over(wAssign))
@@ -277,6 +303,32 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val dims = quantDims(e)
+    ivfSearch(e, dims, seedCentroids(spark, dir, dims))
+  }
+
+  private val KmeansIters = 2
+
+  /** IVF with REAL k-means lists: [[KmeansIters]] Lloyd iterations refine
+    * the label-seeded centroids before the probe/search. Each iteration is
+    * a broadcast of k×64 integer centroids + one corpus scan (assignment)
+    * + one aggregation (re-centering) — the standard distributed k-means
+    * cost, T scans total. Fixed iteration count + quantized-integer math
+    * keep the whole training deterministic, so the DuckDB oracle replays
+    * the identical iterations CTE-by-CTE and the result matches exactly.
+    * (Empty clusters simply drop out of the centroid table — determinism
+    * is preserved because both engines drop them identically.)
+    */
+  def ivfKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val dims = quantDims(e)
+    var cent = seedCentroids(spark, dir, dims)
+    for (_ <- 0 until KmeansIters) cent = lloydStep(dims, cent)
+    ivfSearch(e, dims, cent)
   }
 
   val ivfTopKSql: String =
@@ -316,11 +368,72 @@ object Similarity {
        |FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Oracle for [[ivfKmeansTopK]]: the Lloyd iterations unrolled as chained
+    * CTEs (cent0 → dist0/assign0 → cent1 → … → cent[[KmeansIters]]), then
+    * the same probe/search tail as the seeded-IVF oracle. */
+  val ivfKmeansTopKSql: String = {
+    def distCte(name: String, cent: String) =
+      s"""$name AS (SELECT vec_id, list_id, SUM((q - cq) * (q - cq)) AS d2
+         |         FROM dims JOIN $cent USING (d)
+         |         GROUP BY 1, 2)""".stripMargin
+    def assignCte(name: String, dist: String) =
+      s"""$name AS (SELECT vec_id, list_id FROM (
+         |             SELECT vec_id, list_id,
+         |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+         |             FROM $dist) WHERE rn = 1)""".stripMargin
+    def centCte(name: String, assign: String) =
+      s"""$name AS (SELECT list_id, d,
+         |                CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+         |         FROM dims JOIN $assign USING (vec_id)
+         |         GROUP BY 1, 2)""".stripMargin
+    val iterations = (0 until KmeansIters).map { i =>
+      Seq(distCte(s"dist$i", s"cent$i"),
+        assignCte(s"kassign$i", s"dist$i"),
+        centCte(s"cent${i + 1}", s"kassign$i")).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT vec_id, i - 1 AS d,
+       |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+       |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+       |cent0 AS (SELECT emb.label AS list_id, d,
+       |                CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |         FROM dims JOIN embeddings emb USING (vec_id)
+       |         GROUP BY 1, 2),
+       |$iterations,
+       |${distCte("distf", s"cent$KmeansIters")},
+       |assign AS (SELECT vec_id, list_id FROM (
+       |             SELECT vec_id, list_id,
+       |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+       |             FROM distf) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, list_id AS probe_list FROM (
+       |             SELECT vec_id, list_id,
+       |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+       |             FROM distf WHERE vec_id < $NumQueries) WHERE rn <= $IvfProbes),
+       |cand AS (SELECT query_id, a.vec_id AS neighbor_id
+       |         FROM assign a JOIN probes p
+       |           ON a.list_id = p.probe_list AND a.vec_id <> p.query_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |                  ${cosineSql("eq.v", "en.v")} AS cos_sim
+       |           FROM cand
+       |           JOIN e eq ON eq.vec_id = query_id
+       |           JOIN e en ON en.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER)
+       |               AS rank
+       |      FROM scored)
+       |SELECT query_id, neighbor_id, rank, cos_sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("sim_bruteforce_topk", bruteForceTopK(_, _).orderBy("query_id", "rank"),
       Some(bruteForceTopKSql)),
     Q("sim_lsh_topk", lshTopK(_, _).orderBy("query_id", "rank"), Some(lshTopKSql)),
     Q("dedup_embedding_cosine", embeddingCosinePairs(_, _).orderBy("vec_a", "vec_b"),
       Some(embeddingCosinePairsSql)),
-    Q("sim_ivf_topk", ivfTopK(_, _).orderBy("query_id", "rank"), Some(ivfTopKSql)))
+    Q("sim_ivf_topk", ivfTopK(_, _).orderBy("query_id", "rank"), Some(ivfTopKSql)),
+    Q("sim_ivf_kmeans_topk", ivfKmeansTopK(_, _).orderBy("query_id", "rank"),
+      Some(ivfKmeansTopKSql)))
 }

@@ -57,6 +57,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF k-means: valid top-k shape, deterministic across runs") {
+    val km = Similarity.ivfKmeansTopK(spark, TestSpark.Sf0001).collect()
+    val byQuery = km.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 10)
+      assert(!rows.exists(_.getLong(1) == q))
+      val sims = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val again = Similarity.ivfKmeansTopK(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == km.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet,
+      "quantized-integer Lloyd steps must be reproducible")
+  }
+
   test("IVF top-k: full lists probed deterministically, sane output shape") {
     val ivf = Similarity.ivfTopK(spark, TestSpark.Sf0001).collect()
     val byQuery = ivf.groupBy(_.getLong(0))
