@@ -59,6 +59,50 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  private val FrameStep = 2 // sample every 2nd frame
+  private val FrameMs = 40 // fake 25 fps timeline
+
+  /** Frame sampling + thumbnail resize over the "video" media rows: one row
+    * per sampled frame (every [[FrameStep]]-th of n_frames), each with a
+    * deterministic per-frame digest (what a real pipeline keys extracted
+    * frames by) and an aspect-preserving 256-wide thumbnail geometry in
+    * integer math. The explode is a Generate over `sequence` — frame fan-out
+    * happens map-side where the payload lives; only (doc_id, frame) feature
+    * rows move downstream. A real decoder swaps the digest for the actual
+    * frame grab at the same seam as [[fakeDecode]]. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir)
+      .filter(col("media_kind") === 2)
+      .select(col("doc_id"), col("content_md5"), col("width"), col("height"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(FrameStep))).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("frame_idx") * FrameMs).as("frame_ts_ms"),
+        md5(concat(col("content_md5"), lit(":"), col("frame_idx").cast("string")))
+          .as("frame_digest"),
+        lit(256).as("thumb_w"),
+        expr("CAST((height * 256) div greatest(width, 1) AS INT)").as("thumb_h"))
+
+  val frameSampleSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         md5(text) AS content_md5,
+       |         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+       |         CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+       |         CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
+       |  FROM documents WHERE doc_id % 3 = 2)
+       |SELECT doc_id,
+       |       CAST(frame_idx AS INTEGER) AS frame_idx,
+       |       CAST(frame_idx * $FrameMs AS INTEGER) AS frame_ts_ms,
+       |       md5(content_md5 || ':' || CAST(frame_idx AS VARCHAR)) AS frame_digest,
+       |       CAST(256 AS INTEGER) AS thumb_w,
+       |       CAST((height * 256) // greatest(width, 1) AS INTEGER) AS thumb_h
+       |FROM f, UNNEST(range(0, n_frames, $FrameStep)) AS u(frame_idx)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("mm_features", features(_, _).orderBy("doc_id"), Some(featuresSql)))
+    Q("mm_features", features(_, _).orderBy("doc_id"), Some(featuresSql)),
+    Q("mm_frame_sample", frameSample(_, _).orderBy("doc_id", "frame_idx"),
+      Some(frameSampleSql)))
 }
