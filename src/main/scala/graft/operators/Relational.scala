@@ -283,6 +283,59 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Deterministic arg-max per group: the most expensive part per brand.
+    * `max_by` with a COMPOSITE ordering key — a bare max_by(x, price) is
+    * nondeterministic under ties, which is exactly the kind of silent
+    * cross-engine divergence the oracle gate exists to catch. The key is
+    * the scalar price*1e7 + partkey (exact in doubles at these magnitudes,
+    * unique because partkey is unique), identical IEEE math on both sides.
+    * One partial-aggregating pass — the cheap form of "top-1 per group"
+    * (win_topk_per_group is the general-k window form). */
+  def argMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        max_by(col("p_partkey"),
+          col("p_retailprice") * 10000000.0 + col("p_partkey")).as("top_partkey"),
+        max(col("p_retailprice")).as("top_price"),
+        count(lit(1)).as("n_parts"))
+
+  val argMaxSql: String =
+    """SELECT p_brand,
+      |       arg_max(p_partkey, p_retailprice * 10000000.0 + p_partkey) AS top_partkey,
+      |       MAX(p_retailprice) AS top_price,
+      |       COUNT(*) AS n_parts
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Explicit GROUPING SETS with grouping_id: the two asymmetric subtotal
+    * sets (channel) and (region) in ONE pass — the grouping-sets shape
+    * rollup/cube cannot express (rollup nests, cube is all subsets). The
+    * grouping_id column disambiguates which set produced each row, which
+    * the NULL key alone cannot (a genuinely NULL key vs a rolled-up one). */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame =
+    Medallion.silverSales(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        dec2(sum(dec(col("l_extendedprice")))).as("total_revenue"))
+      .select(col("l_returnflag").as("channel"), col("l_linestatus").as("region"),
+        col("gid"), col("n"), col("total_revenue"))
+
+  val groupingSetsRevenueSql: String =
+    """SELECT l_returnflag AS channel, l_linestatus AS region,
+      |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |FROM lineitem
+      |WHERE l_quantity > 0 AND l_extendedprice > 0
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY gid, channel NULLS FIRST, region NULLS FIRST""".stripMargin
+
   /** Exact interpolated percentiles per group (median, p90). Spark's
     * `percentile` and DuckDB's `quantile_cont` both linearly interpolate
     * over the sorted group. */
@@ -342,6 +395,10 @@ object Relational {
     Q("rel_salted_agg", saltedAgg(_, _).orderBy("event_type"), Some(saltedAggSql)),
     Q("rel_count_distinct", countDistinct(_, _).orderBy("event_type"),
       Some(countDistinctSql)),
+    Q("rel_arg_max", argMax(_, _).orderBy("p_brand"), Some(argMaxSql)),
+    Q("rel_grouping_sets", groupingSetsRevenue(_, _)
+      .orderBy(col("gid"), col("channel").asc_nulls_first, col("region").asc_nulls_first),
+      Some(groupingSetsRevenueSql)),
     Q("rel_rollup", rollupRevenue(_, _)
       .orderBy(col("channel").asc_nulls_first, col("region").asc_nulls_first),
       Some(rollupRevenueSql)),
