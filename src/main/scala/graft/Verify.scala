@@ -41,6 +41,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release the dedup-tier persisted tables (shingle index, MinHash
+    // signatures) — the long-lived-session analog of dropping a pipeline
+    // stage's intermediate tables when the stage ends
+    spark.catalog.clearCache()
     spark.stop()
   }
 }
