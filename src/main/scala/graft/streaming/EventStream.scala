@@ -51,6 +51,25 @@ object EventStream {
   def attribution(events: DataFrame): DataFrame =
     EventTime.clickAttribution(events.withWatermark("ts", "2 hours"))
 
+  /** Stream-static enrichment join: each event is annotated map-side from a
+    * static dimension (user_id → customer attributes; the driver testdata's
+    * user ids draw from the customer key space). The static side is a plain
+    * batch DataFrame — Spark broadcasts/re-reads it per micro-batch, no
+    * streaming state at all, which is why this is THE pattern for decorating
+    * a 100 TB/day event stream with dimension attributes (state-free,
+    * watermark-free, scales with the dim table only). Left join keeps
+    * events whose user has no dim row (NULL attributes), mirroring the
+    * batch gold-layer convention. */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    events.join(
+      broadcast(dim.select(
+        col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+      events("user_id") === col("c_custkey"), "left")
+      .select(events("event_id"), events("user_id"), events("event_type"),
+        col("c_mktsegment").as("segment"), col("c_nationkey").as("nation_key"))
+  }
+
   /** Run the streaming hourly aggregation over a static directory to
     * completion via the in-memory sink; returns the final result rows.
     * (Local harness for specs; production would use a real sink + trigger.)
