@@ -105,11 +105,62 @@ object Windows {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** TWO-TABLE as-of join: each purchase annotated with the same user's most
+    * recent prior-or-equal click — composed as union-tag + carry-forward
+    * window (one shuffle on user_id, sorted scan, no range-join explosion).
+    * Clicks are first deduped to one per (user, ts) (max event_id) so the
+    * as-of pick is deterministic under timestamp ties on both engines.
+    * The oracle runs DuckDB's NATIVE `ASOF LEFT JOIN` — a genuinely
+    * different algorithm asserting the same semantics, which is the
+    * strongest kind of differential check. At 100 TB this plan beats an
+    * interval join when only the latest match matters: state is one row
+    * per partition scan position, never a per-pair candidate set.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("src"),
+        col("click_id"), lit(null).cast("long").as("purchase_id"))
+      .unionByName(purchases.select(col("user_id"), col("ts"), lit(1).as("src"),
+        lit(null).cast("long").as("click_id"), col("purchase_id")))
+    // clicks sort before purchases at equal ts => "prior-or-equal" semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("src"), col("purchase_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts",
+        last(when(col("src") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(
+        col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("asof_click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_click_ts"))).as("gap_us"))
+  }
+
+  val asofJoinSql: String =
+    """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       c.click_id AS asof_click_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("win_running_total", runningTotal(_, _).orderBy("event_id"), Some(runningTotalSql)),
     Q("win_topk_per_group", topKPerGroup(_, _).orderBy("p_brand", "rank_in_brand"),
       Some(topKPerGroupSql)),
     Q("win_lag_delta", lagDelta(_, _).orderBy("event_id"), Some(lagDeltaSql)),
     Q("win_asof_last_signup", asofLastSignup(_, _).orderBy("event_id"),
-      Some(asofLastSignupSql)))
+      Some(asofLastSignupSql)),
+    Q("win_asof_join", asofJoin(_, _).orderBy("purchase_id"), Some(asofJoinSql)))
 }
