@@ -23,7 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated allowlist for focused timing runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.declared.map(_.name)
+      .filter(n => only.forall(_.contains(n)))
     // Per-query warm-up immediately before its timed run: keeps that query's
     // generated code hot in the (bounded) codegen cache, which a single
     // whole-suite warm-up pass does not — later queries evict earlier ones.

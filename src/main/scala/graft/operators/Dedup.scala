@@ -115,11 +115,15 @@ object Dedup {
     * (df ≤ [[DfCap]]). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val idx = shingleIndex(spark, dir)
-    val rare = idx.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("h")
-    // same shuffle key (h) as the self-join below, so the filter
-    // co-partitions with the work it gates — no extra exchange on sh
-    val sh = idx.join(rare, "h").select("doc_id", "h")
+    // df-cap via a whole-partition window on h: ONE shuffle computes the
+    // document frequency and applies the filter in place (a groupBy+join
+    // would shuffle the index twice); the window's hash partitioning on h
+    // is then reused by the self-join below
+    val sh = idx
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= DfCap)
+      .select("doc_id", "h")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
