@@ -239,11 +239,16 @@ object Similarity {
     * probing turns ANN into an equi-join on list_id, and each query touches
     * probes/k of the corpus.
     */
-  /** Quantized dims relation: (vec_id, d, q) with q = floor(v[d] * 1e6). */
+  /** Quantized dims relation: (vec_id, d, q) with q = floor(v[d] * 1e6).
+    * Persisted: the IVF/k-means plans reference it once per distance
+    * computation (every Lloyd step + the final search), and `dist` itself
+    * is referenced twice (assignment + probes) — without the cache the
+    * whole upstream subtree would re-execute per reference. */
   private def quantDims(e: DataFrame): DataFrame =
     e.select(col("vec_id"), posexplode(col("v")))
       .select(col("vec_id"), col("pos").as("d"),
         floor(col("col") * 1000000).cast("long").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Integer centroids seeded from the label column:
     * floor(sum(q)/n) per (list, dimension). */
@@ -327,7 +332,12 @@ object Similarity {
     val e = corpus(spark, dir)
     val dims = quantDims(e)
     var cent = seedCentroids(spark, dir, dims)
-    for (_ <- 0 until KmeansIters) cent = lloydStep(dims, cent)
+    // persist each refined centroid table (k×64 rows): the next step and
+    // the final search both reference it, and its lineage is the whole
+    // k-means history — exactly what an iterative algorithm must truncate
+    for (_ <- 0 until KmeansIters)
+      cent = lloydStep(dims, cent)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ivfSearch(e, dims, cent)
   }
 
