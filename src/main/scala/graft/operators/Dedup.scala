@@ -375,6 +375,28 @@ object Dedup {
        |WHERE bit_count(xor(ah, bh)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The dedup APPLICATION: the kept corpus. A document survives unless it
+    * is the higher-id member of a verified MinHash-LSH near-dup pair —
+    * i.e. keep-lowest-id per near-dup cluster, approximated edge-wise (the
+    * full connected-components pass is an iterative join; edge-wise removal
+    * is the standard one-shot form and removes a superset of any
+    * per-cluster keeper policy's removals). Expressed as a LEFT ANTI join
+    * against the pair table — no NOT-IN list on the driver. */
+  def keepSet(spark: SparkSession, dir: String): DataFrame = {
+    val drops = minhashLsh(spark, dir).select(col("doc_b")).distinct()
+    Tables.documents(spark, dir)
+      .join(drops, col("doc_id") === col("doc_b"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  val keepSetSql: String =
+    s"""SELECT doc_id, n_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM (
+       |$minhashLshSql
+       |))
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", exact(_, _).orderBy("doc_id"), Some(exactSql)),
     Q("dedup_fingerprint", fingerprint(_, _).orderBy("doc_id"), Some(fingerprintSql)),
@@ -382,6 +404,7 @@ object Dedup {
       Some(ngramJaccardSql)),
     Q("dedup_minhash_lsh", minhashLsh(_, _).orderBy("doc_a", "doc_b"),
       Some(minhashLshSql)),
+    Q("dedup_keep_set", keepSet(_, _).orderBy("doc_id"), Some(keepSetSql)),
     Q("dedup_simhash", simhash(_, _).orderBy("doc_id"), Some(simhashSql)),
     Q("dedup_simhash_pairs", simhashPairs(_, _).orderBy("doc_a", "doc_b"),
       Some(simhashPairsSql)))

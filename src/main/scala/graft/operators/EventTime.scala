@@ -74,9 +74,63 @@ object EventTime {
       | AND epoch_us(CAST(p.ts AS TIMESTAMP)) <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 3600000000
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  private val SessionGapUs = 1800L * 1000000 // 30 min
+
+  /** Batch sessionization: gap-based sessions per user (new session when
+    * > 30 min since the previous event), the lag+cumulative-sum formulation
+    * — one shuffle on user_id, sorted scan, session stats from a second
+    * aggregation on the derived key. This is the batch face of
+    * `streaming.Sessionize` (flatMapGroupsWithState): same session
+    * semantics, state-free because history is complete. */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1)
+          .when(lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        dec2(sum(dec(col("value")))).as("session_value"))
+  }
+
+  val sessionsSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, value,
+       |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |           FROM events),
+       |m AS (SELECT user_id, event_id, value, us,
+       |             CASE WHEN us - LAG(us, 1) OVER w > $SessionGapUs THEN 1
+       |                  WHEN LAG(us, 1) OVER w IS NULL THEN 1
+       |                  ELSE 0 END AS new_session
+       |      FROM e
+       |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (SELECT user_id, event_id, value, us,
+       |             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               AS session_idx
+       |      FROM m)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |       COUNT(*) AS n_events,
+       |       MIN(us) AS start_us,
+       |       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+       |FROM s
+       |GROUP BY 1, 2
+       |ORDER BY user_id, session_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),
       Some(hourlySql)),
+    Q("events_sessions", sessions(_, _).orderBy("user_id", "session_idx"),
+      Some(sessionsSql)),
     Q("events_click_attribution", attribution(_, _).orderBy("click_id", "purchase_id"),
       Some(attributionSql)))
 }

@@ -385,9 +385,36 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Quantile sketch next to the exact percentile, same contract as
+    * [[approxDistinct]]: the sketch value itself is engine-specific, so the
+    * oracle-checkable output is the exact interpolated median plus a
+    * deterministic error-bound boolean (Spark's approx_percentile is a
+    * pure function of the input multiset for a fixed accuracy). At 100 TB
+    * the sketch is one pass + constant memory per group; the exact form
+    * sorts each group. */
+  def approxQuantile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        expr("approx_percentile(value, 0.5, 10000)").as("approx_p50"))
+      .select(
+        col("event_type"), col("exact_p50"),
+        (abs(col("approx_p50") - col("exact_p50"))
+          <= abs(col("exact_p50")) * 0.05).as("within_5pct"))
+
+  val approxQuantileSql: String =
+    """SELECT event_type, quantile_cont(value, 0.5) AS exact_p50,
+      |       true AS within_5pct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),
     Q("rel_quantiles", quantiles(_, _).orderBy("event_type"), Some(quantilesSql)),
+    Q("rel_approx_quantile", approxQuantile(_, _).orderBy("event_type"),
+      Some(approxQuantileSql)),
     Q("rel_json_extract", jsonExtract(_, _).orderBy("event_type"), Some(jsonExtractSql)),
     Q("rel_pivot", pivotRevenue(_, _).orderBy("year", "month"), Some(pivotRevenueSql)),
     Q("rel_approx_distinct", approxDistinct(_, _).orderBy("event_type"),

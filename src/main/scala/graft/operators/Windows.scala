@@ -105,6 +105,36 @@ object Windows {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  private val SlideUs = 3600L * 1000000 // 1 hour
+
+  /** Time-RANGE sliding frame: per event, the count and exact decimal sum of
+    * the same user's events in the PRECEDING HOUR — a range frame over epoch
+    * micros, not a row frame: all rows with equal timestamps enter together,
+    * so the result is tie-order-independent by construction (the reason to
+    * prefer RANGE when the order key can repeat). One shuffle on user_id. */
+  def slidingHour(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-SlideUs, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        dec2(sum(dec(col("value"))).over(w)).as("value_last_hour"))
+  }
+
+  val slidingHourSql: String =
+    s"""SELECT event_id, user_id,
+       |       COUNT(*) OVER w AS n_last_hour,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_last_hour
+       |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+       |      FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY us
+       |             RANGE BETWEEN $SlideUs PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
   /** TWO-TABLE as-of join: each purchase annotated with the same user's most
     * recent prior-or-equal click — composed as union-tag + carry-forward
     * window (one shuffle on user_id, sorted scan, no range-join explosion).
@@ -162,5 +192,6 @@ object Windows {
     Q("win_lag_delta", lagDelta(_, _).orderBy("event_id"), Some(lagDeltaSql)),
     Q("win_asof_last_signup", asofLastSignup(_, _).orderBy("event_id"),
       Some(asofLastSignupSql)),
-    Q("win_asof_join", asofJoin(_, _).orderBy("purchase_id"), Some(asofJoinSql)))
+    Q("win_asof_join", asofJoin(_, _).orderBy("purchase_id"), Some(asofJoinSql)),
+    Q("win_sliding_1h", slidingHour(_, _).orderBy("event_id"), Some(slidingHourSql)))
 }
