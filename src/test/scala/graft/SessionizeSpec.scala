@@ -25,6 +25,28 @@ class SessionizeSpec extends AnyFunSuite {
       Session(2L, Base + 5 * Min, Base + 5 * Min, 1, 8.0)))
   }
 
+  test("SQL-window sessions equal the typed fold sessions on real data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // declared query: lag + cumulative-sum windows (graft.operators.EventTime)
+    val sql = graft.operators.EventTime.sessions(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(3) + r.getLong(4), r.getLong(2)) ->
+        r.getDouble(5))
+    // typed fold (the streaming sessionizer's batch face)
+    val typed = Sessionize.sessionsBatch(
+      Tables.events(spark, TestSpark.Sf0001)
+        .select(col("user_id"), col("ts"), col("value")).as[Event])
+      .collect()
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_events) -> s.total_value)
+    assert(sql.map(_._1).toSet == typed.map(_._1).toSet,
+      "session boundaries/counts must agree between formulations")
+    val typedByKey = typed.toMap
+    sql.foreach { case (k, v) =>
+      // decimal-exact vs double-fold sums agree to rounding
+      assert(math.abs(typedByKey(k) - v) < 1e-6, s"session value mismatch at $k")
+    }
+  }
+
   test("streaming flatMapGroupsWithState emits closed sessions as batches arrive") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
