@@ -198,6 +198,29 @@ object TextAnalysis {
       |ORDER BY n DESC, bigram
       |LIMIT 20""".stripMargin
 
+  /** Corpus reporting rollup: doc counts and char-length stats per
+    * (lang, source) — the inventory dashboard a corpus pipeline publishes
+    * after every build. Exact integer sums; the average is one double
+    * division of exact ints (identical in both engines). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  val corpusStatsSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_token_counts", tokenCounts(_, _).orderBy("doc_id"), Some(tokenCountsSql)),
     Q("text_regex_tokens", regexTokens(_, _).orderBy("doc_id"), Some(regexTokensSql)),
@@ -205,5 +228,7 @@ object TextAnalysis {
     Q("text_quality_score", qualityScore(_, _).orderBy("doc_id"), Some(qualityScoreSql)),
     Q("text_lang_id", langId(_, _).orderBy("doc_id"), Some(langIdSql)),
     Q("text_winnow_fingerprint", winnowFingerprint(_, _).orderBy("doc_id"),
-      Some(winnowFingerprintSql)))
+      Some(winnowFingerprintSql)),
+    Q("text_corpus_stats", corpusStats(_, _).orderBy("lang", "source"),
+      Some(corpusStatsSql)))
 }
