@@ -71,6 +71,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native n-grams ≡ HOF reference on arbitrary whitespace-ridden text") {
+    import graft.functions.TextFns
+    import spark.implicits._
+    // adversarial text: random runs of words, spaces, tabs, newlines,
+    // multibyte chars, and empty segments
+    val weirdText: Gen[String] = Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.const(" "), Gen.const("\t"), Gen.const("\n"), Gen.const("  "),
+      Gen.const("wörd"), Gen.const("日本語"), Gen.const(""))).map(_.mkString)
+    forAll(Gen.listOfN(12, weirdText), Gen.choose(1, 4)) { (texts, n) =>
+      val df = texts.toDF("text")
+      val wordDiff = df.select(
+        TextFns.wordNGrams(col("text"), n).as("fast"),
+        TextFns.shingles(TextFns.tokens(col("text")), n).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(wordDiff == 0, s"word n=$n over $texts")
+      val charDiff = df.select(
+        TextFns.charNGrams(col("text"), n).as("fast"),
+        TextFns.charGrams(col("text"), n).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(charDiff == 0, s"char n=$n over $texts")
+    }
+  }
+
   test("zero-sale COUNT(col) semantics hold for arbitrary orphan dims") {
     import spark.implicits._
     forAll(Gen.choose(1, 8), Gen.choose(0, 5)) { (nParts, nSalesPerPart) =>
