@@ -238,6 +238,11 @@ object Dedup {
         (col("n_common").cast("double") / (col("za.n") + col("zb.n") - col("n_common")))
           .as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
+      // the verified-pairs table is the pipeline's product: the pairs query
+      // AND the keep-set application both consume it (cache key = logical
+      // plan, so they share one copy) — production materializes it between
+      // the dedup stage and every downstream keeper policy
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   val minhashLshSql: String = {
