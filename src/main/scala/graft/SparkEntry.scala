@@ -16,7 +16,7 @@ object SparkEntry {
   def declared: Seq[Q] =
     Medallion.all ++ Analytics.all ++ Notebook.all ++ Relational.all ++ Windows.all ++
       EventTime.all ++ Dedup.all ++ TextAnalysis.all ++ Similarity.all ++
-      Multimodal.all
+      Multimodal.all ++ Sampling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship denormalization (gold.sales_analytics,

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Everything here is
+  * HASH-mod sampling, not RNG sampling (`df.sample`): the sample is a pure
+  * function of the row's identity, so it is reproducible across runs,
+  * engines, partitionings, and cluster sizes — the property a corpus build
+  * needs for auditable train/val/test membership and for re-running a
+  * pipeline without silently re-drawing the sample. (Spark's seeded
+  * `sample` is partitioning-dependent; a DuckDB oracle could never
+  * reproduce it.) All map-side, scan-speed; the balanced variant adds one
+  * shuffle on the stratum key.
+  */
+object Sampling {
+
+  /** 0..99 bucket from the 60-bit MD5-derived hash of the row id. */
+  private def bucket(c: Column): Column = pmod(hash60(c.cast("string")), lit(100))
+
+  private def bucketSql(sql: String): String =
+    s"${hash60Sql(s"CAST($sql AS VARCHAR)")} % 100"
+
+  /** Train/val/test split assignment (80/10/10) per document — membership
+    * derives from the doc_id hash alone. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(bucket(col("doc_id")) < 80, "train")
+          .when(bucket(col("doc_id")) < 90, "val")
+          .otherwise("test").as("split"))
+
+  val splitAssignSql: String =
+    s"""SELECT doc_id, lang,
+       |       CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+       |            WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic ~10% corpus sample (bucket < 10). */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(bucket(col("doc_id")) < 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  val hashSampleSql: String =
+    s"""SELECT doc_id, lang, n_chars
+       |FROM documents
+       |WHERE ${bucketSql("doc_id")} < 10
+       |ORDER BY doc_id""".stripMargin
+
+  private val PerStratumCap = 50
+
+  /** Stratum-balanced downsample: at most [[PerStratumCap]] docs per lang,
+    * picked as the lowest doc-hashes (a deterministic "reservoir" — the
+    * kept set is stable under corpus growth except where new docs hash
+    * below the current cutoff). Window top-k per stratum: one shuffle on
+    * lang, no global sort. */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(hash60(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= PerStratumCap)
+  }
+
+  val balancedSampleSql: String =
+    s"""SELECT lang, doc_id, rk FROM (
+       |  SELECT lang, doc_id,
+       |         CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY lang
+       |           ORDER BY ${hash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS INTEGER) AS rk
+       |  FROM documents)
+       |WHERE rk <= $PerStratumCap
+       |ORDER BY lang, rk""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
+    Q("sample_hash_10pct", hashSample(_, _).orderBy("doc_id"), Some(hashSampleSql)),
+    Q("sample_balanced_per_lang", balancedSample(_, _).orderBy("lang", "rk"),
+      Some(balancedSampleSql)))
+}
