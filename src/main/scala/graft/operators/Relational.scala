@@ -385,6 +385,50 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** SCD2 (slowly-changing-dimension) versioning — the MERGE-shaped
+    * dimension-maintenance operation of a warehouse ETL: given the current
+    * dimension and an incoming snapshot, emit one row per key-version with
+    * an is_current flag; unchanged keys keep their single version, changed
+    * keys close the old version and open a new one. Expressed as a join of
+    * the two snapshots + a union (the engine-agnostic form of MERGE WHEN
+    * MATCHED/NOT MATCHED): one shuffle on the key. The "incoming snapshot"
+    * is derived deterministically here (every third supplier's balance
+    * shifts) — in production it arrives as the day's extract. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val cur = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    val incoming = cur
+      .withColumn("s_acctbal",
+        when(col("s_suppkey") % 3 === 0, col("s_acctbal") + 100.0)
+          .otherwise(col("s_acctbal")))
+    val joined = cur.as("c").join(incoming.as("i"), "s_suppkey")
+    val changed = joined.filter(col("c.s_acctbal") =!= col("i.s_acctbal"))
+    val closedOld = changed.select(col("s_suppkey"), col("c.s_name").as("s_name"),
+      col("c.s_acctbal").as("s_acctbal"), lit(1).as("version"), lit(false).as("is_current"))
+    val openedNew = changed.select(col("s_suppkey"), col("i.s_name").as("s_name"),
+      col("i.s_acctbal").as("s_acctbal"), lit(2).as("version"), lit(true).as("is_current"))
+    val unchanged = joined.filter(col("c.s_acctbal") === col("i.s_acctbal"))
+      .select(col("s_suppkey"), col("c.s_name").as("s_name"),
+        col("c.s_acctbal").as("s_acctbal"), lit(1).as("version"), lit(true).as("is_current"))
+    unchanged.unionByName(closedOld).unionByName(openedNew)
+  }
+
+  val scd2Sql: String =
+    """WITH cur AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier),
+      |inc AS (SELECT s_suppkey, s_name,
+      |               CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
+      |                    ELSE s_acctbal END AS s_acctbal
+      |        FROM supplier)
+      |SELECT c.s_suppkey, c.s_name, c.s_acctbal,
+      |       CAST(1 AS INTEGER) AS version, c.s_acctbal = i.s_acctbal AS is_current
+      |FROM cur c JOIN inc i USING (s_suppkey)
+      |UNION ALL
+      |SELECT c.s_suppkey, c.s_name, i.s_acctbal,
+      |       CAST(2 AS INTEGER) AS version, true AS is_current
+      |FROM cur c JOIN inc i USING (s_suppkey)
+      |WHERE c.s_acctbal <> i.s_acctbal
+      |ORDER BY s_suppkey, version""".stripMargin
+
   /** Quantile sketch next to the exact percentile, same contract as
     * [[approxDistinct]]: the sketch value itself is engine-specific, so the
     * oracle-checkable output is the exact interpolated median plus a
@@ -423,6 +467,7 @@ object Relational {
     Q("rel_count_distinct", countDistinct(_, _).orderBy("event_type"),
       Some(countDistinctSql)),
     Q("rel_arg_max", argMax(_, _).orderBy("p_brand"), Some(argMaxSql)),
+    Q("rel_scd2_dim", scd2(_, _).orderBy("s_suppkey", "version"), Some(scd2Sql)),
     Q("rel_grouping_sets", groupingSetsRevenue(_, _)
       .orderBy(col("gid"), col("channel").asc_nulls_first, col("region").asc_nulls_first),
       Some(groupingSetsRevenueSql)),
