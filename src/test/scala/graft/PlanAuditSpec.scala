@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fleet-wide physical-plan audit: every declared query's optimized plan is
+  * scanned for the scale anti-patterns. One spec so a future operator can't
+  * land with a quadratic plan unnoticed.
+  *
+  *   - CartesianProduct: never, anywhere.
+  *   - BroadcastNestedLoopJoin: only where a broadcast-batch × corpus scan
+  *     is the intended plan (brute-force scoring, LSH plane projection),
+  *     and never more than the whitelisted count.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** query → max allowed BNLJ nodes (broadcast small-batch designs). */
+  private val bnlAllowed: Map[String, Int] = Map(
+    "sim_bruteforce_topk" -> 1, // broadcast query batch × corpus (≠ condition)
+    "sim_lsh_topk" -> 2, // plane table + query-band broadcast
+    "sim_ivf_topk" -> 1, // broadcast probes (≠ condition)
+    "sim_ivf_kmeans_topk" -> 1,
+    "dedup_embedding_cosine" -> 2) // plane table per self-join side
+
+  test("no declared query plans a cartesian product; BNLJ only where designed") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.declared.foreach { q =>
+      val plan =
+        try q.fn(spark, TestSpark.Sf0001).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+      if (plan.contains("CartesianProduct"))
+        offenders += s"${q.name}: CartesianProduct"
+      val bnl = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size
+      if (bnl > bnlAllowed.getOrElse(q.name, 0))
+        offenders += s"${q.name}: $bnl BNLJ (allowed ${bnlAllowed.getOrElse(q.name, 0)})"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
