@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count independence: a 1000-executor cluster runs these plans
+  * with completely different partitionings than local[32] — results must be
+  * bit-identical anyway. This is the claim behind every design rule here
+  * (exact decimal sums, integer-cents division, hash-derived sampling,
+  * quantized centroids), so it gets its own spec: representative queries
+  * from each risk family run under two different shuffle partition counts
+  * and must collect identical rows.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Sensitive = Seq(
+    "gold_product_metrics", // decimal aggregation + avg division
+    "dedup_minhash_lsh", // hash pipeline + band joins
+    "dedup_components", // iterative fixpoint
+    "events_sessions", // window + derived-key aggregation
+    "rel_approx_distinct", // sketch with bound
+    "sim_ivf_kmeans_topk", // iterative quantized k-means
+    "sample_balanced_per_lang") // hash-order window rank
+
+  private def run(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.Sf0001)
+    df.collect().map(_.toString).toSeq
+  }
+
+  test("representative queries are identical under different shuffle partitionings") {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val at32 = Sensitive.map(n => n -> run(n)).toMap
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      spark.catalog.clearCache() // drop persisted intermediates built at 32
+      val at7 = Sensitive.map(n => n -> run(n)).toMap
+      Sensitive.foreach { n =>
+        assert(at32(n) == at7(n), s"$n differs across partitionings")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      spark.catalog.clearCache()
+    }
+  }
+}
