@@ -402,6 +402,43 @@ object Dedup {
        |))
        |ORDER BY doc_id""".stripMargin
 
+  private val EditMax = 3
+
+  /** String-edit near-dup over catalog names: distinct names paired within
+    * Levenshtein distance ≤ [[EditMax]], candidates BLOCKED by 4-char
+    * prefix (the classic record-linkage blocking strategy — same
+    * never-all-pairs shape as the shingle/band joins, with the same caveat:
+    * a skewed block degenerates, so production blocks on multiple keys,
+    * e.g. prefix + length band). Grouping to DISTINCT names first is the
+    * real scale lever: the quadratic step runs on name cardinality, not
+    * row count, and each name carries its record count + representative
+    * key back to the record level. */
+  def nameEdit(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("rep_key"), count(lit(1)).as("n_records"))
+      .withColumn("blk", substring(col("p_name"), 1, 4))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .withColumn("edit_dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("edit_dist") <= EditMax)
+      .select(
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        col("edit_dist"),
+        col("a.n_records").as("n_a"), col("b.n_records").as("n_b"))
+  }
+
+  val nameEditSql: String =
+    s"""WITH n AS (SELECT p_name, MIN(p_partkey) AS rep_key, COUNT(*) AS n_records
+       |           FROM part GROUP BY p_name)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+       |       a.n_records AS n_a, b.n_records AS n_b
+       |FROM n a JOIN n b
+       |  ON substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4) AND a.p_name < b.p_name
+       |WHERE levenshtein(a.p_name, b.p_name) <= $EditMax
+       |ORDER BY name_a, name_b""".stripMargin
+
   /** Connected components of the near-dup pair graph: every doc that
     * appears in a verified MinHash pair, labeled with its component's
     * minimum doc_id — the true cluster-keeper semantics that [[keepSet]]
@@ -468,6 +505,7 @@ object Dedup {
       Some(minhashLshSql)),
     Q("dedup_keep_set", keepSet(_, _).orderBy("doc_id"), Some(keepSetSql)),
     Q("dedup_components", components(_, _).orderBy("doc_id"), Some(componentsSql)),
+    Q("dedup_name_edit", nameEdit(_, _).orderBy("name_a", "name_b"), Some(nameEditSql)),
     Q("dedup_simhash", simhash(_, _).orderBy("doc_id"), Some(simhashSql)),
     Q("dedup_simhash_pairs", simhashPairs(_, _).orderBy("doc_a", "doc_b"),
       Some(simhashPairsSql)))

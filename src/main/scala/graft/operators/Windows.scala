@@ -185,6 +185,24 @@ object Windows {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Decile assignment per group (ntile): the bucketed form of quantile
+    * features for model inputs — deterministic because the window order is
+    * totalized with the event_id tiebreak (ntile is position-based, so an
+    * untotalized order would be partition-luck). */
+  def ntileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        ntile(10).over(w).as("decile"))
+  }
+
+  val ntileDecilesSql: String =
+    """SELECT event_id, event_type, value,
+      |       CAST(NTILE(10) OVER (PARTITION BY event_type
+      |                            ORDER BY value, event_id) AS INTEGER) AS decile
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("win_running_total", runningTotal(_, _).orderBy("event_id"), Some(runningTotalSql)),
     Q("win_topk_per_group", topKPerGroup(_, _).orderBy("p_brand", "rank_in_brand"),
@@ -193,5 +211,6 @@ object Windows {
     Q("win_asof_last_signup", asofLastSignup(_, _).orderBy("event_id"),
       Some(asofLastSignupSql)),
     Q("win_asof_join", asofJoin(_, _).orderBy("purchase_id"), Some(asofJoinSql)),
-    Q("win_sliding_1h", slidingHour(_, _).orderBy("event_id"), Some(slidingHourSql)))
+    Q("win_sliding_1h", slidingHour(_, _).orderBy("event_id"), Some(slidingHourSql)),
+    Q("win_ntile_deciles", ntileDeciles(_, _).orderBy("event_id"), Some(ntileDecilesSql)))
 }
