@@ -455,25 +455,39 @@ object Dedup {
     */
   def components(spark: SparkSession, dir: String): DataFrame = {
     val edges = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    // the pair graph is orders of magnitude smaller than the corpus — size
+    // the fixpoint's partitioning to the edge relation, not the corpus
+    // (production would set this ∝ |edges| / target partition size); the
+    // explicit repartition on the probe key also pre-co-locates every
+    // iteration's join
+    val fanout = 8
     val sym = edges
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(fanout, col("doc_a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("doc_a").as("id")).distinct()
       .withColumn("comp", col("id"))
+      .repartition(fanout, col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iters = 0
+    // convergence signal: every id's label is non-increasing, so the label
+    // SUM strictly decreases until the fixpoint — one aggregate action per
+    // round both materializes the new generation's cache and tests
+    // convergence (a comparison join would be a second job per round)
+    var prevSum = Long.MinValue
     while (!converged && iters < 20) {
-      val viaNeighbors = labels.join(sym, col("id") === col("doc_a"))
-        .select(col("doc_b").as("id"), col("comp"))
       val next = labels.select(col("id"), col("comp"))
-        .unionByName(viaNeighbors)
+        .unionByName(labels.join(sym, col("id") === col("doc_a"))
+          .select(col("doc_b").as("id"), col("comp")))
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .repartition(fanout, col("id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
+      val labelSum = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+      labels.unpersist() // superseded generation — free it immediately
       labels = next
-      converged = changed == 0
+      converged = labelSum == prevSum
+      prevSum = labelSum
       iters += 1
     }
     labels.select(col("id").as("doc_id"), col("comp").as("component_root"))
