@@ -198,6 +198,71 @@ object TextAnalysis {
       |ORDER BY n DESC, bigram
       |LIMIT 20""".stripMargin
 
+  /** Benchmark decontamination: flag corpus documents sharing any 5-gram
+    * with a held-out "benchmark" set (here: every 97th doc, a deterministic
+    * stand-in for an eval set; production loads the real benchmark's
+    * n-grams). The overlap test is a semi-join-shaped equi-join on 60-bit
+    * gram hashes — benchmark grams are tiny relative to the corpus and
+    * broadcast, so the corpus is flagged in one scan + explode. This is the
+    * standard contamination check a training pipeline runs before every
+    * data release. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordNGrams(col("text"), 5)).as("g"))
+      .select(col("doc_id"), hash60(col("g")).as("h"))
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("h")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchGrams), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlapping_grams"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |             FROM documents),
+       |g AS (SELECT doc_id,
+       |             ${hash60Sql("ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]")} AS h
+       |      FROM tok, UNNEST(range(1, greatest(len(ts) - 3, 1))) AS u(i)),
+       |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0)
+       |SELECT doc_id, COUNT(*) AS n_overlapping_grams
+       |FROM g JOIN bench USING (h)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  private val ShardTokenBudget = 2000L
+
+  /** Token-budget sharding: split the corpus (in doc_id order) into
+    * contiguous shards of ~[[ShardTokenBudget]] tokens — how a training
+    * pipeline cuts a corpus into equal-budget chunks for distributed
+    * tokenization/packing. shard_id = floor(preceding-cumulative-tokens /
+    * budget): a running-sum window, one global order pass (at 100 TB the
+    * same computation runs per partition-range with offsets — the window
+    * form is the semantic spec). */
+  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum_before") / ShardTokenBudget).cast("long").as("shard_id"))
+  }
+
+  val tokenShardsSql: String =
+    s"""SELECT doc_id, n_tokens,
+       |       CAST(FLOOR(cum_before / $ShardTokenBudget) AS BIGINT) AS shard_id
+       |FROM (SELECT doc_id, n_tokens,
+       |             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |      FROM (SELECT doc_id,
+       |                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |                     AS n_tokens
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   /** Corpus reporting rollup: doc counts and char-length stats per
     * (lang, source) — the inventory dashboard a corpus pipeline publishes
     * after every build. Exact integer sums; the average is one double
@@ -230,5 +295,9 @@ object TextAnalysis {
     Q("text_winnow_fingerprint", winnowFingerprint(_, _).orderBy("doc_id"),
       Some(winnowFingerprintSql)),
     Q("text_corpus_stats", corpusStats(_, _).orderBy("lang", "source"),
-      Some(corpusStatsSql)))
+      Some(corpusStatsSql)),
+    Q("text_contamination", contamination(_, _).orderBy("doc_id"),
+      Some(contaminationSql)),
+    Q("text_token_shards", tokenShards(_, _).orderBy("doc_id"),
+      Some(tokenShardsSql)))
 }
