@@ -429,6 +429,42 @@ object Relational {
       |WHERE c.s_acctbal <> i.s_acctbal
       |ORDER BY s_suppkey, version""".stripMargin
 
+  /** Snapshot reconciliation — the FULL OUTER JOIN face of the engine:
+    * diff two dimension snapshots into added / removed / retained rows in
+    * one pass (the audit report run after every incremental load; SCD2
+    * handles the retained-and-changed refinement). The incoming snapshot is
+    * derived deterministically: every 10th supplier disappears (removed)
+    * and every 7th gains a shifted-key clone (added). One shuffle on the
+    * key; the classifier is null-probing on both sides, which is exactly
+    * what full outer exists for. */
+  def reconcile(spark: SparkSession, dir: String): DataFrame = {
+    val cur = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_acctbal"))
+    val inc = cur.filter(col("s_suppkey") % 10 =!= 0)
+      .unionByName(cur.filter(col("s_suppkey") % 7 === 0)
+        .select((col("s_suppkey") + 100000).as("s_suppkey"), col("s_acctbal")))
+    cur.as("c").join(inc.as("i"),
+        col("c.s_suppkey") === col("i.s_suppkey"), "full_outer")
+      .select(
+        coalesce(col("c.s_suppkey"), col("i.s_suppkey")).as("s_suppkey"),
+        when(col("c.s_suppkey").isNull, "added")
+          .when(col("i.s_suppkey").isNull, "removed")
+          .otherwise("retained").as("status"),
+        coalesce(col("i.s_acctbal"), col("c.s_acctbal")).as("s_acctbal"))
+  }
+
+  val reconcileSql: String =
+    """WITH cur AS (SELECT s_suppkey, s_acctbal FROM supplier),
+      |inc AS (SELECT s_suppkey, s_acctbal FROM cur WHERE s_suppkey % 10 <> 0
+      |        UNION ALL
+      |        SELECT s_suppkey + 100000, s_acctbal FROM cur WHERE s_suppkey % 7 = 0)
+      |SELECT COALESCE(c.s_suppkey, i.s_suppkey) AS s_suppkey,
+      |       CASE WHEN c.s_suppkey IS NULL THEN 'added'
+      |            WHEN i.s_suppkey IS NULL THEN 'removed'
+      |            ELSE 'retained' END AS status,
+      |       COALESCE(i.s_acctbal, c.s_acctbal) AS s_acctbal
+      |FROM cur c FULL OUTER JOIN inc i ON c.s_suppkey = i.s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Quantile sketch next to the exact percentile, same contract as
     * [[approxDistinct]]: the sketch value itself is engine-specific, so the
     * oracle-checkable output is the exact interpolated median plus a
@@ -468,6 +504,7 @@ object Relational {
       Some(countDistinctSql)),
     Q("rel_arg_max", argMax(_, _).orderBy("p_brand"), Some(argMaxSql)),
     Q("rel_scd2_dim", scd2(_, _).orderBy("s_suppkey", "version"), Some(scd2Sql)),
+    Q("rel_reconcile", reconcile(_, _).orderBy("s_suppkey"), Some(reconcileSql)),
     Q("rel_grouping_sets", groupingSetsRevenue(_, _)
       .orderBy(col("gid"), col("channel").asc_nulls_first, col("region").asc_nulls_first),
       Some(groupingSetsRevenueSql)),
