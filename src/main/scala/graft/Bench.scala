@@ -47,20 +47,49 @@ object Bench {
       val good = samples.collect { case (true, s) => s }
       name -> (if (good.nonEmpty) Some(good.min) else None)
     }
-    val qs = results.map { case (k, v) =>
+    def fmt(d: Double): String = {
+      val s = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+      if (s.isEmpty) "0" else s
+    }
+    val fullQs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(_.toString).getOrElse("\"error\"")
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val nErrors = results.count(_._2.isEmpty)
+    // The full per-query map for all declared queries is ~3 KB of JSON, but
+    // the driver parses the metric line out of a bounded (2000-char) stdout
+    // tail — a line longer than that is front-truncated and unparseable
+    // (BENCH_r01/r02 both landed "parsed": null that way). Print a compact
+    // line that provably fits: slowest queries first, stop before the map
+    // exceeds its budget, roll the remainder into "_others". Full precision
+    // for every query still lands in the JSON file below.
+    val budget = 1200 // chars for the queries map; total line stays < 1500
+    val sortedDesc = results.collect { case (k, Some(s)) => (k, s) }.sortBy(-_._2)
+    val errEntries = results.collect { case (k, None) => "\"" + k + "\":\"error\"" }
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var used = errEntries.map(_.length + 1).sum
+    var omittedSum = 0.0
+    var omittedN = 0
+    sortedDesc.foreach { case (k, s) =>
+      val e = "\"" + k + "\":" + fmt(s)
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      else { omittedSum += s; omittedN += 1 }
+    }
+    val compactEntries = kept ++ errEntries ++
+      (if (omittedN > 0) Seq("\"_others\":" + fmt(omittedSum)) else Nil)
+    val compactQs = compactEntries.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$nErrors}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","errors":$nErrors,"n_queries":${results.size},"queries_rolled_into_others":$omittedN}"""
     println(line)
-    // also land the metric line in a file: sbt wraps stdout in [info]
-    // decoration that a line-oriented parser can miss
+    // the full-detail line lands in a file: sbt wraps stdout in [info]
+    // decoration and tail-truncates; a line-oriented parser can miss it
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","errors":$nErrors}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
   }
