@@ -461,31 +461,44 @@ object Dedup {
     // explicit repartition on the probe key also pre-co-locates every
     // iteration's join
     val fanout = 8
+    // localCheckpoint TRUNCATES LINEAGE: without it every generation's plan
+    // tree embeds the full MinHash-LSH lineage once more per round, and the
+    // driver re-walks that growing tree each iteration for analysis +
+    // cache lookup — measured at 1-3 s of pure driver CPU per round on a
+    // ~70-edge graph. After truncation the per-round plan is a three-node
+    // tree over in-memory RDDs. This is the same pattern GraphFrames uses
+    // for iterative algorithms; production on a real cluster would use
+    // reliable checkpoint() to survive executor loss.
     val sym = edges
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .repartition(fanout, col("doc_a"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("doc_a").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .repartition(fanout, col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    // seed labels one propagation step ahead — comp₀ = min(id, neighbors):
+    // the groupBy is on sym's partition key so it needs no exchange, and the
+    // head start saves one full fixpoint round
+    var labels = sym.groupBy(col("doc_a"))
+      .agg(min(col("doc_b")).as("mn"))
+      .select(col("doc_a").as("id"), least(col("doc_a"), col("mn")).as("comp"))
+      .localCheckpoint()
     var converged = false
     var iters = 0
     // convergence signal: every id's label is non-increasing, so the label
     // SUM strictly decreases until the fixpoint — one aggregate action per
-    // round both materializes the new generation's cache and tests
-    // convergence (a comparison join would be a second job per round)
+    // round both materializes the new generation (localCheckpoint is eager)
+    // and tests convergence (a comparison join would be a second job per
+    // round). No explicit repartition between rounds: the label relation is
+    // orders of magnitude smaller than the corpus, so AQE broadcasts it
+    // into the edge join and coalesces the groupBy shuffle — pinning a
+    // partitioning here would force one extra exchange per round.
     var prevSum = Long.MinValue
     while (!converged && iters < 20) {
       val next = labels.select(col("id"), col("comp"))
         .unionByName(labels.join(sym, col("id") === col("doc_a"))
           .select(col("doc_b").as("id"), col("comp")))
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .repartition(fanout, col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val labelSum = next.agg(sum(col("comp"))).collect()(0).getLong(0)
-      labels.unpersist() // superseded generation — free it immediately
-      labels = next
+      labels = next // superseded generation's RDD is freed by the ContextCleaner
       converged = labelSum == prevSum
       prevSum = labelSum
       iters += 1
