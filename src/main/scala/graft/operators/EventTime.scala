@@ -126,9 +126,63 @@ object EventTime {
        |GROUP BY 1, 2
        |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Ordered funnel per user: first view → first click AFTER that view →
+    * first purchase AFTER that click, with the stage reached (1–3). Each
+    * stage is a conditional MIN gated on the previous stage's timestamp —
+    * the strictly-ordered funnel semantics (a click before the first view
+    * does not count), which a single groupBy of unconditioned MINs gets
+    * wrong. Three aggregations, each one shuffle on user_id; the per-stage
+    * relations shrink monotonically (funnel drop-off), so stages 2–3 join
+    * against ever-smaller keys — broadcast at 100 TB once drop-off bites.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .join(v, col("cu") === col("user_id") && col("cts") > col("ts_view"))
+      .groupBy(col("cu")).agg(min(col("cts")).as("ts_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+      .join(c, col("pu") === col("cu") && col("pts") > col("ts_click"))
+      .groupBy(col("pu")).agg(min(col("pts")).as("ts_purchase"))
+    v.join(c, col("user_id") === col("cu"), "left")
+      .join(p, col("user_id") === col("pu"), "left")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts_view")).as("view_us"),
+        unix_micros(col("ts_click")).as("click_us"),
+        unix_micros(col("ts_purchase")).as("purchase_us"),
+        (lit(1) + col("ts_click").isNotNull.cast("int")
+          + col("ts_purchase").isNotNull.cast("int")).as("stage"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |v AS (SELECT user_id, MIN(ts) AS ts_view FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS ts_click
+      |      FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.ts_view
+      |      WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS ts_purchase
+      |      FROM e JOIN c ON e.user_id = c.user_id AND e.ts > c.ts_click
+      |      WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT v.user_id,
+      |       epoch_us(v.ts_view) AS view_us,
+      |       epoch_us(c.ts_click) AS click_us,
+      |       epoch_us(p.ts_purchase) AS purchase_us,
+      |       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+      |              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
+      |FROM v
+      |LEFT JOIN c ON c.user_id = v.user_id
+      |LEFT JOIN p ON p.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),
       Some(hourlySql)),
+    Q("events_funnel", funnel(_, _).orderBy("user_id"), Some(funnelSql)),
     Q("events_sessions", sessions(_, _).orderBy("user_id", "session_idx"),
       Some(sessionsSql)),
     Q("events_click_attribution", attribution(_, _).orderBy("click_id", "purchase_id"),

@@ -490,7 +490,68 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Partitioned parquet sink + partition-pruned read-back (the S3 sink row
+    * generalized to the layout a 100 TB table actually uses): write lineitem
+    * partitioned by l_returnflag, read it back filtered to ONE partition,
+    * aggregate. The read plan scans only the `l_returnflag=R` directory —
+    * partition pruning happens at file listing, before any I/O; at scale
+    * that is the difference between reading 100 TB and reading one flag's
+    * share. Output-path nonce (applicationId) keeps concurrent runs from
+    * racing, as in [[csvRoundtrip]]. */
+  def partitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_sink/" +
+      spark.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/lineitem"
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dec2(sum(dec(col("l_quantity")))).as("sum_qty"))
+  }
+
+  val partitionedRoundtripSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Space-Saving heavy hitters as a declared query, run in its EXACT
+    * regime: capacity 16 > the key cardinality of event_type, so no counter
+    * is ever evicted, counts are exact and err = 0 — which is what makes a
+    * deterministic SQL oracle possible (GROUP BY count + literal 0). The
+    * sketch's raison d'être is the INEXACT regime (top URLs over 100 TB
+    * where the key space dwarfs memory, bounds spec-checked in
+    * HeavyHittersSpec); this query pins the aggregator's plumbing — typed
+    * Aggregator, partial sketches per partition, associative merge — under
+    * the oracle gate. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hh = Tables.events(spark, dir)
+      .select(col("event_type")).as[String]
+      .select(new graft.functions.SpaceSaving(16).toColumn.name("hh"))
+    hh.select(explode(col("hh")).as("h"))
+      .select(col("h.key").as("event_type"), col("h.count").as("n_events"),
+        col("h.err").as("count_err"))
+  }
+
+  val heavyHittersSql: String =
+    """SELECT event_type, COUNT(*) AS n_events, CAST(0 AS BIGINT) AS count_err
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("rel_partitioned_roundtrip", partitionedRoundtrip(_, _).orderBy("l_returnflag"),
+      Some(partitionedRoundtripSql)),
+    Q("rel_heavy_hitters", heavyHitters(_, _).orderBy("event_type"),
+      Some(heavyHittersSql)),
     Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),
     Q("rel_quantiles", quantiles(_, _).orderBy("event_type"), Some(quantilesSql)),
     Q("rel_approx_quantile", approxQuantile(_, _).orderBy("event_type"),

@@ -79,9 +79,36 @@ object Sampling {
        |WHERE rk <= $PerStratumCap
        |ORDER BY lang, rk""".stripMargin
 
+  private val PerDomainCap = 20
+
+  /** Per-domain document cap: at most [[PerDomainCap]] docs per source
+    * domain, keeping the lowest doc_ids (ingestion order — "first N seen",
+    * the usual web-corpus anti-spam cap; contrast [[balancedSample]], which
+    * keeps a hash-random subset). A dominant crawl domain contributing 10⁹
+    * pages must not dominate the corpus; the window top-k form is one
+    * shuffle on source with per-partition early pruning (rank > cap rows
+    * never leave the sort), no global sort. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= PerDomainCap)
+  }
+
+  val domainCapSql: String =
+    s"""SELECT source, doc_id, n_chars, rk FROM (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS rk
+       |  FROM documents)
+       |WHERE rk <= $PerDomainCap
+       |ORDER BY source, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
     Q("sample_hash_10pct", hashSample(_, _).orderBy("doc_id"), Some(hashSampleSql)),
     Q("sample_balanced_per_lang", balancedSample(_, _).orderBy("lang", "rk"),
-      Some(balancedSampleSql)))
+      Some(balancedSampleSql)),
+    Q("sample_domain_cap", domainCap(_, _).orderBy("source", "rk"),
+      Some(domainCapSql)))
 }

@@ -286,6 +286,70 @@ object TextAnalysis {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** PII / identifier scrubbing: rewrite digit runs in a name field to a
+    * `<ID>` placeholder and count what was masked — the regex-redaction op
+    * every training pipeline runs before release (emails, phones, SSNs are
+    * the same shape with bigger patterns). Pure map-side regexp_replace:
+    * scan-speed at 100 TB, no shuffle before the ORDER BY. Run on the
+    * customer dimension, the one table here carrying identifier-bearing
+    * strings. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("scrubbed_name"),
+        (length(col("c_name")) - length(regexp_replace(col("c_name"), "[0-9]", "")))
+          .as("n_digits_masked"))
+
+  val piiScrubSql: String =
+    """SELECT c_custkey,
+      |       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS scrubbed_name,
+      |       CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+      |            AS INTEGER) AS n_digits_masked
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  private val TfidfTopK = 3
+
+  /** Per-document top-[[TfidfTopK]] salient terms, ranked by tf/df — the
+    * document-frequency-normalized salience that tf·idf orders by (N is
+    * constant corpus-wide, so ranking by tf·N/df ≡ ranking by tf/df; the
+    * ratio keeps the score a single int/int division, bit-identical across
+    * engines, where ln-based idf is at the mercy of each engine's libm).
+    * Three shuffles: (doc,term) aggregation, df window on term, top-k
+    * window on doc. At 100 TB the df relation is Zipf-small after a min-df
+    * cut and becomes a broadcast join instead of the second shuffle. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("salience", col("tf").cast("double") / col("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("salience").desc, col("term"))))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("salience"), col("rk"))
+  }
+
+  val tfidfTopSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |wd AS (SELECT doc_id, term, tf,
+       |              COUNT(*) OVER (PARTITION BY term) AS df
+       |       FROM tf)
+       |SELECT doc_id, term, tf, df,
+       |       CAST(tf AS DOUBLE) / df AS salience,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |              ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS INTEGER) AS rk
+       |FROM wd
+       |QUALIFY rk <= $TfidfTopK
+       |ORDER BY doc_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_token_counts", tokenCounts(_, _).orderBy("doc_id"), Some(tokenCountsSql)),
     Q("text_regex_tokens", regexTokens(_, _).orderBy("doc_id"), Some(regexTokensSql)),
@@ -299,5 +363,7 @@ object TextAnalysis {
     Q("text_contamination", contamination(_, _).orderBy("doc_id"),
       Some(contaminationSql)),
     Q("text_token_shards", tokenShards(_, _).orderBy("doc_id"),
-      Some(tokenShardsSql)))
+      Some(tokenShardsSql)),
+    Q("text_pii_scrub", piiScrub(_, _).orderBy("c_custkey"), Some(piiScrubSql)),
+    Q("text_tfidf_top", tfidfTop(_, _).orderBy("doc_id", "rk"), Some(tfidfTopSql)))
 }

@@ -203,7 +203,31 @@ object Windows {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Relative-position window features: percent_rank ((rank−1)/(N−1)) and
+    * cume_dist (rows ≤ current / N) of each event's value within its type —
+    * the normalized-rank features a model pipeline derives per stratum. The
+    * order is totalized with the event_id tiebreak, so rank = row_number
+    * and both ratios are exact int/int divisions — bit-identical across
+    * engines. One shuffle on event_type. */
+  def percentRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
+  val percentRanksSql: String =
+    """SELECT event_id, event_type, value,
+      |       PERCENT_RANK() OVER (PARTITION BY event_type
+      |                            ORDER BY value, event_id) AS pr,
+      |       CUME_DIST() OVER (PARTITION BY event_type
+      |                         ORDER BY value, event_id) AS cd
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("win_percent_rank", percentRanks(_, _).orderBy("event_id"), Some(percentRanksSql)),
     Q("win_running_total", runningTotal(_, _).orderBy("event_id"), Some(runningTotalSql)),
     Q("win_topk_per_group", topKPerGroup(_, _).orderBy("p_brand", "rank_in_brand"),
       Some(topKPerGroupSql)),
