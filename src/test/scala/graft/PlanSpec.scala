@@ -74,10 +74,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("transform("), "HOF crept back into the bigram path")
   }
 
-  test("winnow char-gram explode stays inside whole-stage codegen") {
+  test("winnow fingerprint is a pure projection — no shuffle before the sort") {
     val p = finalPlan("text_winnow_fingerprint")
-    assert(p.linesIterator.exists(l =>
-      l.contains("char_ngrams") && l.contains("*(")), p.take(1200))
+    // the per-doc min-gram-hash is computed in place (array_min∘transform),
+    // so the only Exchange in the plan is the final ORDER BY's range
+    // partitioning — an explode+groupBy form would add a hash Exchange
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle in winnow plan:\n${p.take(1200)}")
+    assert(!p.contains("HashAggregate"), "explode+groupBy crept back into winnow")
   }
 
   test("embedding near-dup verifies only candidates, never all pairs") {
