@@ -514,8 +514,10 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("component_root"))
   }
 
-  val componentsSql: String =
-    s"""WITH RECURSIVE p AS (
+  /** Shared recursive-CTE core: transitive closure of the near-dup pair
+    * graph as `reach(id, r)`; consumers aggregate MIN(r) per id. */
+  private val componentsCoreSql: String =
+    s"""p AS (
        |$minhashLshSql
        |),
        |sym AS (SELECT doc_a AS a, doc_b AS b FROM p
@@ -525,11 +527,50 @@ object Dedup {
        |  SELECT id, id FROM nodes
        |  UNION
        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
-       |)
+       |)""".stripMargin
+
+  val componentsSql: String =
+    s"""WITH RECURSIVE $componentsCoreSql
        |SELECT id AS doc_id, MIN(r) AS component_root
        |FROM reach
        |GROUP BY id
        |ORDER BY doc_id""".stripMargin
+
+  /** The CLUSTER-level dedup application: keep every document that is not
+    * in a near-dup cluster, plus each cluster's canonical representative
+    * (its minimum doc_id), labeled with how many documents it stands for —
+    * the per-cluster keeper policy that [[keepSet]] approximates edge-wise.
+    * Composition of [[components]] (fixpoint) with two broadcast-size joins
+    * back to the corpus: the component relation is orders of magnitude
+    * smaller than the corpus (only docs that appear in a verified pair), so
+    * at 100 TB the corpus is scanned once and both joins broadcast. */
+  def clusterKeep(spark: SparkSession, dir: String): DataFrame = {
+    val comp = components(spark, dir)
+    val sizes = comp.groupBy(col("component_root")).agg(count(lit(1)).as("cluster_size"))
+    Tables.documents(spark, dir)
+      .join(comp.withColumnRenamed("doc_id", "cid"), col("doc_id") === col("cid"), "left")
+      .filter(col("component_root").isNull || col("component_root") === col("doc_id"))
+      .join(sizes.withColumnRenamed("component_root", "root"),
+        col("doc_id") === col("root"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        col("n_chars"))
+  }
+
+  val clusterKeepSql: String =
+    s"""WITH RECURSIVE $componentsCoreSql,
+       |comp AS (SELECT id AS doc_id, MIN(r) AS component_root
+       |         FROM reach GROUP BY id),
+       |sz AS (SELECT component_root, COUNT(*) AS cluster_size
+       |       FROM comp GROUP BY 1)
+       |SELECT d.doc_id,
+       |       COALESCE(sz.cluster_size, 1) AS cluster_size,
+       |       d.n_chars
+       |FROM documents d
+       |LEFT JOIN comp ON comp.doc_id = d.doc_id
+       |LEFT JOIN sz ON sz.component_root = d.doc_id
+       |WHERE comp.component_root IS NULL OR comp.component_root = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("dedup_exact", exact(_, _).orderBy("doc_id"), Some(exactSql)),
@@ -540,6 +581,7 @@ object Dedup {
       Some(minhashLshSql)),
     Q("dedup_keep_set", keepSet(_, _).orderBy("doc_id"), Some(keepSetSql)),
     Q("dedup_components", components(_, _).orderBy("doc_id"), Some(componentsSql)),
+    Q("dedup_cluster_keep", clusterKeep(_, _).orderBy("doc_id"), Some(clusterKeepSql)),
     Q("dedup_name_edit", nameEdit(_, _).orderBy("name_a", "name_b"), Some(nameEditSql)),
     Q("dedup_simhash", simhash(_, _).orderBy("doc_id"), Some(simhashSql)),
     Q("dedup_simhash_pairs", simhashPairs(_, _).orderBy("doc_a", "doc_b"),

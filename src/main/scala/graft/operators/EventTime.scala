@@ -179,10 +179,45 @@ object EventTime {
       |LEFT JOIN p ON p.user_id = v.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  private val WeekUs = 604800000000L // 7 * 24 * 3600 * 1e6
+
+  /** Cohort retention: users grouped by first-active week, counted in each
+    * later week they return — the (cohort, offset) retention matrix every
+    * product-analytics pipeline maintains. Week ids are integer-divided
+    * epoch-microseconds (epochs are non-negative, so `div` == floor on both
+    * engines). The (user, week) distinct makes the final COUNT(*) a
+    * distinct-user count per cell without a count-distinct shuffle. Two
+    * shuffles on user_id (distinct reuses the first's partitioning), one on
+    * the cohort cell. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div CAST($WeekUs AS BIGINT)").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    wk.join(cohort, "user_id")
+      .withColumn("week_offset", col("wk") - col("cohort_wk"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+
+  val retentionSql: String =
+    s"""WITH wk AS (SELECT DISTINCT user_id,
+       |                   epoch_us(CAST(ts AS TIMESTAMP)) // $WeekUs AS wk
+       |            FROM events),
+       |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY 1)
+       |SELECT c.cohort_wk, wk.wk - c.cohort_wk AS week_offset,
+       |       COUNT(*) AS n_active_users
+       |FROM wk JOIN c USING (user_id)
+       |GROUP BY 1, 2
+       |ORDER BY cohort_wk, week_offset""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),
       Some(hourlySql)),
     Q("events_funnel", funnel(_, _).orderBy("user_id"), Some(funnelSql)),
+    Q("events_retention", retention(_, _).orderBy("cohort_wk", "week_offset"),
+      Some(retentionSql)),
     Q("events_sessions", sessions(_, _).orderBy("user_id", "session_idx"),
       Some(sessionsSql)),
     Q("events_click_attribution", attribution(_, _).orderBy("click_id", "purchase_id"),

@@ -437,7 +437,82 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  private val GraphK = 5
+
+  /** k-NN GRAPH over the whole corpus: every vector's top-[[GraphK]]
+    * neighbors among its SRP-LSH band-mates — the input relation for
+    * embedding-cluster dedup (connected components over semantic edges)
+    * and for graph-based ANN indexes. Unlike [[lshTopK]] (a query batch
+    * against the corpus), this is corpus × corpus, which is exactly where
+    * all-pairs dies at scale: the band self-join keeps it at
+    * Σ_bucket |bucket|² — vectors only meet inside a shared 16-bit bucket.
+    * Vectors with no band-mates contribute no rows (documented sparsity,
+    * not data loss — production would widen tables/probes to bound it).
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val bands = e.crossJoin(broadcast(planesTable(spark)))
+      .select(col("vec_id"), col("tbl"),
+        when(dot(col("v"), col("coefs")) > 0, expr("shiftleft(1, j)"))
+          .otherwise(lit(0)).as("bit"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(col("bit")).as("bkey"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id").as("sv"), col("v").as("va")), col("src_id") === col("sv"))
+      .drop("sv")
+      .join(e.select(col("vec_id").as("nv"), col("v").as("vb")), col("neighbor_id") === col("nv"))
+      .drop("nv")
+      .select(col("src_id").as("vec_id"), col("neighbor_id"),
+        cosineFast(col("va"), col("vb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= GraphK)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
+  val knnGraphSql: String = {
+    val planeValues = (for {
+      t <- 0 until NumTables
+      j <- 0 until BitsPerTable
+    } yield {
+      val coefs = (0 until 64).map(d => s"${planeCoef(t * BitsPerTable + j, d)}.0")
+        .mkString("[", ", ", "]")
+      s"($t, $j, ${coefs}::DOUBLE[])"
+    }).mkString(",\n       ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planes(tbl, j, coefs) AS (VALUES
+       |       $planeValues),
+       |bands AS (SELECT vec_id, tbl,
+       |                 SUM(CASE WHEN list_dot_product(v, coefs) > 0
+       |                          THEN (1 << j) ELSE 0 END) AS bkey
+       |          FROM e, planes GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.vec_id, y.vec_id AS neighbor_id
+       |         FROM bands x JOIN bands y
+       |           ON x.tbl = y.tbl AND x.bkey = y.bkey AND x.vec_id <> y.vec_id),
+       |scored AS (SELECT cand.vec_id, neighbor_id,
+       |                  ${cosineSql("es.v", "en.v")} AS cos_sim
+       |           FROM cand
+       |           JOIN e es ON es.vec_id = cand.vec_id
+       |           JOIN e en ON en.vec_id = neighbor_id),
+       |r AS (SELECT vec_id, neighbor_id, cos_sim,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER)
+       |               AS rank
+       |      FROM scored)
+       |SELECT vec_id, neighbor_id, rank, cos_sim
+       |FROM r WHERE rank <= $GraphK
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("sim_knn_graph", knnGraph(_, _).orderBy("vec_id", "rank"), Some(knnGraphSql)),
     Q("sim_bruteforce_topk", bruteForceTopK(_, _).orderBy("query_id", "rank"),
       Some(bruteForceTopKSql)),
     Q("sim_lsh_topk", lshTopK(_, _).orderBy("query_id", "rank"), Some(lshTopKSql)),

@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_lsh_topk" -> 2, // plane table + query-band broadcast
     "sim_ivf_topk" -> 1, // broadcast probes (≠ condition)
     "sim_ivf_kmeans_topk" -> 1,
-    "dedup_embedding_cosine" -> 2) // plane table per self-join side
+    "dedup_embedding_cosine" -> 2, // plane table per self-join side
+    "sim_knn_graph" -> 2) // plane table per self-join side
 
   test("no declared query plans a cartesian product; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
