@@ -451,12 +451,15 @@ object Similarity {
     */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
+    // both self-join sides consume the band table — persist it so the
+    // projection + band aggregation run once (the signature-table policy)
     val bands = e.crossJoin(broadcast(planesTable(spark)))
       .select(col("vec_id"), col("tbl"),
         when(dot(col("v"), col("coefs")) > 0, expr("shiftleft(1, j)"))
           .otherwise(lit(0)).as("bit"))
       .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(col("bit")).as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
