@@ -185,6 +185,27 @@ object Windows {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** The SAME as-of semantics as [[asofJoin]], computed by the CUSTOM
+    * physical operator ([[graft.plans.AsOfJoinExec]] via the injected
+    * planner strategy): per-side shuffles on the key, per-partition merge
+    * with O(1) state, no union/null-padding pass. Three independent
+    * algorithms — window carry-forward (Spark), native ASOF (DuckDB
+    * oracle), and this merge exec — are all held to identical output. */
+  def asofJoinCustom(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    graft.plans.AsOf.joinBackward(purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+      .select(
+        col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("click_id").as("asof_click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Decile assignment per group (ntile): the bucketed form of quantile
     * features for model inputs — deterministic because the window order is
     * totalized with the event_id tiebreak (ntile is position-based, so an
@@ -235,6 +256,7 @@ object Windows {
     Q("win_asof_last_signup", asofLastSignup(_, _).orderBy("event_id"),
       Some(asofLastSignupSql)),
     Q("win_asof_join", asofJoin(_, _).orderBy("purchase_id"), Some(asofJoinSql)),
+    Q("win_asof_custom", asofJoinCustom(_, _).orderBy("purchase_id"), Some(asofJoinSql)),
     Q("win_sliding_1h", slidingHour(_, _).orderBy("event_id"), Some(slidingHourSql)),
     Q("win_ntile_deciles", ntileDeciles(_, _).orderBy("event_id"), Some(ntileDecilesSql)))
 }

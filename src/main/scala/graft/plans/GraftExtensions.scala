@@ -62,6 +62,8 @@ object LevenshteinThresholdRule extends Rule[LogicalPlan] {
 /** Session extension entry point:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LevenshteinThresholdRule)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
