@@ -572,8 +572,42 @@ object Dedup {
        |WHERE comp.component_root IS NULL OR comp.component_root = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** INCREMENTAL ingestion dedup: the "new batch" (a deterministic 1/10
+    * hash slice of the corpus, standing in for today's crawl) is deduped
+    * (a) within itself — min doc_id per normalized fingerprint — and
+    * (b) against the existing corpus — LEFT ANTI join on fingerprint.
+    * This is how a production pipeline actually runs dedup day over day:
+    * never re-dedup the whole corpus, only the delta against the
+    * fingerprint index. At 100 TB the "old" side is a materialized
+    * fingerprint table (16-byte keys); the anti-join shuffles the NEW
+    * batch only — cost scales with the delta, not the corpus. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), fp.as("fp"),
+        pmod(hash60(col("doc_id").cast("string")), lit(10)).as("b"))
+    val newKeep = docs.filter(col("b") === 9)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val oldFps = docs.filter(col("b") =!= 9).select(col("fp")).distinct()
+    newKeep.join(oldFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
+  val incrementalSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |                  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       |                  ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS b
+       |           FROM documents),
+       |nw AS (SELECT fp, MIN(doc_id) AS doc_id FROM d WHERE b = 9 GROUP BY fp),
+       |old AS (SELECT DISTINCT fp FROM d WHERE b <> 9)
+       |SELECT nw.doc_id, nw.fp
+       |FROM nw
+       |WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.fp = nw.fp)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", exact(_, _).orderBy("doc_id"), Some(exactSql)),
+    Q("dedup_incremental", incremental(_, _).orderBy("doc_id"), Some(incrementalSql)),
     Q("dedup_fingerprint", fingerprint(_, _).orderBy("doc_id"), Some(fingerprintSql)),
     Q("dedup_ngram_jaccard", ngramJaccard(_, _).orderBy("doc_a", "doc_b"),
       Some(ngramJaccardSql)),

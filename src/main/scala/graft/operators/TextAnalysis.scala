@@ -86,7 +86,8 @@ object TextAnalysis {
         (lenScore * 0.5 + uniqRatio * 0.3 + stopRatio * 0.2).as("quality_score"))
   }
 
-  val qualityScoreSql: String = {
+  /** Shared SELECT (no ORDER BY) for the per-doc quality columns. */
+  private val qualityCoreSql: String = {
     val toks = "regexp_split_to_array(trim(text), '\\s+')"
     val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
     s"""SELECT doc_id,
@@ -99,9 +100,40 @@ object TextAnalysis {
        |         + CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) * 0.3
        |         + CAST(len(list_filter($toks, t -> list_contains($stopList, t))) AS DOUBLE)
        |           / len($toks) * 0.2 AS quality_score
-       |FROM documents
-       |ORDER BY doc_id""".stripMargin
+       |FROM documents""".stripMargin
   }
+
+  val qualityScoreSql: String =
+    s"""$qualityCoreSql
+       |ORDER BY doc_id""".stripMargin
+
+  private val QualityTau = 0.5
+  private val SamplePct = 50
+
+  /** Corpus curation funnel in ONE row: total docs → docs passing the
+    * quality gate → gated docs surviving a deterministic [[SamplePct]]%
+    * hash sample — the audit numbers a corpus build publishes per release
+    * so downstream consumers can see exactly where documents went. A
+    * single conditional aggregation: one pass, partial-aggregated
+    * map-side, three longs cross the shuffle regardless of corpus size. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality_score"))
+    val gated = col("quality_score") >= QualityTau
+    val sampled = gated &&
+      pmod(hash60(col("doc_id").cast("string")), lit(100)) < SamplePct
+    q.agg(
+      count(lit(1)).as("n_total"),
+      count(when(gated, 1)).as("n_quality_pass"),
+      count(when(sampled, 1)).as("n_sampled"))
+  }
+
+  val curationFunnelSql: String =
+    s"""SELECT COUNT(*) AS n_total,
+       |       COUNT(CASE WHEN quality_score >= $QualityTau THEN 1 END) AS n_quality_pass,
+       |       COUNT(CASE WHEN quality_score >= $QualityTau
+       |                   AND ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 < $SamplePct
+       |             THEN 1 END) AS n_sampled
+       |FROM ($qualityCoreSql)""".stripMargin
 
   /** Marker words per language for the n-gram-heuristic language ID. */
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -375,5 +407,6 @@ object TextAnalysis {
     Q("text_token_shards", tokenShards(_, _).orderBy("doc_id"),
       Some(tokenShardsSql)),
     Q("text_pii_scrub", piiScrub(_, _).orderBy("c_custkey"), Some(piiScrubSql)),
-    Q("text_tfidf_top", tfidfTop(_, _).orderBy("doc_id", "rk"), Some(tfidfTopSql)))
+    Q("text_tfidf_top", tfidfTop(_, _).orderBy("doc_id", "rk"), Some(tfidfTopSql)),
+    Q("text_curation_funnel", curationFunnel, Some(curationFunnelSql)))
 }
