@@ -43,6 +43,30 @@ class AsOfExecSpec extends AnyFunSuite {
     assert(out("p3").contains("c-equal"), "equal timestamp is inclusive")
   }
 
+  test("randomized equivalence with a reference as-of computed in plain Scala") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 20L)))
+    (1 to 6).foreach { seed =>
+      val lRows = rowGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, s"l$i") }
+      val rRowsRaw = rowGen.pureApply(Gen.Parameters.default, Seed(seed + 100L))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, s"r$i") }
+      // dedup right per (key, ts) — the operator's documented precondition
+      val rRows = rRowsRaw.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val expected = lRows.map { case (k, t, tag) =>
+        val m = rRows.filter(r => r._1 == k && r._2 <= t)
+        tag -> (if (m.isEmpty) None else Some(m.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      val out = AsOf.joinBackward(
+          lRows.toDF("k", "t", "ltag"), rRows.toDF("rk", "rt", "rtag"),
+          "k", "rk", "t", "rt")
+        .select(col("ltag"), col("rtag")).collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(out == expected, s"seed $seed mismatch")
+    }
+  }
+
   test("multiple left rows share one match; right pointer never rewinds") {
     val left = Seq((1L, 10L, "a"), (1L, 10L, "b"), (1L, 20L, "c")).toDF("k", "t", "ltag")
     val right = Seq((1L, 8L, "m1"), (1L, 15L, "m2")).toDF("rk", "rt", "rtag")

@@ -40,6 +40,18 @@ class LevenshteinRuleSpec extends AnyFunSuite {
     assert(optimized.toString.contains("length"), optimized.toString)
   }
 
+  test("the rule fires inside the real nameEdit query (through the alias)") {
+    // nameEdit filters on a projected alias of levenshtein; predicate
+    // pushdown substitutes the alias in the same optimizer fixpoint, so
+    // the injected rule must still band the DP
+    val optimized = graft.operators.Dedup.nameEdit(spark, TestSpark.Sf0001)
+      .queryExecution.optimizedPlan
+    val thresholded = optimized.collect { case p =>
+      p.expressions.flatMap(_.collect { case l @ Levenshtein(_, _, Some(_)) => l })
+    }.flatten
+    assert(thresholded.nonEmpty, s"rule did not reach nameEdit:\n$optimized")
+  }
+
   test("rewrite preserves results, including strict < and flipped forms") {
     assert(pairs.filter(levenshtein(col("a"), col("b")) <= 3).count() == 3)
     assert(pairs.filter(levenshtein(col("a"), col("b")) < 3).count() == 2)
