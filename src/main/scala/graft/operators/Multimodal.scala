@@ -101,8 +101,39 @@ object Multimodal {
        |FROM f, UNNEST(range(0, n_frames, $FrameStep)) AS u(frame_idx)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Cross-modality join: the text row (documents) keyed to its embedding
+    * row (embeddings) — the canonical multimodal-table shape where each
+    * modality lives in its own table sharing the document key. Emits the
+    * squared L2 norm of the embedding (exact sequential double fold,
+    * bit-identical in DuckDB's list_dot_product). At 100 TB both sides are
+    * large: this is the one join family that genuinely wants BUCKETED
+    * storage on the shared key (both tables bucketed on doc_id → zero
+    * exchange, demonstrated in BucketedJoinSpec); unbucketed it is one
+    * co-shuffle, with the embedding payload (256 B/row) dominating the
+    * wire cost — at which point store embeddings pre-bucketed or
+    * broadcast the text-side metadata instead. */
+  def modalityJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFns._
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    d.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+        dot(col("v"), col("v")).as("sq_norm"))
+  }
+
+  val modalityJoinSql: String =
+    """SELECT doc_id, lang, n_chars, label,
+      |       list_dot_product(v, v) AS sq_norm
+      |FROM documents
+      |JOIN (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings) e
+      |  ON doc_id = vec_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("mm_features", features(_, _).orderBy("doc_id"), Some(featuresSql)),
     Q("mm_frame_sample", frameSample(_, _).orderBy("doc_id", "frame_idx"),
-      Some(frameSampleSql)))
+      Some(frameSampleSql)),
+    Q("mm_modality_join", modalityJoin(_, _).orderBy("doc_id"),
+      Some(modalityJoinSql)))
 }
