@@ -547,7 +547,34 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  private val HistBinWidth = 10.0
+
+  /** Fixed-width binned histogram of event values — the profiling scan a
+    * pipeline runs before choosing filter thresholds. bin =
+    * floor(value / width) on non-negative values (div == floor in both
+    * engines there; negatives land in bin floor(v/w) via explicit FLOOR).
+    * One partial-aggregated shuffle of (type, bin) — a few hundred groups
+    * regardless of input scale. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / HistBinWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"),
+        (col("bin") * HistBinWidth).as("bin_lo"), col("n"))
+
+  val histogramSql: String =
+    s"""SELECT event_type,
+       |       CAST(FLOOR(value / $HistBinWidth) AS BIGINT) AS bin,
+       |       CAST(FLOOR(value / $HistBinWidth) AS BIGINT) * $HistBinWidth AS bin_lo,
+       |       COUNT(*) AS n
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY event_type, bin""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("rel_histogram", histogram(_, _).orderBy("event_type", "bin"),
+      Some(histogramSql)),
     Q("rel_partitioned_roundtrip", partitionedRoundtrip(_, _).orderBy("l_returnflag"),
       Some(partitionedRoundtripSql)),
     Q("rel_heavy_hitters", heavyHitters(_, _).orderBy("event_type"),

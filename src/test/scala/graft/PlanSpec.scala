@@ -26,6 +26,28 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("partitioned roundtrip read prunes to the one selected partition") {
+    val p = plan("rel_partitioned_roundtrip")
+    assert(p.contains("PartitionFilters:") && p.contains("(l_returnflag"),
+      p.take(1200))
+  }
+
+  test("tfidf top-k applies WindowGroupLimit before the final window") {
+    // the per-doc top-k must pre-prune map-side (partial rank limit), not
+    // sort whole partitions of (doc, term) rows
+    val p = plan("text_tfidf_top")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
+  test("funnel stages join with broadcasts, never SortMergeJoin") {
+    // stage relations shrink monotonically; at test scale all of them
+    // broadcast (AQE converts the static SMJ) — inspect only the FINAL
+    // plan section; executedPlan.toString also prints the initial one
+    val p = finalPlan("events_funnel").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("silver_sales pushes both range predicates into the scan") {
     val p = plan("silver_sales")
     assert(p.contains("PushedFilters:"), p.take(400))
