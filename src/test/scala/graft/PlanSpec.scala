@@ -39,13 +39,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
 
-  test("funnel stages join with broadcasts, never SortMergeJoin") {
-    // stage relations shrink monotonically; at test scale all of them
-    // broadcast (AQE converts the static SMJ) — inspect only the FINAL
-    // plan section; executedPlan.toString also prints the initial one
+  test("funnel stage-gating joins broadcast the shrinking stage relations") {
+    // the ts-gated inner joins (clicks⋈views, purchases⋈clicks) must
+    // broadcast the previous stage's shrunken key set; the final assembly
+    // left-joins user-cardinality relations, where SMJ is the correct
+    // choice at scale — only the gating joins are pinned
     val p = finalPlan("events_funnel").split("== Initial Plan ==").head
-    assert(p.contains("BroadcastHashJoin"), p.take(800))
-    assert(!p.contains("SortMergeJoin"), p.take(800))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"expected both stage-gating joins broadcast, got $bhj:\n${p.take(800)}")
   }
 
   test("silver_sales pushes both range predicates into the scan") {
