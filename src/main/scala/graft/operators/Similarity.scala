@@ -514,7 +514,35 @@ object Similarity {
        |ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** GROUPED VECTOR AGGREGATE: per-label centroid of the embedding column,
+    * exposed long-form (label, dimension, quantized coordinate). The
+    * elementwise mean of a vector column is the building block for class
+    * prototypes, cluster summaries, and IVF seeding; computing it in
+    * quantized integer space (floor micro-units) makes the aggregate exact
+    * and order-independent — a double sum would drift with partitioning.
+    * Plan: posexplode to (vec, d, q) → one shuffle on (label, d); at scale
+    * the dims relation is corpus × 64 rows but the output is labels × 64.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    seedCentroids(spark, dir, quantDims(e))
+      .select(col("list_id").as("label"), col("d"), col("cq"))
+  }
+
+  val labelCentroidsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dims AS (SELECT vec_id, i - 1 AS d,
+      |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+      |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i))
+      |SELECT emb.label, CAST(d AS INTEGER) AS d,
+      |       CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+      |FROM dims JOIN embeddings emb USING (vec_id)
+      |GROUP BY 1, 2
+      |ORDER BY label, d""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("sim_label_centroids", labelCentroids(_, _).orderBy("label", "d"),
+      Some(labelCentroidsSql)),
     Q("sim_knn_graph", knnGraph(_, _).orderBy("vec_id", "rank"), Some(knnGraphSql)),
     Q("sim_bruteforce_topk", bruteForceTopK(_, _).orderBy("query_id", "rank"),
       Some(bruteForceTopKSql)),
