@@ -222,18 +222,23 @@ object Relational {
   def catalogColumns(spark: SparkSession, dir: String): DataFrame = {
     val layers = medallionLayers(spark, dir)
     layers.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    // spark.catalog.listColumns yields schema (ordinal) order for views;
-    // zip the ordinal on per table and keep the first five
+    // spark.catalog.listColumns yields schema (ordinal) order for views.
+    // ONE tagged union + ONE window (partitioned by table) computes every
+    // table's ordinals — the earlier per-table-window form paid 9× the
+    // plan/exchange overhead for the same metadata. _mid is monotonic
+    // within each union branch's partition, which is exactly the per-table
+    // order the window consumes.
     layers.map { case (name, _) =>
       spark.catalog.listColumns(name)
-        .select(col("name").as("col_name"))
-        .withColumn("_mid", monotonically_increasing_id())
-        .withColumn("ordinal",
-          row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(col("_mid"))))
-        .filter(col("ordinal") <= 5)
-        .select(lit(name).as("name"), col("ordinal"), col("col_name"))
-    }.reduce(_ union _)
+        .select(lit(name).as("name"), col("name").as("col_name"),
+          monotonically_increasing_id().as("_mid"))
+    }.reduce(_ unionByName _)
+      .withColumn("ordinal",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("name")).orderBy(col("_mid"))))
+      .filter(col("ordinal") <= 5)
+      .select(col("name"), col("ordinal"), col("col_name"))
   }
 
   val catalogColumnsSql: String = {
