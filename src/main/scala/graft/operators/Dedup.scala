@@ -300,11 +300,19 @@ object Dedup {
     * equi-join on digest slices; the digest itself is this query's output).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // weight votes by per-doc token count FIRST: identical digest (k
+    // occurrences of a token vote ±k either way), but the MD5 and the 60
+    // bit-sums run once per DISTINCT (doc, token) instead of once per
+    // occurrence — on Zipf text the head tokens dominate occurrences, so
+    // this is the standard constant-factor cut for sketching at scale
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("h", hash60(col("token")))
     val bitSums = (0 until SimhashBits).map(j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j"))
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), col("cnt")).otherwise(-col("cnt")))
+        .as(s"b$j"))
     val digest = (0 until SimhashBits)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a: Column, b: Column) => a + b)
@@ -316,14 +324,15 @@ object Dedup {
   /** Shared CTE prefix computing (doc_id, simhash) as `d`. */
   private val simhashCoreSql: String = {
     val bitSums = (0 until SimhashBits)
-      .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN cnt ELSE -cnt END) AS b$j")
       .mkString(",\n       ")
     val digest = (0 until SimhashBits)
       .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString("(", " + ", ")")
     s"""tok AS (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
        |            FROM documents),
-       |h AS (SELECT doc_id, ${hash60Sql("token")} AS h FROM tok),
+       |tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+       |h AS (SELECT doc_id, cnt, ${hash60Sql("token")} AS h FROM tc),
        |s AS (SELECT doc_id,
        |       $bitSums
        |      FROM h GROUP BY doc_id),

@@ -109,6 +109,7 @@ object Similarity {
           .otherwise(lit(0)).as("bit"))
       .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(col("bit")).as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qBands = bands.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"), col("bkey").as("qkey"))
     val cand = bands.join(broadcast(qBands),
@@ -186,6 +187,7 @@ object Similarity {
           .otherwise(lit(0)).as("bit"))
       .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(col("bit")).as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
