@@ -577,9 +577,54 @@ object Relational {
        |GROUP BY 1, 2
        |ORDER BY event_type, bin""".stripMargin
 
+  /** UNPIVOT/melt: widen-to-long of part's numeric measures — the inverse
+    * of [[pivotRevenue]], closing the reshape pair. Spark's native
+    * `unpivot` (no explode/union of scans: one pass, two output rows per
+    * input row); the oracle uses the equivalent UNION ALL form. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")),
+        "metric", "value")
+
+  val unpivotMeasuresSql: String =
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+      |FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
+  /** Ordered string aggregation (LISTAGG/string_agg): the distinct types
+    * per brand, sorted and joined — deterministic because the list is
+    * SORTED before joining (an unordered collect_list is partition-luck;
+    * the sort is what makes this oracle-checkable at all). */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_type")).distinct()
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        array_join(array_sort(collect_list(col("p_type"))), "|").as("types"))
+
+  val stringAggSql: String =
+    """WITH d AS (SELECT DISTINCT p_brand, p_type FROM part)
+      |SELECT p_brand, COUNT(*) AS n_types,
+      |       string_agg(p_type, '|' ORDER BY p_type) AS types
+      |FROM d
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("rel_histogram", histogram(_, _).orderBy("event_type", "bin"),
       Some(histogramSql)),
+    Q("rel_unpivot", unpivotMeasures(_, _).orderBy("p_partkey", "metric"),
+      Some(unpivotMeasuresSql)),
+    Q("rel_string_agg", stringAgg(_, _).orderBy("p_brand"), Some(stringAggSql)),
     Q("rel_partitioned_roundtrip", partitionedRoundtrip(_, _).orderBy("l_returnflag"),
       Some(partitionedRoundtripSql)),
     Q("rel_heavy_hitters", heavyHitters(_, _).orderBy("event_type"),

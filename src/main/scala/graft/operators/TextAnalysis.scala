@@ -392,6 +392,39 @@ object TextAnalysis {
        |QUALIFY rk <= $TfidfTopK
        |ORDER BY doc_id, rk""".stripMargin
 
+/** Character-class profile per document: alpha / digit / whitespace /
+    * other counts and the alpha ratio — the cheap garbage detector (binary
+    * junk, tables, code) that runs before any tokenization. Map-side regex
+    * counting at scan speed. */
+  def charClasses(spark: SparkSession, dir: String): DataFrame = {
+    def without(pattern: String) =
+      length(regexp_replace(col("text"), pattern, ""))
+    val n = length(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        n.as("n_chars_total"),
+        (n - without("[A-Za-z]")).as("n_alpha"),
+        (n - without("[0-9]")).as("n_digit"),
+        (n - without("\\s")).as("n_space"),
+        when(n > 0, (n - without("[A-Za-z]")).cast("double") / n).as("alpha_ratio"))
+  }
+
+  val charClassesSql: String =
+    """SELECT doc_id,
+      |       CAST(length(text) AS INTEGER) AS n_chars_total,
+      |       CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      |            AS INTEGER) AS n_alpha,
+      |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |            AS INTEGER) AS n_digit,
+      |       CAST(length(text) - length(regexp_replace(text, '\s', '', 'g'))
+      |            AS INTEGER) AS n_space,
+      |       CASE WHEN length(text) > 0 THEN
+      |         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      |              AS DOUBLE) / length(text) END AS alpha_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_token_counts", tokenCounts(_, _).orderBy("doc_id"), Some(tokenCountsSql)),
     Q("text_regex_tokens", regexTokens(_, _).orderBy("doc_id"), Some(regexTokensSql)),
@@ -408,5 +441,7 @@ object TextAnalysis {
       Some(tokenShardsSql)),
     Q("text_pii_scrub", piiScrub(_, _).orderBy("c_custkey"), Some(piiScrubSql)),
     Q("text_tfidf_top", tfidfTop(_, _).orderBy("doc_id", "rk"), Some(tfidfTopSql)),
-    Q("text_curation_funnel", curationFunnel, Some(curationFunnelSql)))
+    Q("text_curation_funnel", curationFunnel, Some(curationFunnelSql)),
+    Q("text_char_classes", charClasses(_, _).orderBy("doc_id"), Some(charClassesSql)))
+
 }
