@@ -599,6 +599,42 @@ object Relational {
       |FROM part
       |ORDER BY p_partkey, metric""".stripMargin
 
+  /** Temporal arithmetic per order month: epoch-day min/max/span and
+    * weekend-order counts — the date-function vocabulary (trunc-to-month
+    * key, date difference, day-of-week classification) beyond the EXTRACT
+    * pair the gold tier already covers. Dates are compared as epoch-day
+    * INTEGERS (cross-engine-stable; DATE columns hash engine-specifically)
+    * and day-of-week uses Spark `weekday` (Mon=0) mirrored by DuckDB
+    * `isodow` (Mon=1) with shifted thresholds — the two engines' default
+    * dayofweek numberings disagree. */
+  def dateArithmetic(spark: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    val epochDay = datediff(d, lit("1970-01-01"))
+    Tables.orders(spark, dir)
+      .groupBy((year(d) * 100 + month(d)).as("ym"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(epochDay).as("first_epoch_day"),
+        max(epochDay).as("last_epoch_day"),
+        (max(epochDay) - min(epochDay)).as("span_days"),
+        count(when(expr("weekday(o_orderdate)") >= 5, 1)).as("n_weekend"))
+  }
+
+  val dateArithmeticSql: String =
+    """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+      |       COUNT(*) AS n_orders,
+      |       CAST(MIN(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |            AS INTEGER) AS first_epoch_day,
+      |       CAST(MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |            AS INTEGER) AS last_epoch_day,
+      |       CAST(MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |          - MIN(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |            AS INTEGER) AS span_days,
+      |       COUNT(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 END) AS n_weekend
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY ym""".stripMargin
+
   /** Ordered string aggregation (LISTAGG/string_agg): the distinct types
     * per brand, sorted and joined — deterministic because the list is
     * SORTED before joining (an unordered collect_list is partition-luck;
@@ -624,6 +660,8 @@ object Relational {
       Some(histogramSql)),
     Q("rel_unpivot", unpivotMeasures(_, _).orderBy("p_partkey", "metric"),
       Some(unpivotMeasuresSql)),
+    Q("rel_date_arithmetic", dateArithmetic(_, _).orderBy("ym"),
+      Some(dateArithmeticSql)),
     Q("rel_string_agg", stringAgg(_, _).orderBy("p_brand"), Some(stringAggSql)),
     Q("rel_partitioned_roundtrip", partitionedRoundtrip(_, _).orderBy("l_returnflag"),
       Some(partitionedRoundtripSql)),
