@@ -599,6 +599,51 @@ object Relational {
       |FROM part
       |ORDER BY p_partkey, metric""".stripMargin
 
+  /** Pearson correlation per return flag — computed from EXACT decimal
+    * sufficient statistics (Σx, Σy, Σx², Σy², Σxy in DECIMAL, associative
+    * and partial-agg-order-independent), finished by ONE double expression
+    * (products, subtraction, sqrt, division — all IEEE-deterministic),
+    * rounded to 6 dp because the engines' DECIMAL→DOUBLE casts can differ
+    * in the last ulp once a sum exceeds 15 significant digits.
+    * Spark's native `corr` accumulates doubles and its result depends on
+    * partitioning; this form is reproducible anywhere, which is why it can
+    * sit under a hash-match oracle at all. */
+  def corrExact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Q.dec
+    val qd = dec(col("l_quantity"))
+    val pd = dec(col("l_extendedprice"))
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qd).as("sx"), sum(pd).as("sy"),
+        sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"), sum(qd * pd).as("sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    agg.select(
+      col("l_returnflag"), col("n"),
+      round((nD * d("sxy") - d("sx") * d("sy")) /
+        sqrt((nD * d("sxx") - d("sx") * d("sx")) * (nD * d("syy") - d("sy") * d("sy"))), 6)
+        .as("corr_qty_price"))
+  }
+
+  val corrExactSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |         AS corr_qty_price
+      |FROM a
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Temporal arithmetic per order month: epoch-day min/max/span and
     * weekend-order counts — the date-function vocabulary (trunc-to-month
     * key, date difference, day-of-week classification) beyond the EXTRACT
@@ -662,6 +707,7 @@ object Relational {
       Some(unpivotMeasuresSql)),
     Q("rel_date_arithmetic", dateArithmetic(_, _).orderBy("ym"),
       Some(dateArithmeticSql)),
+    Q("rel_corr_exact", corrExact(_, _).orderBy("l_returnflag"), Some(corrExactSql)),
     Q("rel_string_agg", stringAgg(_, _).orderBy("p_brand"), Some(stringAggSql)),
     Q("rel_partitioned_roundtrip", partitionedRoundtrip(_, _).orderBy("l_returnflag"),
       Some(partitionedRoundtripSql)),
