@@ -48,24 +48,42 @@ object Bench {
       val good = samples.collect { case (true, s) => s }
       name -> (if (good.nonEmpty) Some(good.min) else None)
     }
-    def fmt(d: Double): String = {
-      val s = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-        .underlying.stripTrailingZeros.toPlainString
-      if (s.isEmpty) "0" else s
-    }
+    println(Bench.compactLine(results, sfDir))
+    // the full-detail line lands in a file: sbt wraps stdout in [info]
+    // decoration and tail-truncates; a line-oriented parser can miss it
     val fullQs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(_.toString).getOrElse("\"error\"")
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val nErrors = results.count(_._2.isEmpty)
-    // The full per-query map for all declared queries is ~3 KB of JSON, but
-    // the driver parses the metric line out of a bounded (2000-char) stdout
-    // tail — a line longer than that is front-truncated and unparseable
-    // (BENCH_r01/r02 both landed "parsed": null that way). Print a compact
-    // line that provably fits: slowest queries first, stop before the map
-    // exceeds its budget, roll the remainder into "_others". Full precision
-    // for every query still lands in the JSON file below.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","errors":$nErrors}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
+    spark.stop()
+  }
+
+  private def fmt(d: Double): String = {
+    val s = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
+    if (s.isEmpty) "0" else s
+  }
+
+  /** The stdout metric line. The driver parses it out of a bounded
+    * (2000-char) stdout tail — a longer line is front-truncated and
+    * unparseable (BENCH_r01/r02 both landed "parsed": null that way). So:
+    * slowest queries first, stop before the map exceeds its budget, roll
+    * the remainder into "_others". The invariant (total length < 1500 for
+    * ANY query count) is spec-pinned in BenchLineSpec; full precision for
+    * every query goes to the JSON file instead. */
+  private[graft] def compactLine(
+      results: Seq[(String, Option[Double])], sfDir: String): String = {
     val budget = 1200 // chars for the queries map; total line stays < 1500
+    val total = results.flatMap(_._2).sum
+    val nErrors = results.count(_._2.isEmpty)
     val sortedDesc = results.collect { case (k, Some(s)) => (k, s) }.sortBy(-_._2)
     val errEntries = results.collect { case (k, None) => "\"" + k + "\":\"error\"" }
     val kept = scala.collection.mutable.ArrayBuffer[String]()
@@ -80,18 +98,6 @@ object Bench {
     val compactEntries = kept ++ errEntries ++
       (if (omittedN > 0) Seq("\"_others\":" + fmt(omittedSum)) else Nil)
     val compactQs = compactEntries.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","errors":$nErrors,"n_queries":${results.size},"queries_rolled_into_others":$omittedN}"""
-    println(line)
-    // the full-detail line lands in a file: sbt wraps stdout in [info]
-    // decoration and tail-truncates; a line-oriented parser can miss it
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","errors":$nErrors}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
-    spark.stop()
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","errors":$nErrors,"n_queries":${results.size},"queries_rolled_into_others":$omittedN}"""
   }
 }
