@@ -392,7 +392,44 @@ object TextAnalysis {
        |QUALIFY rk <= $TfidfTopK
        |ORDER BY doc_id, rk""".stripMargin
 
-/** Character-class profile per document: alpha / digit / whitespace /
+  /** Per-doc RARE-BIGRAM signal: how many of a document's word bigrams
+    * occur ≤ 2 times in the whole corpus — the integer-only face of LM
+    * fluency scoring (rare transitions ≈ high perplexity ≈ junk or
+    * boilerplate-free novelty, disambiguated downstream). All counts and
+    * one int/int ratio: bit-identical across engines, where an actual
+    * log-probability average would hit libm and summation-order issues.
+    * Plan: corpus bigram counts (partial-agg'd) joined back to the per-doc
+    * bigram relation; the count table is Zipf-shaped and the join key is
+    * the 60-bit gram hash. */
+  def rareBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordNGrams(col("text"), 2)).as("g"))
+      .select(col("doc_id"), hash60(col("g")).as("h"))
+    val corpusCounts = grams.groupBy(col("h")).agg(count(lit(1)).as("bc"))
+    grams.join(corpusCounts, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("bc") <= 2, 1)).as("n_rare"),
+        (count(when(col("bc") <= 2, 1)).cast("double") / count(lit(1)))
+          .as("rare_ratio"))
+  }
+
+  val rareBigramsSql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |             FROM documents),
+       |g AS (SELECT doc_id, ${hash60Sql("ts[i] || ' ' || ts[i+1]")} AS h
+       |      FROM tok, UNNEST(range(1, greatest(len(ts), 1))) AS u(i)),
+       |cc AS (SELECT h, COUNT(*) AS bc FROM g GROUP BY h)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |       COUNT(CASE WHEN bc <= 2 THEN 1 END) AS n_rare,
+       |       CAST(COUNT(CASE WHEN bc <= 2 THEN 1 END) AS DOUBLE) / COUNT(*)
+       |         AS rare_ratio
+       |FROM g JOIN cc USING (h)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Character-class profile per document: alpha / digit / whitespace /
     * other counts and the alpha ratio — the cheap garbage detector (binary
     * junk, tables, code) that runs before any tokenization. Map-side regex
     * counting at scan speed. */
@@ -442,6 +479,7 @@ object TextAnalysis {
     Q("text_pii_scrub", piiScrub(_, _).orderBy("c_custkey"), Some(piiScrubSql)),
     Q("text_tfidf_top", tfidfTop(_, _).orderBy("doc_id", "rk"), Some(tfidfTopSql)),
     Q("text_curation_funnel", curationFunnel, Some(curationFunnelSql)),
-    Q("text_char_classes", charClasses(_, _).orderBy("doc_id"), Some(charClassesSql)))
+    Q("text_char_classes", charClasses(_, _).orderBy("doc_id"), Some(charClassesSql)),
+    Q("text_rare_bigrams", rareBigrams(_, _).orderBy("doc_id"), Some(rareBigramsSql)))
 
 }

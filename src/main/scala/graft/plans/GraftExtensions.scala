@@ -65,5 +65,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LevenshteinThresholdRule)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // the library's custom expressions as SQL functions: raw
+    // `spark.sql("SELECT hash60(x) ...")` text gets the same codegen'd
+    // expression the DataFrame API uses
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("hash60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.Hash60].getName, "hash60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "hash60 takes one argument")
+        graft.functions.Hash60(children.head)
+      }))
   }
 }

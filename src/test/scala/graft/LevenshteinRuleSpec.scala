@@ -62,6 +62,14 @@ class LevenshteinRuleSpec extends AnyFunSuite {
     assert(withNull.filter(levenshtein(col("a"), col("b")) <= 3).count() == 0)
   }
 
+  test("hash60 is registered as a SQL function by the extensions") {
+    val viaSql = spark.sql("SELECT hash60('abc') AS h").collect()(0).getLong(0)
+    val viaApi = pairs.limit(1)
+      .select(graft.functions.TextFns.hash60(lit("abc")).as("h"))
+      .collect()(0).getLong(0)
+    assert(viaSql == viaApi)
+  }
+
   test("projected distances are untouched when not compared to a literal") {
     val rows = pairs.select(levenshtein(col("a"), col("b")).as("d"))
       .collect().map(_.getInt(0)).sorted
