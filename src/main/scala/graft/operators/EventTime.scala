@@ -212,9 +212,35 @@ object EventTime {
        |GROUP BY 1, 2
        |ORDER BY cohort_wk, week_offset""".stripMargin
 
+  /** Sessionization via Spark's native `session_window` — the THIRD
+    * formulation of the same 30-minute-gap semantics ([[sessions]] is
+    * lag+cumsum windows; `streaming.Sessionize` is flatMapGroupsWithState),
+    * all held to one oracle. session_window merges gap-overlapping
+    * intervals inside a single aggregation (no analytic-window sort pass);
+    * the session ordinal is recovered with one row_number per user. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"),
+        dec2(sum(dec(col("value")))).as("session_value"))
+    agg.select(
+      col("user_id"),
+      row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("start_us")))
+        .cast("long").as("session_idx"),
+      col("n_events"), col("start_us"), col("duration_us"), col("session_value"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),
       Some(hourlySql)),
+    // same oracle as events_sessions: three formulations, one truth
+    Q("events_session_window", sessionWindow(_, _).orderBy("user_id", "session_idx"),
+      Some(sessionsSql)),
     Q("events_funnel", funnel(_, _).orderBy("user_id"), Some(funnelSql)),
     Q("events_retention", retention(_, _).orderBy("cohort_wk", "week_offset"),
       Some(retentionSql)),
