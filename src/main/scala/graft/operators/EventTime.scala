@@ -212,6 +212,57 @@ object EventTime {
        |GROUP BY 1, 2
        |ORDER BY cohort_wk, week_offset""".stripMargin
 
+  /** Multi-touch attribution over the click→purchase interval join: per
+    * purchase, the FIRST and LAST click of the preceding hour plus the
+    * click count — first-touch, last-touch, and the denominator a
+    * position/linear model needs, in one aggregation over the same
+    * interval join [[clickAttribution]] exposes pair-wise. min/max carry
+    * (ts, id) pairs via packed structs, so ties resolve identically in
+    * both engines (earliest click with smallest id, latest with largest).
+    */
+  def attributionModels(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = attribution(spark, dir) // user_id, click_id, purchase_id, gap_us
+    pairs.groupBy(col("purchase_id"))
+      .agg(
+        count(lit(1)).as("n_clicks_window"),
+        // largest gap = earliest click; break gap ties toward smaller id
+        max(struct(col("gap_us"), (-col("click_id")).as("nid")))
+          .as("first_pick"),
+        // smallest gap = latest click; break ties toward larger id
+        min(struct(col("gap_us"), (-col("click_id")).as("nid")))
+          .as("last_pick"))
+      .select(
+        col("purchase_id"), col("n_clicks_window"),
+        (-col("first_pick.nid")).as("first_click_id"),
+        (-col("last_pick.nid")).as("last_click_id"))
+  }
+
+  val attributionModelsSql: String =
+    """WITH pr AS (
+      |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |         epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+      |  FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+      |  JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+      |    ON c.user_id = p.user_id
+      |   AND p.ts >= c.ts
+      |   AND epoch_us(CAST(p.ts AS TIMESTAMP)) <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 3600000000)
+      |, f AS (SELECT purchase_id, click_id AS first_click_id FROM (
+      |         SELECT purchase_id, click_id,
+      |                ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |                                   ORDER BY gap_us DESC, click_id ASC) AS rn
+      |         FROM pr) WHERE rn = 1)
+      |, l AS (SELECT purchase_id, click_id AS last_click_id FROM (
+      |         SELECT purchase_id, click_id,
+      |                ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |                                   ORDER BY gap_us ASC, click_id DESC) AS rn
+      |         FROM pr) WHERE rn = 1)
+      |, c AS (SELECT purchase_id, COUNT(*) AS n_clicks_window FROM pr GROUP BY 1)
+      |SELECT c.purchase_id, c.n_clicks_window, f.first_click_id, l.last_click_id
+      |FROM c
+      |JOIN f ON f.purchase_id = c.purchase_id
+      |JOIN l ON l.purchase_id = c.purchase_id
+      |ORDER BY c.purchase_id""".stripMargin
+
   /** Sessionization via Spark's native `session_window` — the THIRD
     * formulation of the same 30-minute-gap semantics ([[sessions]] is
     * lag+cumsum windows; `streaming.Sessionize` is flatMapGroupsWithState),
@@ -241,6 +292,8 @@ object EventTime {
     // same oracle as events_sessions: three formulations, one truth
     Q("events_session_window", sessionWindow(_, _).orderBy("user_id", "session_idx"),
       Some(sessionsSql)),
+    Q("events_attribution_models", attributionModels(_, _).orderBy("purchase_id"),
+      Some(attributionModelsSql)),
     Q("events_funnel", funnel(_, _).orderBy("user_id"), Some(funnelSql)),
     Q("events_retention", retention(_, _).orderBy("cohort_wk", "week_offset"),
       Some(retentionSql)),

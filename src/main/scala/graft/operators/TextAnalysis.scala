@@ -462,6 +462,34 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Classifier-evaluation rollup: the (actual, predicted) confusion
+    * matrix of [[langId]] with per-cell counts and the per-actual-language
+    * share (int/int division) — how a pipeline audits its language-ID
+    * stage against labeled data after every model change. One extra
+    * aggregation over the langId projection. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(spark, dir)
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_of_actual",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("actual_lang"))))
+  }
+
+  val langConfusionSql: String = {
+    // reuse the langId SELECT as a subquery, dropping its ORDER BY
+    val core = langIdSql.replace("\nORDER BY doc_id", "")
+    s"""WITH li AS ($core),
+       |cm AS (SELECT actual_lang, predicted_lang, COUNT(*) AS n
+       |       FROM li GROUP BY 1, 2)
+       |SELECT actual_lang, predicted_lang, n,
+       |       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY actual_lang)
+       |         AS share_of_actual
+       |FROM cm
+       |ORDER BY actual_lang, predicted_lang""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("text_token_counts", tokenCounts(_, _).orderBy("doc_id"), Some(tokenCountsSql)),
     Q("text_regex_tokens", regexTokens(_, _).orderBy("doc_id"), Some(regexTokensSql)),
@@ -480,6 +508,8 @@ object TextAnalysis {
     Q("text_tfidf_top", tfidfTop(_, _).orderBy("doc_id", "rk"), Some(tfidfTopSql)),
     Q("text_curation_funnel", curationFunnel, Some(curationFunnelSql)),
     Q("text_char_classes", charClasses(_, _).orderBy("doc_id"), Some(charClassesSql)),
-    Q("text_rare_bigrams", rareBigrams(_, _).orderBy("doc_id"), Some(rareBigramsSql)))
+    Q("text_rare_bigrams", rareBigrams(_, _).orderBy("doc_id"), Some(rareBigramsSql)),
+    Q("text_lang_confusion", langConfusion(_, _).orderBy("actual_lang", "predicted_lang"),
+      Some(langConfusionSql)))
 
 }
