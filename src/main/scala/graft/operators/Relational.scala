@@ -30,6 +30,29 @@ object Relational {
       |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): per-user
+    * CLICK events intersected with purchase events by multiplicity, then
+    * bag-minus errors — the multiset algebra `rel_set_ops` (distinct
+    * semantics) doesn't exercise. Spark plans these as counted joins
+    * (generate row_number per duplicate), no driver-side bags. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def ids(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+    ids("click").intersectAll(ids("purchase")).exceptAll(ids("error"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("multiplicity"))
+  }
+
+  val setOpsAllSql: String =
+    """WITH r AS (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'error')
+      |SELECT user_id, COUNT(*) AS multiplicity
+      |FROM r GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Distinct aggregate: exact per-type distinct users + event count.
     * Catalyst plans COUNT(DISTINCT) as a two-phase expand+aggregate — the
     * scalable exact form (approx_count_distinct is the sketch variant). */
@@ -714,6 +737,7 @@ object Relational {
     Q("rel_heavy_hitters", heavyHitters(_, _).orderBy("event_type"),
       Some(heavyHittersSql)),
     Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),
+    Q("rel_set_ops_all", setOpsAll(_, _).orderBy("user_id"), Some(setOpsAllSql)),
     Q("rel_quantiles", quantiles(_, _).orderBy("event_type"), Some(quantilesSql)),
     Q("rel_approx_quantile", approxQuantile(_, _).orderBy("event_type"),
       Some(approxQuantileSql)),

@@ -104,11 +104,43 @@ object Sampling {
        |WHERE rk <= $PerDomainCap
        |ORDER BY source, rk""".stripMargin
 
+  /** SIZE-BIASED deterministic sampling: a document's keep-probability is
+    * proportional to its length (n_chars / max corpus length), realized by
+    * comparing its id-hash bucket against its own scaled threshold — long
+    * documents are kept preferentially, the length-balancing lever when a
+    * token budget should favor information-dense docs. Still a pure
+    * function of (row identity, corpus max): reproducible anywhere. The
+    * corpus max is a one-row broadcast aggregate, not a driver constant.
+    * All-integer threshold math (n_chars * 1000 div max) — no float
+    * boundary risk. */
+  def sizeBiased(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("n_chars")).as("max_chars"))
+    docs.crossJoin(broadcast(mx))
+      .withColumn("threshold",
+        expr("(n_chars * 1000) div max_chars")) // 0..1000 per-mille
+      .filter(pmod(hash60(col("doc_id").cast("string")), lit(1000)) < col("threshold"))
+      .select(col("doc_id"), col("n_chars"), col("threshold").cast("long").as("threshold"))
+  }
+
+  val sizeBiasedSql: String =
+    s"""WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+       |SELECT doc_id, n_chars,
+       |       CAST((n_chars * 1000) // max_chars AS BIGINT) AS threshold
+       |FROM documents, mx
+       |WHERE ${bucketSqlK("doc_id", 1000)} < (n_chars * 1000) // max_chars
+       |ORDER BY doc_id""".stripMargin
+
+  /** 0..k-1 bucket SQL for an id column. */
+  private def bucketSqlK(sql: String, k: Int): String =
+    s"${hash60Sql(s"CAST($sql AS VARCHAR)")} % $k"
+
   val all: Seq[Q] = Seq(
     Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
     Q("sample_hash_10pct", hashSample(_, _).orderBy("doc_id"), Some(hashSampleSql)),
     Q("sample_balanced_per_lang", balancedSample(_, _).orderBy("lang", "rk"),
       Some(balancedSampleSql)),
     Q("sample_domain_cap", domainCap(_, _).orderBy("source", "rk"),
-      Some(domainCapSql)))
+      Some(domainCapSql)),
+    Q("sample_size_biased", sizeBiased(_, _).orderBy("doc_id"), Some(sizeBiasedSql)))
 }
