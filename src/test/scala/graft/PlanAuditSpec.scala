@@ -21,7 +21,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_topk" -> 1, // broadcast probes (≠ condition)
     "sim_ivf_kmeans_topk" -> 1,
     "dedup_embedding_cosine" -> 2, // plane table per self-join side
-    "sim_knn_graph" -> 2) // plane table per self-join side
+    "sim_knn_graph" -> 2, // plane table per self-join side
+    "sample_size_biased" -> 1) // one-row broadcast corpus-max scalar
 
   test("no declared query plans a cartesian product; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
