@@ -14,8 +14,8 @@ object SparkEntry {
 
   /** All declared queries, in module groups. */
   def declared: Seq[Q] =
-    Medallion.all ++ Analytics.all ++ Notebook.all ++ Relational.all ++ Windows.all ++
-      EventTime.all ++ Dedup.all ++ TextAnalysis.all ++ Similarity.all ++
+    Medallion.all ++ Analytics.all ++ Notebook.all ++ Relational.all ++ Formats.all ++
+      Windows.all ++ EventTime.all ++ Dedup.all ++ TextAnalysis.all ++ Similarity.all ++
       Multimodal.all ++ Sampling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

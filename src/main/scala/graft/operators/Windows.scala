@@ -247,7 +247,97 @@ object Windows {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Calendar gap-fill + forward fill: per-priority daily order series
+    * densified over the full [min, max] day span (sequence-explode — no
+    * calendar dim table to maintain), missing days get n_orders = 0 and a
+    * forward-filled revenue carry (`last(..., ignoreNulls)` over the dense
+    * series). The reshape every time-series consumer needs before rolling
+    * metrics — a model-training feature pipeline can't tolerate missing
+    * rows. Days are epoch-day INTEGERS (DATE columns hash
+    * engine-specifically). Scale: the aggregation reduces the fact table
+    * FIRST; the dense series is bounded by groups × span-days regardless of
+    * input rows, and the fill window partitions by group over that bounded
+    * series. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), day.as("day"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+    val dense = daily.groupBy(col("prio"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("prio"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(daily, Seq("prio", "day"), "left")
+      .select(
+        col("prio"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        last(dec2(col("total")), ignoreNulls = true).over(w).as("filled_total"))
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio,
+      |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |         COUNT(*) AS n,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT prio, CAST(unnest(generate_series(MIN(day), MAX(day))) AS BIGINT) AS day
+      |  FROM daily GROUP BY prio)
+      |SELECT d.prio, d.day,
+      |       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
+      |       last_value(a.total IGNORE NULLS)
+      |         OVER (PARTITION BY d.prio ORDER BY d.day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+      |FROM dense d LEFT JOIN daily a ON d.prio = a.prio AND d.day = a.day
+      |ORDER BY d.prio, d.day""".stripMargin
+
+  /** Gaps-and-islands: per-user consecutive-active-day streaks via the
+    * `day − row_number` grouping trick (consecutive days share a constant
+    * difference), then per-user streak stats. The engagement/retention
+    * primitive; one shuffle on user_id for the window, one for the streak
+    * aggregate — both keyed on high-cardinality user_id. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
+
+  val streaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id,
+      |         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, grp, COUNT(*) AS len
+      |  FROM islands GROUP BY user_id, grp)
+      |SELECT user_id,
+      |       CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |       COUNT(*) AS n_streaks,
+      |       CAST(MAX(len) AS BIGINT) AS longest_streak
+      |FROM streaks
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("win_gap_fill", gapFill(_, _).orderBy("prio", "day"), Some(gapFillSql)),
+    Q("win_streaks", streaks(_, _).orderBy("user_id"), Some(streaksSql)),
     Q("win_percent_rank", percentRanks(_, _).orderBy("event_id"), Some(percentRanksSql)),
     Q("win_running_total", runningTotal(_, _).orderBy("event_id"), Some(runningTotalSql)),
     Q("win_topk_per_group", topKPerGroup(_, _).orderBy("p_brand", "rank_in_brand"),
