@@ -723,7 +723,140 @@ object Relational {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** Mergeable distinct-count sketches (Datasketches HLL): per-type
+    * sketches union-merged into a corpus-wide estimate, checked against the
+    * single-pass sketch AND the exact count. Register max-merge is
+    * associative, so `estimate(union(per-partition sketches)) ==
+    * estimate(sketch(all))` EXACTLY — `merge_lossless` pins that identity.
+    * This is the 100 TB pattern the plain approx_count_distinct row can't
+    * show: sketch each partition/day independently, persist the sketches,
+    * merge on demand — re-aggregation without re-scanning the corpus. */
+  def hllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val merged = ev
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("merged_est"))
+    val direct = ev.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("direct_est"),
+      count_distinct(col("user_id")).as("exact_users"))
+    direct.crossJoin(merged).select(
+      col("exact_users"),
+      (col("merged_est") === col("direct_est")).as("merge_lossless"),
+      (abs(col("direct_est") - col("exact_users"))
+        <= col("exact_users") * 0.05).as("within_5pct"))
+  }
+
+  val hllUnionSql: String =
+    """SELECT COUNT(DISTINCT user_id) AS exact_users,
+      |       true AS merge_lossless, true AS within_5pct
+      |FROM events
+      |ORDER BY exact_users""".stripMargin
+
+  /** Tier boundaries for [[rangeJoin]]: [lo, hi) value bands. */
+  private val Tiers = Seq(
+    ("bronze", 0.0, 100.0), ("silver", 100.0, 250.0),
+    ("gold", 250.0, 500.0), ("platinum", 500.0, 1000000.0))
+
+  /** Non-equi range (band) join: classify every event into a value tier by
+    * `lo <= value < hi` against a broadcast tier table. The generic point-
+    * in-interval join (pricing tiers, IP→geo ranges, SLA buckets): with the
+    * range side broadcast this is ONE corpus scan probing a tiny sorted
+    * interval list — the plan to want at 100 TB (the equi-join fallback is
+    * binning both sides to overlapping buckets; unnecessary at 4 rows). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Tiers.toDF("tier", "lo", "hi")
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .join(broadcast(tiers),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dec2(sum(dec(col("value")))).as("total_value"))
+  }
+
+  val rangeJoinSql: String = {
+    val values = Tiers.map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
+    s"""SELECT tier, COUNT(*) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM events JOIN (VALUES $values) AS t(tier, lo, hi)
+       |  ON value >= lo AND value < hi
+       |WHERE value IS NOT NULL AND value >= 0
+       |GROUP BY tier
+       |ORDER BY tier""".stripMargin
+  }
+
+  private val JoinSalt = 16
+
+  /** Skew-safe salted equi-join: fact rows carry salt = hash(key) % 16, the
+    * dim side is replicated 16× with explode(sequence), and the join runs
+    * on (key, salt) — fanning any hot key over 16 reducers. Same result as
+    * the plain join (the oracle IS the plain join). AQE's skew splitter
+    * handles sort-merge skew automatically; the explicit salt is for the
+    * cases it can't touch — skewed windows/collect-states downstream of the
+    * join, or a static planner. Salt count trades dim duplication for
+    * parallelism: 16× a broadcastable dim is still tiny. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.orders(spark, dir)
+      .withColumn("_salt", pmod(hash(col("o_custkey")), lit(JoinSalt)))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(sequence(lit(0), lit(JoinSalt - 1))).as("_salt"))
+    fact.join(dim,
+        fact("o_custkey") === dim("c_custkey") && fact("_salt") === dim("_salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dec2(sum(dec(col("o_totalprice")))).as("total_price"))
+  }
+
+  val saltedJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Exact median + deterministic mode per brand. Spark's `mode()` (and
+    * DuckDB's) break frequency ties arbitrarily — a silent cross-engine
+    * divergence — so the mode is computed as arg-max over (count, −value):
+    * highest count, ties to the SMALLEST size. Median is linear
+    * interpolation over the sorted group on both engines (identical IEEE
+    * midpoint math). */
+  def medianMode(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.part(spark, dir)
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count(lit(1)).as("cnt"))
+    val mode = tf.groupBy(col("p_brand"))
+      .agg(max_by(col("p_size"),
+        col("cnt") * 1000000L - col("p_size")).as("mode_size"))
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        expr("median(p_retailprice)").as("median_price"),
+        count(lit(1)).as("n_parts"))
+      .join(mode, "p_brand")
+  }
+
+  val medianModeSql: String =
+    """WITH tf AS (
+      |  SELECT p_brand, p_size, COUNT(*) AS cnt FROM part GROUP BY 1, 2),
+      |m AS (
+      |  SELECT p_brand, arg_max(p_size, cnt * 1000000 - p_size) AS mode_size
+      |  FROM tf GROUP BY p_brand)
+      |SELECT p_brand, median(p_retailprice) AS median_price,
+      |       COUNT(*) AS n_parts, ANY_VALUE(mode_size) AS mode_size
+      |FROM part JOIN m USING (p_brand)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("rel_hll_union", hllUnion(_, _).orderBy("exact_users"), Some(hllUnionSql)),
+    Q("rel_range_join", rangeJoin(_, _).orderBy("tier"), Some(rangeJoinSql)),
+    Q("rel_salted_join", saltedJoin(_, _).orderBy("c_mktsegment"), Some(saltedJoinSql)),
+    Q("rel_median_mode", medianMode(_, _).orderBy("p_brand"), Some(medianModeSql)),
     Q("rel_histogram", histogram(_, _).orderBy("event_type", "bin"),
       Some(histogramSql)),
     Q("rel_unpivot", unpivotMeasures(_, _).orderBy("p_partkey", "metric"),

@@ -490,7 +490,99 @@ object TextAnalysis {
        |ORDER BY actual_lang, predicted_lang""".stripMargin
   }
 
+  /** Repetition quality signals (the Gopher-style repetition filters): per
+    * document, the fraction of tokens taken by the single most frequent
+    * token and the fraction of DUPLICATE word bigrams — the two cheapest
+    * detectors of boilerplate/keyword-stuffed/looping text, which
+    * length/stopword filters miss. Pure per-doc array expressions (the
+    * token-frequency scan is O(unique × tokens) within one row) — map-side,
+    * scan-speed, no shuffle. Ratios are int/int divisions promoted to
+    * double: bit-identical across engines. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val topCnt = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val bigrams = transform(sequence(lit(1), nTok - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val dupBigramFrac =
+      when(nTok > 1,
+        (nTok - 1 - size(array_distinct(bigrams))).cast("double") / (nTok - 1))
+        .otherwise(lit(0.0))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (topCnt.cast("double") / nTok).as("top_token_frac"),
+        dupBigramFrac.as("dup_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.5)
+  }
+
+  val repetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(ts) AS INTEGER) AS n_tokens,
+      |       CAST(list_max(list_transform(list_distinct(ts),
+      |              u -> len(list_filter(ts, x -> x = u)))) AS DOUBLE)
+      |         / len(ts) AS top_token_frac,
+      |       CASE WHEN len(ts) > 1 THEN
+      |         CAST(len(ts) - 1 - len(list_distinct(
+      |                [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])) AS DOUBLE)
+      |           / (len(ts) - 1)
+      |       ELSE 0.0 END AS dup_bigram_frac,
+      |       (CAST(list_max(list_transform(list_distinct(ts),
+      |               u -> len(list_filter(ts, x -> x = u)))) AS DOUBLE) / len(ts) > 0.2)
+      |       OR (CASE WHEN len(ts) > 1 THEN
+      |             CAST(len(ts) - 1 - len(list_distinct(
+      |                    [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])) AS DOUBLE)
+      |               / (len(ts) - 1)
+      |           ELSE 0.0 END > 0.5) AS repetitive
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Vocabulary-growth (Heaps'-law) statistics per source: corpus token
+    * volume vs distinct vocabulary vs hapax legomena (tokens seen exactly
+    * once) — the curves a corpus builder tracks to judge whether a source
+    * is adding novel text or recycling itself. One explode + two
+    * aggregations, both partial-aggregated; the shuffle carries (source,
+    * token) term counts — vocabulary-bounded, not corpus-bounded. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    tf.groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("total_tokens"),
+        count(lit(1)).as("vocab_size"),
+        count(when(col("cnt") === 1, 1)).as("n_hapax"))
+      .select(
+        col("source"), col("total_tokens"), col("vocab_size"), col("n_hapax"),
+        (col("vocab_size").cast("double") / col("total_tokens")).as("type_token_ratio"),
+        (col("n_hapax").cast("double") / col("vocab_size")).as("hapax_frac"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH tok AS (
+      |  SELECT source, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+      |SELECT source,
+      |       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+      |       COUNT(*) AS vocab_size,
+      |       COUNT(CASE WHEN cnt = 1 THEN 1 END) AS n_hapax,
+      |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS type_token_ratio,
+      |       CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE) / COUNT(*) AS hapax_frac
+      |FROM tf
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_repetition", repetition(_, _).orderBy("doc_id"), Some(repetitionSql)),
+    Q("text_vocab_growth", vocabGrowth(_, _).orderBy("source"), Some(vocabGrowthSql)),
     Q("text_token_counts", tokenCounts(_, _).orderBy("doc_id"), Some(tokenCountsSql)),
     Q("text_regex_tokens", regexTokens(_, _).orderBy("doc_id"), Some(regexTokensSql)),
     Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
