@@ -286,7 +286,46 @@ object EventTime {
       col("n_events"), col("start_us"), col("duration_us"), col("session_value"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * count (state → next-state) hops via lead() within each user's
+    * (ts, event_id)-ordered stream, then the row-normalized transition
+    * probability. The sequence-model summary of a clickstream (and the
+    * same shape as a token-bigram LM over behavioral vocabularies). One
+    * window shuffle on high-cardinality user_id + one tiny (from, to)
+    * aggregate; p is int/int division — cross-engine exact. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val hops = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy(col("from_type"))
+    hops.select(col("from_type"), col("to_type"), col("n"),
+      (col("n").cast("double") / sum(col("n")).over(wt)).as("p"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |         LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |                                   ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |  FROM s WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       CAST(n AS DOUBLE)
+      |         / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+      |FROM c
+      |ORDER BY from_type, to_type""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("events_markov", markovTransitions(_, _).orderBy("from_type", "to_type"),
+      Some(markovTransitionsSql)),
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),
       Some(hourlySql)),
     // same oracle as events_sessions: three formulations, one truth

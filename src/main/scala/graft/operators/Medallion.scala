@@ -286,6 +286,66 @@ object Medallion {
       .map(t => s"SELECT '$t' AS tbl, COUNT(*) AS n_rows FROM $t")
       .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
 
+  /** Data-quality expectation suite (the dbt-test / Great-Expectations
+    * operator): named invariants over the bronze tables — key uniqueness,
+    * not-null, and domain-range checks — each computed as a violation
+    * count + pass flag, all reported in ONE relation. The contract a
+    * warehouse runs after every load, next to [[rowCounts]]'s volume
+    * check; a failed expectation gates promotion to silver. Every check is
+    * a one-row aggregate over its own scan (map-side partials, a few longs
+    * cross the shuffle); uniqueness is COUNT − COUNT(DISTINCT). */
+  def qualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    def chk(tbl: String, name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(tbl).as("tbl"), lit(name).as("chk"),
+        col("n_violations"), (col("n_violations") === 0L).as("pass"))
+    Seq(
+      chk("orders", "unique_o_orderkey",
+        Tables.orders(spark, dir).agg(
+          (count(lit(1)) - count_distinct(col("o_orderkey"))).as("n_violations"))),
+      chk("orders", "not_null_o_custkey",
+        Tables.orders(spark, dir).agg(
+          count(when(col("o_custkey").isNull, 1)).as("n_violations"))),
+      chk("lineitem", "positive_l_quantity",
+        Tables.lineitem(spark, dir).agg(
+          count(when(col("l_quantity") <= 0, 1)).as("n_violations"))),
+      chk("customer", "not_null_c_acctbal",
+        Tables.customer(spark, dir).agg(
+          count(when(col("c_acctbal").isNull, 1)).as("n_violations"))),
+      chk("part", "positive_p_retailprice",
+        Tables.part(spark, dir).agg(
+          count(when(col("p_retailprice") <= 0, 1)).as("n_violations"))),
+      chk("events", "non_negative_value",
+        Tables.events(spark, dir).agg(
+          count(when(col("value") < 0, 1)).as("n_violations"))))
+      .reduce(_ union _)
+  }
+
+  val qualityChecksSql: String =
+    """SELECT 'orders' AS tbl, 'unique_o_orderkey' AS chk,
+      |       COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations,
+      |       COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS pass FROM orders
+      |UNION ALL
+      |SELECT 'orders', 'not_null_o_custkey',
+      |       COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
+      |       COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 FROM orders
+      |UNION ALL
+      |SELECT 'lineitem', 'positive_l_quantity',
+      |       COUNT(CASE WHEN l_quantity <= 0 THEN 1 END),
+      |       COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) = 0 FROM lineitem
+      |UNION ALL
+      |SELECT 'customer', 'not_null_c_acctbal',
+      |       COUNT(CASE WHEN c_acctbal IS NULL THEN 1 END),
+      |       COUNT(CASE WHEN c_acctbal IS NULL THEN 1 END) = 0 FROM customer
+      |UNION ALL
+      |SELECT 'part', 'positive_p_retailprice',
+      |       COUNT(CASE WHEN p_retailprice <= 0 THEN 1 END),
+      |       COUNT(CASE WHEN p_retailprice <= 0 THEN 1 END) = 0 FROM part
+      |UNION ALL
+      |SELECT 'events', 'non_negative_value',
+      |       COUNT(CASE WHEN value < 0 THEN 1 END),
+      |       COUNT(CASE WHEN value < 0 THEN 1 END) = 0 FROM events
+      |ORDER BY tbl, chk""".stripMargin
+
   // ---- helpers -------------------------------------------------------------
 
   private def goldProductMetricsSqlNoOrder: String = stripOrderBy(goldProductMetricsSql)
@@ -324,5 +384,7 @@ object Medallion {
     Q("analytics_top_products", topProducts, Some(topProductsSql)),
     Q("analytics_by_channel", salesByChannel, Some(salesByChannelSql)),
     Q("analytics_by_department", salesByDepartment, Some(salesByDepartmentSql)),
-    Q("meta_row_counts", rowCounts, Some(rowCountsSql)))
+    Q("meta_row_counts", rowCounts, Some(rowCountsSql)),
+    Q("meta_quality_checks", qualityChecks(_, _).orderBy("tbl", "chk"),
+      Some(qualityChecksSql)))
 }

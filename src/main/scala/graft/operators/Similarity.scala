@@ -542,7 +542,51 @@ object Similarity {
       |GROUP BY 1, 2
       |ORDER BY label, d""".stripMargin
 
+  /** Triangle participation counts over the [[knnGraph]] — the clustering-
+    * coefficient numerator, the structural signal that separates a dense
+    * near-duplicate clique from a chain of pairwise matches. Edges are
+    * canonicalized undirected (least, greatest → distinct), then triangles
+    * x<y<z come from the two-hop join e1(x,y)⋈e2(y,z)⋈e3(x,z) — each
+    * triangle found exactly once, never all-pairs: candidate fan-out is
+    * bounded by the kNN out-degree (≤ [[GraphK]] per node), so the join is
+    * degree², not corpus². */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = knnGraph(spark, dir)
+      .select(
+        least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH und AS (
+       |  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |                  greatest(vec_id, neighbor_id) AS b
+       |  FROM ($knnGraphSql)),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1
+       |  JOIN und e2 ON e1.b = e2.a
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |v AS (SELECT x AS vec_id FROM tri
+       |      UNION ALL SELECT y FROM tri
+       |      UNION ALL SELECT z FROM tri)
+       |SELECT vec_id, COUNT(*) AS n_triangles
+       |FROM v
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("sim_triangles", triangles(_, _).orderBy("vec_id"), Some(trianglesSql)),
     Q("sim_label_centroids", labelCentroids(_, _).orderBy("label", "d"),
       Some(labelCentroidsSql)),
     Q("sim_knn_graph", knnGraph(_, _).orderBy("vec_id", "rank"), Some(knnGraphSql)),
