@@ -323,7 +323,71 @@ object EventTime {
       |FROM c
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** RFM (recency / frequency / monetary) customer scoring over purchase
+    * events: per-user last-active day, purchase count, and exact-decimal
+    * spend, bucketed 1-5 against the corpus's interpolated quintile
+    * thresholds. Deliberately NOT a global ntile: an unpartitioned ntile
+    * sorts the whole user table on one reducer. Here the 12 threshold
+    * doubles are computed once and BROADCAST, and every user scores
+    * map-side by comparison — the form that survives a billion users.
+    * (Users tied exactly on a threshold score identically in both engines:
+    * interpolated quantiles and `>` are IEEE-exact.) */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit("1970-01-01"))
+    val m = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        max(day).as("last_day"),
+        count(lit(1)).as("freq"),
+        dec2(sum(dec(col("value")))).as("monetary"))
+    val th = m.agg(
+      expr("percentile(last_day, array(0.2, 0.4, 0.6, 0.8))").as("rq"),
+      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fq"),
+      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mq"))
+    def score(c: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+      lit(1) + (c > element_at(q, 1)).cast("int") + (c > element_at(q, 2)).cast("int") +
+        (c > element_at(q, 3)).cast("int") + (c > element_at(q, 4)).cast("int")
+    m.crossJoin(broadcast(th))
+      .select(
+        col("user_id"), col("last_day"), col("freq"), col("monetary"),
+        score(col("last_day"), col("rq")).as("r_score"),
+        score(col("freq"), col("fq")).as("f_score"),
+        score(col("monetary"), col("mq")).as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
+
+  val rfmScoresSql: String = {
+    def scoreSql(c: String, q: String) =
+      s"1 + CAST($c > $q[1] AS INTEGER) + CAST($c > $q[2] AS INTEGER)" +
+        s" + CAST($c > $q[3] AS INTEGER) + CAST($c > $q[4] AS INTEGER)"
+    s"""WITH m AS (
+       |  SELECT user_id,
+       |         CAST(MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+       |              AS INTEGER) AS last_day,
+       |         COUNT(*) AS freq,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY user_id),
+       |th AS (
+       |  SELECT quantile_cont(last_day, [0.2, 0.4, 0.6, 0.8]) AS rq,
+       |         quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fq,
+       |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
+       |  FROM m)
+       |SELECT user_id, last_day, freq, monetary,
+       |       ${scoreSql("last_day", "rq")} AS r_score,
+       |       ${scoreSql("freq", "fq")} AS f_score,
+       |       ${scoreSql("monetary", "mq")} AS m_score,
+       |       (${scoreSql("last_day", "rq")}) * 100
+       |         + (${scoreSql("freq", "fq")}) * 10
+       |         + (${scoreSql("monetary", "mq")}) AS rfm
+       |FROM m, th
+       |ORDER BY user_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("events_rfm", rfmScores(_, _).orderBy("user_id"), Some(rfmScoresSql)),
     Q("events_markov", markovTransitions(_, _).orderBy("from_type", "to_type"),
       Some(markovTransitionsSql)),
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),

@@ -585,7 +585,71 @@ object Similarity {
        |GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
 
+  private val PrIters = 3
+  private val PrMass = 1000000L // per-node starting mass, in integer micro-units
+
+  /** PageRank over the [[knnGraph]] in INTEGER mass units — the authority
+    * score that picks canonical documents inside near-dup neighborhoods
+    * (keep the page everyone links to, drop its orbiters). Why integers: a
+    * double-accumulated PageRank depends on partial-sum order, so no two
+    * runs (let alone two engines) hash-match; here each node starts with
+    * [[PrMass]] micro-units, ships `floor(mass·85 / (100·outdeg))` per
+    * out-edge, and gets a 0.15·[[PrMass]] teleport — floor-div on
+    * non-negative longs is identical everywhere, and the inbound long sum
+    * is associative. [[PrIters]] fixed iterations; each generation is
+    * `localCheckpoint`ed (the components lesson: without lineage
+    * truncation, driver-side analysis — re-embedding the LSH subtree per
+    * round — dominates execution). At 100 TB: one join per iteration keyed
+    * on vec_id, mass table is node-bounded, edges re-read from their
+    * materialized table. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = corpus(spark, dir).select(col("vec_id"))
+    var rank = nodes.select(col("vec_id"), lit(PrMass).as("mass"))
+    (1 to PrIters).foreach { _ =>
+      val contrib = edges
+        .join(rank.select(col("vec_id").as("src"), col("mass")), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("(mass * 85) div (100 * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      rank = nodes
+        .join(contrib.select(col("dst").as("vec_id"), col("in_mass")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(PrMass * 15 / 100) + coalesce(col("in_mass"), lit(0L))).as("mass"))
+        .localCheckpoint()
+    }
+    rank.select(col("vec_id"), col("mass").as("rank_mass"))
+  }
+
+  val pagerankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.vec_id,
+         |         CAST(${PrMass * 15 / 100} + COALESCE(SUM((r.mass * 85) // (100 * deg.outdeg)), 0)
+         |              AS BIGINT) AS mass
+         |  FROM n
+         |  LEFT JOIN e ON e.dst = n.vec_id
+         |  LEFT JOIN $prev r ON r.vec_id = e.src
+         |  LEFT JOIN deg ON deg.src = e.src
+         |  GROUP BY n.vec_id)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM ($knnGraphSql)),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |n AS (SELECT vec_id FROM embeddings),
+       |r0 AS (SELECT vec_id, CAST($PrMass AS BIGINT) AS mass FROM n),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT vec_id, mass AS rank_mass
+       |FROM r3
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("sim_pagerank", pagerank(_, _).orderBy("vec_id"), Some(pagerankSql)),
     Q("sim_triangles", triangles(_, _).orderBy("vec_id"), Some(trianglesSql)),
     Q("sim_label_centroids", labelCentroids(_, _).orderBy("label", "d"),
       Some(labelCentroidsSql)),

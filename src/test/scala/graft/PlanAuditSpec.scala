@@ -25,8 +25,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "sample_size_biased" -> 1, // one-row broadcast corpus-max scalar
     "rel_hll_union" -> 1, // one-row merged-sketch scalar × one-row direct scalar
     "rel_range_join" -> 1, // broadcast 4-row tier table, non-equi band condition
-    "sim_triangles" -> 2) // inherits knnGraph's broadcast plane projection
+    "sim_triangles" -> 2, // inherits knnGraph's broadcast plane projection
     // (1 or 2 visible depending on whether the band table is already cached)
+    "sim_pagerank" -> 2, // same knnGraph inheritance as sim_triangles
+    "events_rfm" -> 1) // one-row broadcast quintile-threshold scalar
 
   test("no declared query plans a cartesian product; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
