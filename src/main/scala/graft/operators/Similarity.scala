@@ -585,6 +585,96 @@ object Similarity {
        |GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
 
+  private val PqSubDims = 8 // dims per subspace (64 / 8 subspaces)
+  private val PqCodes = 8 // codes per sub-codebook
+
+  /** PRODUCT QUANTIZATION ANN — the compression face of vector search
+    * (IVF prunes WHICH vectors to score; PQ shrinks WHAT is scored).
+    * Each 64-dim vector is cut into 8 subspaces of [[PqSubDims]] dims;
+    * per subspace a [[PqCodes]]-entry integer sub-codebook (seeded from
+    * label % codes, same deterministic-quantized recipe as IVF) encodes
+    * the subvector as its nearest code — 8 small ints per vector instead
+    * of 64 floats. Search is ADC (asymmetric distance computation): the
+    * query keeps its exact dims, a query×subspace×code distance table is
+    * broadcast, and each corpus vector's approximate distance is the SUM
+    * of 8 table lookups along its code word — an equi-join on (subspace,
+    * code) + one aggregation, never touching the original vectors. All
+    * arithmetic is integer micro-units: encode, table, and ADC sum are
+    * exactly reproducible, so the oracle replays them bit-for-bit.
+    * At 100 TB: the corpus ships/stores 8 bytes/vector (32× compression),
+    * the distance table is queries × 64 longs broadcast, and the scan is
+    * memory-bandwidth-bound over codes — the reason PQ exists. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val dims = quantDims(e)
+    val sub = dims.withColumn("s", expr(s"d div $PqSubDims").cast("int"))
+    val lab = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), pmod(col("label"), lit(PqCodes)).as("code"))
+    val subCent = sub.join(broadcast(lab), "vec_id")
+      .groupBy(col("s"), col("code"), col("d"))
+      .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val enc = sub.join(broadcast(subCent), Seq("s", "d"))
+      .groupBy(col("vec_id"), col("s"), col("code"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("code"))
+    val codes = enc.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("code"))
+    val dtable = sub.filter(col("vec_id") < NumQueries)
+      .join(broadcast(subCent), Seq("s", "d"))
+      .groupBy(col("vec_id").as("query_id"), col("s").as("qs"), col("code").as("qcode"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("pd2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2"), col("neighbor_id"))
+    codes.join(broadcast(dtable),
+        col("s") === col("qs") && col("code") === col("qcode") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("approx_d2"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("approx_d2"))
+  }
+
+  val pqTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT vec_id, i - 1 AS d,
+       |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+       |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+       |sub AS (SELECT vec_id, CAST(d // $PqSubDims AS INTEGER) AS s, d, q FROM dims),
+       |lab AS (SELECT vec_id, CAST(label % $PqCodes AS INTEGER) AS code FROM embeddings),
+       |subcent AS (SELECT s, code, d,
+       |                   CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |            FROM sub JOIN lab USING (vec_id)
+       |            GROUP BY 1, 2, 3),
+       |enc AS (SELECT vec_id, s, code, SUM((q - cq) * (q - cq)) AS d2
+       |        FROM sub JOIN subcent USING (s, d)
+       |        GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, s, code FROM (
+       |            SELECT vec_id, s, code,
+       |                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |                                      ORDER BY d2, code) AS rn
+       |            FROM enc) WHERE rn = 1),
+       |dtable AS (SELECT vec_id AS query_id, s, code, SUM((q - cq) * (q - cq)) AS pd2
+       |           FROM sub JOIN subcent USING (s, d)
+       |           WHERE vec_id < $NumQueries
+       |           GROUP BY 1, 2, 3),
+       |adc AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |               CAST(SUM(pd2) AS BIGINT) AS approx_d2
+       |        FROM codes c JOIN dtable t
+       |          ON c.s = t.s AND c.code = t.code AND c.vec_id <> t.query_id
+       |        GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, approx_d2,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY approx_d2, neighbor_id) AS INTEGER)
+       |               AS rank
+       |      FROM adc)
+       |SELECT query_id, neighbor_id, rank, approx_d2
+       |FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   private val PrIters = 3
   private val PrMass = 1000000L // per-node starting mass, in integer micro-units
 
@@ -661,5 +751,6 @@ object Similarity {
       Some(embeddingCosinePairsSql)),
     Q("sim_ivf_topk", ivfTopK(_, _).orderBy("query_id", "rank"), Some(ivfTopKSql)),
     Q("sim_ivf_kmeans_topk", ivfKmeansTopK(_, _).orderBy("query_id", "rank"),
-      Some(ivfKmeansTopKSql)))
+      Some(ivfKmeansTopKSql)),
+    Q("sim_pq_topk", pqTopK(_, _).orderBy("query_id", "rank"), Some(pqTopKSql)))
 }

@@ -86,4 +86,34 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(again == ivf.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
   }
+
+  test("PQ ADC top-k: valid shape, ranked by ascending distance, deterministic") {
+    val pq = Similarity.pqTopK(spark, TestSpark.Sf0001).collect()
+    val byQuery = pq.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 10)
+      assert(!rows.exists(_.getLong(1) == q), "self must be excluded")
+      val ranks = rows.map(_.getInt(2)).sorted
+      assert(ranks.sameElements(1 to 10))
+      val d2 = rows.sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(d2.zip(d2.tail).forall { case (a, b) => a <= b },
+        "ranked by ascending ADC distance")
+      assert(d2.forall(_ >= 0L), "squared distances are non-negative")
+    }
+    val again = Similarity.pqTopK(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == pq.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet,
+      "integer-quantized codebooks must be reproducible")
+  }
+
+  test("PQ recall vs brute force clearly beats the random floor") {
+    val pq = Similarity.pqTopK(spark, TestSpark.Sf0001).collect()
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqSet = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet & pqSet).size.toDouble / bruteSet.size
+    // 8 subspaces x 8 codes over ~uniform vectors is a coarse 8-byte code;
+    // random top-10 of ~500 docs would land ~2% — require a real signal.
+    assert(recall >= 0.1, s"recall@10 was $recall")
+  }
 }
