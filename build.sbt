@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked run JVM inherit stdout/stderr directly: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks
+// line-oriented parsers reading the Bench metric line from the stdout
+// tail (BENCH_r01..r03 all landed "parsed": null that way).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,7 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign CacheManager "already cached" warnings from
+    // re-running persisting queries otherwise flood the bounded stdout tail
+    // the driver parses the metric line from.
+    spark.sparkContext.setLogLevel("ERROR")
     // optional comma-separated allowlist for focused timing runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.declared.map(_.name)
