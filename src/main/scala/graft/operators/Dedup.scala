@@ -109,29 +109,40 @@ object Dedup {
     * score while making the plan linear in the corpus. */
   private val DfCap = 64
 
+  /** The df-capped inverted index (doc_id, h): [[shingleIndex]] restricted
+    * to discriminative shingles (df ≤ [[DfCap]]), via the HOT-KEY SET:
+    * shingles over the cap are the few non-discriminative stop-shingles
+    * (Zipf head — the over-cap key count is bounded by |index|/DfCap and in
+    * practice far smaller), so compute them with a hash aggregate (map-side
+    * partial aggregation collapses each partition to its distinct shingles
+    * first) and broadcast anti-join them out of the index. This replaces a
+    * full-index window SORT with an agg over partials plus a map-side
+    * filter — measured ~2× on the Jaccard query; at corpus scale the sort
+    * was the bottleneck. If the hot set ever outgrew a broadcast, the
+    * fallback is a shuffled anti-join — never a window sort. Persisted:
+    * consumed by the Jaccard AND containment pipelines (sizes + both
+    * self-join sides each). */
+  private def cappedShingleIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idx = shingleIndex(spark, dir)
+    val hot = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select(col("h"))
+    idx.join(broadcast(hot), Seq("h"), "left_anti")
+      .select("doc_id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Shared CTE suffix: `shf` = the df-capped index over `sh`. */
+  private val cappedShingleIndexSql: String =
+    s"""shf AS (SELECT sh.doc_id, sh.h FROM sh
+       |        JOIN (SELECT h FROM sh GROUP BY h
+       |              HAVING COUNT(*) <= $DfCap) r USING (h))""".stripMargin
+
   /** Exact n-gram Jaccard near-dup pairs above [[JaccardThreshold]], found
     * through the inverted shingle index (docs never meet unless they share a
     * shingle — no O(n²) cross join), restricted to discriminative shingles
     * (df ≤ [[DfCap]]). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val idx = shingleIndex(spark, dir)
-    // df-cap via the HOT-KEY SET: shingles over the cap are the few
-    // non-discriminative stop-shingles (Zipf head — the over-cap key count
-    // is bounded by |index|/DfCap and in practice far smaller), so compute
-    // them with a hash aggregate (map-side partial aggregation collapses
-    // each partition to its distinct shingles first) and broadcast
-    // anti-join them out of the index. This replaces a full-index
-    // window SORT with an agg over partials plus a map-side filter —
-    // measured ~2× on this query; at corpus scale the sort was the
-    // bottleneck. If the hot set ever outgrew a broadcast, the fallback
-    // is a shuffled anti-join — never a window sort.
-    val hot = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCap).select(col("h"))
-    // three consumers below (sizes + both self-join sides) — persist so the
-    // agg + anti-join run once, same policy as the shingle index itself
-    val sh = idx.join(broadcast(hot), Seq("h"), "left_anti")
-      .select("doc_id", "h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = cappedShingleIndex(spark, dir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -150,9 +161,7 @@ object Dedup {
 
   val ngramJaccardSql: String =
     s"""WITH $shingleIndexSql,
-       |shf AS (SELECT sh.doc_id, sh.h FROM sh
-       |        JOIN (SELECT h FROM sh GROUP BY h
-       |              HAVING COUNT(*) <= $DfCap) r USING (h)),
+       |$cappedShingleIndexSql,
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
        |          FROM shf a JOIN shf b
@@ -165,6 +174,50 @@ object Dedup {
        |JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val ContainmentThreshold = 0.5
+
+  /** Shingle CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥
+    * [[ContainmentThreshold]] over the df-capped index. Containment is the
+    * asymmetric near-dup relation Jaccard misses: a short document quoted
+    * wholesale inside a long one has tiny Jaccard (the union is dominated by
+    * the long doc) but containment ≈ 1 — the quote/boilerplate/excerpt case
+    * a training-data pipeline must catch. Same inverted-index candidate
+    * generation as [[ngramJaccard]] (bucketed equi-join, never all-pairs);
+    * only the final scoring differs. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingleIndex(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        (col("n_common").cast("double") / least(col("sa.n"), col("sb.n")))
+          .as("containment"))
+      .filter(col("containment") >= ContainmentThreshold)
+  }
+
+  val containmentSql: String =
+    s"""WITH $shingleIndexSql,
+       |$cappedShingleIndexSql,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |          FROM shf a JOIN shf b
+       |            ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       |       CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n) >= $ContainmentThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash signatures (`numPerms` perms), LSH banding (`numBands` bands ×
@@ -620,6 +673,8 @@ object Dedup {
     Q("dedup_fingerprint", fingerprint(_, _).orderBy("doc_id"), Some(fingerprintSql)),
     Q("dedup_ngram_jaccard", ngramJaccard(_, _).orderBy("doc_a", "doc_b"),
       Some(ngramJaccardSql)),
+    Q("dedup_containment", containment(_, _).orderBy("doc_a", "doc_b"),
+      Some(containmentSql)),
     Q("dedup_minhash_lsh", minhashLsh(_, _).orderBy("doc_a", "doc_b"),
       Some(minhashLshSql)),
     Q("dedup_keep_set", keepSet(_, _).orderBy("doc_id"), Some(keepSetSql)),

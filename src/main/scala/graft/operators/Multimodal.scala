@@ -101,6 +101,52 @@ object Multimodal {
        |FROM f, UNNEST(range(0, n_frames, $FrameStep)) AS u(frame_idx)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  private val SampleRate = 16000
+  private val ChunkSamples = 5 * SampleRate // 5-second windows
+
+  /** Audio CHUNKING over the "audio" media rows: a fake decode maps the
+    * payload to a PCM length (n_samples = 100 samples/byte stand-in), then
+    * the stream is split into fixed 5 s windows — one row per chunk with
+    * sample offsets, duration, and a per-chunk digest (the key a real
+    * pipeline stores extracted ASR/embedding features under). The chunk
+    * fan-out is a Generate over `sequence` running map-side next to the
+    * payload; only (doc_id, chunk) feature rows move downstream — the same
+    * partitioning discipline as [[frameSample]]. A real decoder swaps the
+    * sample-count formula and digest at the [[fakeDecode]] seam. */
+  def audioChunks(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir)
+      .filter(col("media_kind") === 1)
+      .select(col("doc_id"), col("content_md5"),
+        (col("n_bytes") * 100).as("n_samples"))
+      .select(col("doc_id"), col("content_md5"), col("n_samples"),
+        explode(sequence(lit(0),
+          expr(s"(n_samples + ${ChunkSamples - 1}) div $ChunkSamples - 1"))).as("chunk"))
+      .select(
+        col("doc_id"), col("chunk").cast("int").as("chunk"),
+        (col("chunk") * ChunkSamples).cast("int").as("start_sample"),
+        least(col("chunk") * ChunkSamples + ChunkSamples, col("n_samples"))
+          .cast("int").as("end_sample"),
+        expr(s"CAST((least(chunk * $ChunkSamples + $ChunkSamples, n_samples)" +
+          s" - chunk * $ChunkSamples) * 1000 div $SampleRate AS INT)").as("chunk_ms"),
+        md5(concat(col("content_md5"), lit("#"), col("chunk").cast("string")))
+          .as("chunk_digest"))
+
+  val audioChunksSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, md5(text) AS content_md5,
+       |         CAST(octet_length(encode(text)) * 100 AS INTEGER) AS n_samples
+       |  FROM documents WHERE doc_id % 3 = 1)
+       |SELECT doc_id,
+       |       CAST(chunk AS INTEGER) AS chunk,
+       |       CAST(chunk * $ChunkSamples AS INTEGER) AS start_sample,
+       |       CAST(LEAST(chunk * $ChunkSamples + $ChunkSamples, n_samples) AS INTEGER)
+       |         AS end_sample,
+       |       CAST((LEAST(chunk * $ChunkSamples + $ChunkSamples, n_samples)
+       |             - chunk * $ChunkSamples) * 1000 // $SampleRate AS INTEGER) AS chunk_ms,
+       |       md5(content_md5 || '#' || CAST(chunk AS VARCHAR)) AS chunk_digest
+       |FROM a, UNNEST(range(0, (n_samples + ${ChunkSamples - 1}) // $ChunkSamples)) AS u(chunk)
+       |ORDER BY doc_id, chunk""".stripMargin
+
   /** Cross-modality join: the text row (documents) keyed to its embedding
     * row (embeddings) — the canonical multimodal-table shape where each
     * modality lives in its own table sharing the document key. Emits the
@@ -134,6 +180,8 @@ object Multimodal {
     Q("mm_features", features(_, _).orderBy("doc_id"), Some(featuresSql)),
     Q("mm_frame_sample", frameSample(_, _).orderBy("doc_id", "frame_idx"),
       Some(frameSampleSql)),
+    Q("mm_audio_chunks", audioChunks(_, _).orderBy("doc_id", "chunk"),
+      Some(audioChunksSql)),
     Q("mm_modality_join", modalityJoin(_, _).orderBy("doc_id"),
       Some(modalityJoinSql)))
 }

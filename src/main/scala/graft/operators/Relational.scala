@@ -852,8 +852,142 @@ object Relational {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** Exact z-score outlier detection with NO floating point in the
+    * decision: a value is an outlier iff |x − μ| > 3σ, tested as
+    * (n·c − s)² > 9·(n·q − s²) over integer cents c, group count n, cents
+    * sum s, and cents-square sum q — every quantity an exact integer
+    * (DECIMAL(38,0) here, HUGEINT in the oracle), so the flagged set is
+    * bit-identical across engines and shuffle orders. A float-σ comparison
+    * would flip rows sitting exactly on the boundary depending on summation
+    * order — the classic nondeterministic-pipeline bug. Two passes: a
+    * sufficient-stats aggregate (map-side partial), then the stats broadcast
+    * back for the per-row test — at 100 TB the stats relation is
+    * group-cardinality-sized, so the second pass is a scan-speed broadcast
+    * join, never a shuffle of the fact table. */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), (dec(col("value")) * 100).cast("long").as("c"))
+    val stats = rows.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c").cast(d38) * col("c")).as("q"))
+    val dev = col("n").cast(d38) * col("c") - col("s")
+    val isOut = (dev * dev) >
+      (lit(9).cast(d38) * (col("n").cast(d38) * col("q") - col("s").cast(d38) * col("s")))
+    rows.join(broadcast(stats), Seq("event_type"))
+      .withColumn("is_out", isOut.cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("is_out")).as("n_outliers"),
+        max(col("s")).as("s_cents"))
+      .select(col("event_type"), col("n_rows"), col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n_rows")).as("outlier_frac"),
+        Q.avgCents2("s_cents", "n_rows").as("avg_value"))
+  }
+
+  val zscoreOutliersSql: String =
+    """WITH r AS (SELECT event_type,
+      |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |           FROM events),
+      |st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+      |              SUM(CAST(c AS HUGEINT) * c) AS q
+      |       FROM r GROUP BY 1),
+      |o AS (SELECT r.event_type,
+      |             CASE WHEN (CAST(n AS HUGEINT)*c - s)*(CAST(n AS HUGEINT)*c - s)
+      |                       > 9*(CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)
+      |                  THEN 1 ELSE 0 END AS is_out,
+      |             s, n
+      |      FROM r JOIN st USING (event_type))
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |       CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+      |       CAST(SUM(is_out) AS DOUBLE) / COUNT(*) AS outlier_frac,
+      |       CAST(SIGN(ANY_VALUE(s)) *
+      |            ((2 * ABS(ANY_VALUE(s)) + COUNT(*)) // (2 * COUNT(*)))
+      |            AS DOUBLE) / 100 AS avg_value
+      |FROM o GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Probe date for [[zoneMaps]]: 1997-01-01 as an epoch day. */
+  private val ZoneProbeDay = 9862
+  private val ZoneWidth = 4096
+
+  /** Data-skipping ZONE MAPS: per-zone (l_orderkey ranges of [[ZoneWidth]])
+    * min/max statistics over the sort-correlated ship-date column, plus the
+    * pruning verdict for a probe predicate `l_shipdate ≥ 1997-01-01`. This
+    * is the stats table a lakehouse keeps per file/row-group to skip I/O;
+    * `scan_needed = false` zones are the files a 100 TB scan never opens.
+    * Because TPC-H orderkeys correlate with order date, the zones are
+    * naturally date-clustered — the query also reports how selective the
+    * probe is (fraction of zones skipped is visible from the flag). */
+  def zoneMaps(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+    Tables.lineitem(spark, dir)
+      .select(expr(s"l_orderkey div $ZoneWidth").as("zone"), day.as("d"),
+        col("l_extendedprice"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("d")).as("min_ship_day"), max(col("d")).as("max_ship_day"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .withColumn("scan_needed", col("max_ship_day") >= ZoneProbeDay)
+  }
+
+  val zoneMapsSql: String =
+    s"""WITH z AS (SELECT l_orderkey // $ZoneWidth AS zone,
+       |                 datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+       |                 l_extendedprice
+       |          FROM lineitem)
+       |SELECT zone, COUNT(*) AS n_rows,
+       |       CAST(MIN(d) AS INTEGER) AS min_ship_day,
+       |       CAST(MAX(d) AS INTEGER) AS max_ship_day,
+       |       MIN(l_extendedprice) AS min_price,
+       |       MAX(l_extendedprice) AS max_price,
+       |       MAX(d) >= $ZoneProbeDay AS scan_needed
+       |FROM z GROUP BY zone
+       |ORDER BY zone""".stripMargin
+
+  /** Join-key SKEW DIAGNOSTICS: the distribution of per-key row counts for
+    * a prospective join/aggregation key — the report an engineer (or an
+    * advisor rule) reads before deciding between a plain shuffle join, a
+    * broadcast, or salting. One row: key cardinality, total rows, the
+    * worst key's count, exact p50/p90/p99 of the per-key count
+    * distribution, and skew_ratio = max/mean (≈1 ⇒ uniform; ≫1 ⇒ salt).
+    * The per-key count relation is key-cardinality-sized — at 100 TB this
+    * diagnostic costs one map-side-combined aggregate over the fact table,
+    * then quantiles over the (much smaller) counts relation. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+        count(lit(1)).as("n_keys"), sum(col("cnt")).as("total_rows"),
+        max(col("cnt")).as("max_cnt"),
+        expr("percentile(cnt, 0.5)").as("p50_cnt"),
+        expr("percentile(cnt, 0.9)").as("p90_cnt"),
+        expr("percentile(cnt, 0.99)").as("p99_cnt"))
+      .select(lit("events.user_id").as("key_col"), col("n_keys"),
+        col("total_rows"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        ((col("max_cnt") * col("n_keys")).cast("double") / col("total_rows"))
+          .as("skew_ratio"))
+  }
+
+  val skewReportSql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1)
+      |SELECT 'events.user_id' AS key_col,
+      |       COUNT(*) AS n_keys,
+      |       CAST(SUM(cnt) AS BIGINT) AS total_rows,
+      |       MAX(cnt) AS max_cnt,
+      |       quantile_cont(cnt, 0.5) AS p50_cnt,
+      |       quantile_cont(cnt, 0.9) AS p90_cnt,
+      |       quantile_cont(cnt, 0.99) AS p99_cnt,
+      |       CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS skew_ratio
+      |FROM c""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("rel_hll_union", hllUnion(_, _).orderBy("exact_users"), Some(hllUnionSql)),
+    Q("rel_zscore_outliers", zscoreOutliers(_, _).orderBy("event_type"),
+      Some(zscoreOutliersSql)),
+    Q("rel_zone_maps", zoneMaps(_, _).orderBy("zone"), Some(zoneMapsSql)),
+    Q("meta_skew_report", skewReport(_, _).orderBy("key_col"), Some(skewReportSql)),
     Q("rel_range_join", rangeJoin(_, _).orderBy("tier"), Some(rangeJoinSql)),
     Q("rel_salted_join", saltedJoin(_, _).orderBy("c_mktsegment"), Some(saltedJoinSql)),
     Q("rel_median_mode", medianMode(_, _).orderBy("p_brand"), Some(medianModeSql)),

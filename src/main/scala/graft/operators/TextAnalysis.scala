@@ -240,6 +240,42 @@ object TextAnalysis {
       |ORDER BY n DESC, bigram
       |LIMIT 20""".stripMargin
 
+  /** The first step of BPE tokenizer induction: corpus-wide adjacent
+    * character-pair frequencies, weighted by word frequency. BPE training
+    * repeatedly merges the most frequent symbol pair; this operator computes
+    * one merge round's candidate table (the top-20 pairs with the counts
+    * that rank them). The scale shape is the important part: pair counting
+    * runs over the DISTINCT-word frequency table (vocabulary-sized, Zipf:
+    * orders of magnitude smaller than the token stream), never over the raw
+    * corpus — the same two-level aggregation a production tokenizer trainer
+    * uses. Char pairs come from the native [[CharNGrams]] generator (one
+    * pass, codegen'd). */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    tf.filter(length(col("token")) >= 2)
+      .select(col("cnt"), explode(charNGrams(col("token"), 2)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+  }
+
+  val bpePairsSql: String =
+    """WITH tok AS (
+      |  SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |p AS (SELECT substr(token, CAST(i AS INTEGER), 2) AS pair, cnt
+      |      FROM tf, UNNEST(range(1, length(token))) AS u(i)
+      |      WHERE length(token) >= 2)
+      |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      |FROM p
+      |GROUP BY pair
+      |ORDER BY pair_count DESC, pair
+      |LIMIT 20""".stripMargin
+
   /** Benchmark decontamination: flag corpus documents sharing any 5-gram
     * with a held-out "benchmark" set (here: every 97th doc, a deterministic
     * stand-in for an eval set; production loads the real benchmark's
@@ -586,6 +622,7 @@ object TextAnalysis {
     Q("text_token_counts", tokenCounts(_, _).orderBy("doc_id"), Some(tokenCountsSql)),
     Q("text_regex_tokens", regexTokens(_, _).orderBy("doc_id"), Some(regexTokensSql)),
     Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
+    Q("text_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Q("text_quality_score", qualityScore(_, _).orderBy("doc_id"), Some(qualityScoreSql)),
     Q("text_lang_id", langId(_, _).orderBy("doc_id"), Some(langIdSql)),
     Q("text_winnow_fingerprint", winnowFingerprint(_, _).orderBy("doc_id"),

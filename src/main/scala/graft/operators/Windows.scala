@@ -335,6 +335,51 @@ object Windows {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Weighted moving average (weights 4,3,2,1 over the last 4 orders) of a
+    * customer's order totals — in EXACT integer cents, finalized with one
+    * half-up division. A frame-SUM over doubles would be nondeterministic
+    * across engines (sliding-window sums re-associate: Spark accumulates in
+    * frame order, other engines use segment trees), so the frame is unrolled
+    * into three LAGs and the weighted sum stays integral until the last
+    * divide. Emitted from the 4th order on (no partial-window semantics to
+    * disagree about). One shuffle on the partition key; the window itself is
+    * sort-local within each customer. */
+  def weightedMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        lag(col("c"), 1).over(w).as("l1"),
+        lag(col("c"), 2).over(w).as("l2"),
+        lag(col("c"), 3).over(w).as("l3"),
+        col("c"))
+      .filter(col("rn") >= 4)
+      .select(col("o_orderkey"), col("o_custkey"), col("rn"),
+        expr("CAST((2 * (4*c + 3*l1 + 2*l2 + l3) + 10) div 20 AS DOUBLE) / 100")
+          .as("wma_price"))
+  }
+
+  val weightedMovingAvgSql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+      |                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |           FROM orders),
+      |w AS (SELECT o_orderkey, o_custkey,
+      |             CAST(ROW_NUMBER() OVER win AS INTEGER) AS rn,
+      |             LAG(c, 1) OVER win AS l1,
+      |             LAG(c, 2) OVER win AS l2,
+      |             LAG(c, 3) OVER win AS l3,
+      |             c
+      |      FROM o
+      |      WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT o_orderkey, o_custkey, rn,
+      |       CAST((2 * (4*c + 3*l1 + 2*l2 + l3) + 10) // 20 AS DOUBLE) / 100 AS wma_price
+      |FROM w
+      |WHERE rn >= 4
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("win_gap_fill", gapFill(_, _).orderBy("prio", "day"), Some(gapFillSql)),
     Q("win_streaks", streaks(_, _).orderBy("user_id"), Some(streaksSql)),
@@ -343,6 +388,8 @@ object Windows {
     Q("win_topk_per_group", topKPerGroup(_, _).orderBy("p_brand", "rank_in_brand"),
       Some(topKPerGroupSql)),
     Q("win_lag_delta", lagDelta(_, _).orderBy("event_id"), Some(lagDeltaSql)),
+    Q("win_wma", weightedMovingAvg(_, _).orderBy("o_orderkey"),
+      Some(weightedMovingAvgSql)),
     Q("win_asof_last_signup", asofLastSignup(_, _).orderBy("event_id"),
       Some(asofLastSignupSql)),
     Q("win_asof_join", asofJoin(_, _).orderBy("purchase_id"), Some(asofJoinSql)),
