@@ -738,6 +738,122 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** ANN RECALL@K evaluation: for each approximate index (SRP-LSH, IVF,
+    * PQ-ADC), the per-query overlap with the exact brute-force top-k — the
+    * measurement every production ANN deployment runs before trusting an
+    * index, expressed as a first-class relational query. A method's recall
+    * row counts hits via a semi-join of the exact result against the
+    * approximate result on (query, neighbor); queries the index missed
+    * entirely still appear (left join from the query set, 0 hits). The
+    * whole evaluation reuses the persisted band/centroid/code tables the
+    * index queries themselves build — at scale this runs as a cheap
+    * side-query over materialized index artifacts, not a recompute. */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val qs = bf.select(col("query_id")).distinct()
+    def one(method: String, ap: DataFrame): DataFrame = {
+      val hits = bf
+        .join(ap.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      qs.join(hits, Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / K).as("recall_at_k"))
+    }
+    one("ivf", ivfTopK(spark, dir))
+      .unionByName(one("lsh", lshTopK(spark, dir)))
+      .unionByName(one("pq", pqTopK(spark, dir)))
+  }
+
+  val recallEvalSql: String = {
+    def block(method: String, cte: String): String =
+      s"""SELECT '$method' AS method, qs.query_id,
+         |       COALESCE(h.hits, 0) AS hits,
+         |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / $K AS recall_at_k
+         |FROM qs LEFT JOIN (
+         |  SELECT bf.query_id, COUNT(*) AS hits
+         |  FROM bf JOIN $cte USING (query_id, neighbor_id)
+         |  GROUP BY 1) h ON h.query_id = qs.query_id""".stripMargin
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (
+       |$bruteForceTopKSql
+       |)),
+       |qs AS (SELECT DISTINCT query_id FROM bf),
+       |ivfq AS (SELECT query_id, neighbor_id FROM (
+       |$ivfTopKSql
+       |)),
+       |lshq AS (SELECT query_id, neighbor_id FROM (
+       |$lshTopKSql
+       |)),
+       |pqq AS (SELECT query_id, neighbor_id FROM (
+       |$pqTopKSql
+       |))
+       |${block("ivf", "ivfq")}
+       |UNION ALL
+       |${block("lsh", "lshq")}
+       |UNION ALL
+       |${block("pq", "pqq")}
+       |ORDER BY method, query_id""".stripMargin
+  }
+
+  private val CoreK = 3
+  private val CoreRounds = 8
+
+  /** k-CORE decomposition (bounded peel) of the MUTUAL-kNN graph: keep only
+    * edges where each endpoint ranks the other in its top-k (the symmetric
+    * backbone — one-directional kNN edges are dominated by hubs), then drop
+    * every node with degree < [[CoreK]], recompute degrees on the surviving
+    * subgraph, repeat [[CoreRounds]] times — the standard community-density
+    * filter (nodes outside the 3-core are weakly-embedded points; inside it,
+    * dense regions a curriculum/cluster stage would target). The round count
+    * is part of the operator contract (both engines compute exactly
+    * [[CoreRounds]] peels — the fixpoint on this data, verified in the
+    * spec); each round is two semi-joins + a map-side-combined degree
+    * count, and each generation is lineage-truncated the same way
+    * [[graft.operators.Dedup.components]] is — the iterative-fixpoint
+    * discipline at scale. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnGraph(spark, dir)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+    val rev = knn.select(col("b").as("ra"), col("a").as("rb"))
+    var edges = knn
+      .join(rev, col("a") === col("ra") && col("b") === col("rb"), "left_semi")
+      .localCheckpoint()
+    for (_ <- 1 to CoreRounds) {
+      val keep = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= CoreK).select(col("a"))
+      edges = edges
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    edges.groupBy(col("a")).agg(count(lit(1)).as("degree_in_core"))
+      .select(col("a").as("vec_id"), col("degree_in_core"))
+  }
+
+  val kcoreSql: String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references the previous one twice (edges + the keep set over
+    // them) — inlined, e8 expands to 3^8 copies of the kNN pipeline
+    val rounds = (1 to CoreRounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT a FROM e${i - 1} GROUP BY a HAVING COUNT(*) >= $CoreK),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH knn AS (SELECT vec_id, neighbor_id FROM (
+       |$knnGraphSql
+       |)),
+       |e0 AS MATERIALIZED (SELECT x.vec_id AS a, x.neighbor_id AS b
+       |       FROM knn x JOIN knn y
+       |         ON x.vec_id = y.neighbor_id AND x.neighbor_id = y.vec_id),
+       |$rounds
+       |SELECT a AS vec_id, COUNT(*) AS degree_in_core
+       |FROM e$CoreRounds
+       |GROUP BY a
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("sim_pagerank", pagerank(_, _).orderBy("vec_id"), Some(pagerankSql)),
     Q("sim_triangles", triangles(_, _).orderBy("vec_id"), Some(trianglesSql)),
@@ -752,5 +868,8 @@ object Similarity {
     Q("sim_ivf_topk", ivfTopK(_, _).orderBy("query_id", "rank"), Some(ivfTopKSql)),
     Q("sim_ivf_kmeans_topk", ivfKmeansTopK(_, _).orderBy("query_id", "rank"),
       Some(ivfKmeansTopKSql)),
-    Q("sim_pq_topk", pqTopK(_, _).orderBy("query_id", "rank"), Some(pqTopKSql)))
+    Q("sim_pq_topk", pqTopK(_, _).orderBy("query_id", "rank"), Some(pqTopKSql)),
+    Q("sim_recall_eval", recallEval(_, _).orderBy("method", "query_id"),
+      Some(recallEvalSql)),
+    Q("sim_kcore", kcore(_, _).orderBy("vec_id"), Some(kcoreSql)))
 }

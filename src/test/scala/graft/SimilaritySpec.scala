@@ -116,4 +116,30 @@ class SimilaritySpec extends AnyFunSuite {
     // random top-10 of ~500 docs would land ~2% — require a real signal.
     assert(recall >= 0.1, s"recall@10 was $recall")
   }
+
+  test("recall_eval reproduces the set-arithmetic recall for every method") {
+    val eval = Similarity.recallEval(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(eval.keys.map(_._1).toSet == Set("ivf", "lsh", "pq"))
+    // cross-check one method against an independent set computation
+    val bruteByQ = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshSet = Similarity.lshTopK(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (bruteByQ & lshSet).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    brute.map(_.getLong(0)).distinct.foreach { q =>
+      assert(eval(("lsh", q)) == expect.getOrElse(q, 0L),
+        s"lsh hits for query $q disagree with set arithmetic")
+    }
+  }
+
+  test("k-core bounded peel reaches its fixpoint on the mutual-kNN graph") {
+    val core = Similarity.kcore(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.nonEmpty, "the 3-core of this corpus is non-trivial")
+    // every surviving node at degree >= k IS the fixpoint condition: one
+    // more peel round would remove nothing
+    core.foreach { case (id, deg) =>
+      assert(deg >= 3L, s"node $id survived the bounded peel with degree $deg < k")
+    }
+  }
 }
