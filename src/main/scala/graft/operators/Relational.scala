@@ -906,6 +906,53 @@ object Relational {
       |FROM o GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** MERGE / UPSERT semantics (the lakehouse `MERGE INTO` contract) over a
+    * plain star-schema dim, expressed as one FULL OUTER join: a delta batch
+    * (every 3rd customer with a re-stated balance, including keys the base
+    * has never seen) merged into a base snapshot (customers outside one
+    * deterministic 1/7 slice) — matched keys take the delta's values
+    * (`update`), delta-only keys append (`insert`), base-only keys carry
+    * over (`keep`). The action tag makes the write-audit row counts a
+    * by-product of the merge itself. At 100 TB the base is the big side:
+    * store it bucketed on the merge key so the daily merge co-locates with
+    * the (much smaller) shuffled delta instead of re-shuffling the
+    * snapshot — the same bucketing lever BucketedJoinSpec demonstrates. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val base = cust.filter(col("c_custkey") % 7 =!= 6)
+      .select(col("c_custkey").as("bk"), col("c_mktsegment").as("b_seg"),
+        dec(col("c_acctbal")).as("b_bal"))
+    val delta = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("dk"), col("c_mktsegment").as("d_seg"),
+        (dec(col("c_acctbal")) + dec(lit(100))).as("d_bal"))
+    base.join(delta, col("bk") === col("dk"), "full_outer")
+      .select(
+        coalesce(col("bk"), col("dk")).as("c_custkey"),
+        coalesce(col("d_seg"), col("b_seg")).as("c_mktsegment"),
+        Q.dec2(coalesce(col("d_bal"), col("b_bal"))).as("acctbal"),
+        when(col("bk").isNotNull && col("dk").isNotNull, lit("update"))
+          .when(col("dk").isNotNull, lit("insert"))
+          .otherwise(lit("keep")).as("action"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS bk, c_mktsegment AS b_seg,
+      |         CAST(c_acctbal AS DECIMAL(18,2)) AS b_bal
+      |  FROM customer WHERE c_custkey % 7 <> 6),
+      |delta AS (
+      |  SELECT c_custkey AS dk, c_mktsegment AS d_seg,
+      |         CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS d_bal
+      |  FROM customer WHERE c_custkey % 3 = 0)
+      |SELECT COALESCE(bk, dk) AS c_custkey,
+      |       COALESCE(d_seg, b_seg) AS c_mktsegment,
+      |       CAST(COALESCE(d_bal, b_bal) AS DOUBLE) AS acctbal,
+      |       CASE WHEN bk IS NOT NULL AND dk IS NOT NULL THEN 'update'
+      |            WHEN dk IS NOT NULL THEN 'insert'
+      |            ELSE 'keep' END AS action
+      |FROM base FULL OUTER JOIN delta ON bk = dk
+      |ORDER BY c_custkey""".stripMargin
+
   /** Probe date for [[zoneMaps]]: 1997-01-01 as an epoch day. */
   private val ZoneProbeDay = 9862
   private val ZoneWidth = 4096
@@ -987,6 +1034,8 @@ object Relational {
     Q("rel_zscore_outliers", zscoreOutliers(_, _).orderBy("event_type"),
       Some(zscoreOutliersSql)),
     Q("rel_zone_maps", zoneMaps(_, _).orderBy("zone"), Some(zoneMapsSql)),
+    Q("rel_merge_upsert", mergeUpsert(_, _).orderBy("c_custkey"),
+      Some(mergeUpsertSql)),
     Q("meta_skew_report", skewReport(_, _).orderBy("key_col"), Some(skewReportSql)),
     Q("rel_range_join", rangeJoin(_, _).orderBy("tier"), Some(rangeJoinSql)),
     Q("rel_salted_join", saltedJoin(_, _).orderBy("c_mktsegment"), Some(saltedJoinSql)),
