@@ -137,6 +137,22 @@ object Dedup {
        |        JOIN (SELECT h FROM sh GROUP BY h
        |              HAVING COUNT(*) <= $DfCap) r USING (h))""".stripMargin
 
+  /** (doc_a, doc_b, n_common) — shared shingle counts for every candidate
+    * pair meeting in the capped inverted index. The self-join + aggregate is
+    * the expensive step of BOTH the Jaccard and the containment pipelines
+    * (only their final scoring differs), so it is computed once and
+    * persisted — the dedup-stage intermediate a production pipeline would
+    * materialize between candidate generation and each scoring policy. */
+  private def pairIntersections(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingleIndex(spark, dir)
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs above [[JaccardThreshold]], found
     * through the inverted shingle index (docs never meet unless they share a
     * shingle — no O(n²) cross join), restricted to discriminative shingles
@@ -144,11 +160,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingleIndex(spark, dir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val inter = pairIntersections(spark, dir)
     inter
       .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -189,11 +201,7 @@ object Dedup {
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingleIndex(spark, dir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val inter = pairIntersections(spark, dir)
     inter
       .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))

@@ -819,7 +819,15 @@ object Similarity {
     var edges = knn
       .join(rev, col("a") === col("ra") && col("b") === col("rb"), "left_semi")
       .localCheckpoint()
-    for (_ <- 1 to CoreRounds) {
+    // early exit on convergence: peeling only ever REMOVES edges, so an
+    // unchanged edge count means an unchanged edge set — the remaining
+    // rounds are identity maps and both engines' results already agree.
+    // The count is an aggregate over the just-checkpointed in-memory RDD,
+    // so the convergence probe costs microseconds, not a recompute.
+    var prevCount = edges.count()
+    var round = 0
+    var converged = false
+    while (round < CoreRounds && !converged) {
       val keep = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= CoreK).select(col("a"))
       edges = edges
@@ -827,6 +835,10 @@ object Similarity {
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint()
+      val c = edges.count()
+      converged = c == prevCount
+      prevCount = c
+      round += 1
     }
     edges.groupBy(col("a")).agg(count(lit(1)).as("degree_in_core"))
       .select(col("a").as("vec_id"), col("degree_in_core"))
