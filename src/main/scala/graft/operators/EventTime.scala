@@ -386,8 +386,60 @@ object EventTime {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** Behavior CO-OCCURRENCE with lift: for every unordered pair of event
+    * types, how many users did both, and the lift
+    * n_ab·n_users / (n_a·n_b) (>1 ⇒ the behaviors attract, <1 ⇒ repel) —
+    * the association-mining primitive behind "users who X also Y". The
+    * self-join runs on the DISTINCT (user, type) relation, whose size is
+    * bounded by users × type-cardinality — at 100 TB the pair fan-out per
+    * user is |types-per-user|² with a tiny type vocabulary, never
+    * events². Lift stays exact: integer products divided once, and the
+    * user totals ride along for auditability. */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(totals.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(totals.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        ((col("n_both") * col("n_users")).cast("double") / (col("n_a") * col("n_b")))
+          .as("lift"))
+  }
+
+  val cooccurrenceSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |t AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+      |u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |             COUNT(*) AS n_both
+      |      FROM ut a JOIN ut b
+      |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both, ta.n AS n_a, tb.n AS n_b,
+      |       CAST(n_both * n_users AS DOUBLE) / (ta.n * tb.n) AS lift
+      |FROM p
+      |JOIN t ta ON ta.event_type = type_a
+      |JOIN t tb ON tb.event_type = type_b
+      |CROSS JOIN u
+      |ORDER BY type_a, type_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_rfm", rfmScores(_, _).orderBy("user_id"), Some(rfmScoresSql)),
+    Q("events_cooccurrence", cooccurrence(_, _).orderBy("type_a", "type_b"),
+      Some(cooccurrenceSql)),
     Q("events_markov", markovTransitions(_, _).orderBy("from_type", "to_type"),
       Some(markovTransitionsSql)),
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),

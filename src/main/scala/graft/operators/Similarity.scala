@@ -866,6 +866,78 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  private val PowerIters = 5
+  private val PowerScale = 1048576L // 2^20: the fixed-point unit for v
+
+  /** TOP PRINCIPAL DIRECTION of the embedding corpus by POWER ITERATION —
+    * every arithmetic step exact and engine-independent. The second-moment
+    * (uncentered Gram) matrix G[d1][d2] = Σ_vec q_d1·q_d2 accumulates in
+    * integer micro-units (one map-side-combinable pass over the corpus —
+    * the only data-sized step; the 64×64 result is a constant-size
+    * broadcast thereafter). Each of [[PowerIters]] iterations is
+    * raw = G·v in DECIMAL(38,0)/HUGEINT, renormalized in FIXED POINT by
+    * the max component: v' = sign(raw)·(|raw|·2²⁰ ÷ max|raw|) — integer
+    * division, never a float norm, because float normalization differs in
+    * the last ulp across engines and compounds over iterations (memory:
+    * cross-engine DECIMAL→DOUBLE casts diverge past 15 significant
+    * digits). The emitted double loading v/2²⁰ is a division by a power
+    * of two — exact in binary. At 100 TB: Gram accumulation is the scan;
+    * iterations cost nothing (64-row relation), which is why power
+    * iteration is THE distributed top-k-eigenvector method. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dims = quantDims(corpus(spark, dir))
+    // 64×64 Gram matrix; five downstream matvecs consume it — persist
+    val cov = dims.as("a")
+      .join(dims.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
+      .agg(sum(col("a.q") * col("b.q")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = cov.select(col("d1").as("dd")).distinct()
+      .select(col("dd"), lit(PowerScale).as("v"))
+    for (_ <- 1 to PowerIters) {
+      val raw = cov.join(broadcast(v), col("d2") === col("dd"))
+        .groupBy(col("d1"))
+        .agg(sum(col("c").cast(d38) * col("v")).as("raw"))
+      val m = raw.agg(max(abs(col("raw"))).as("m"))
+      v = raw.crossJoin(broadcast(m))
+        .select(col("d1").as("dd"),
+          (when(col("raw") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr(s"(abs(raw) * $PowerScale) div m")).as("v"))
+    }
+    v.select(col("dd").cast("int").as("d"), col("v").as("component"),
+      (col("v").cast("double") / PowerScale).as("loading"))
+  }
+
+  val pcaPowerSql: String = {
+    val iters = (1 to PowerIters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d1 AS d, SUM(CAST(c AS HUGEINT) * v) AS raw
+         |  FROM cov JOIN v${i - 1} ON d2 = dd GROUP BY 1),
+         |m$i AS (SELECT MAX(ABS(raw)) AS m FROM r$i),
+         |v$i AS MATERIALIZED (
+         |  SELECT d AS dd,
+         |         (CASE WHEN raw < 0 THEN -1 ELSE 1 END)
+         |           * ((ABS(raw) * $PowerScale) // m) AS v
+         |  FROM r$i, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS d, CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+       |  FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+       |cov AS MATERIALIZED (
+       |  SELECT a.d AS d1, b.d AS d2, CAST(SUM(a.q * b.q) AS BIGINT) AS c
+       |  FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS MATERIALIZED (
+       |  SELECT DISTINCT d1 AS dd, CAST($PowerScale AS HUGEINT) AS v FROM cov),
+       |$iters
+       |SELECT CAST(dd AS INTEGER) AS d,
+       |       CAST(v AS BIGINT) AS component,
+       |       CAST(CAST(v AS BIGINT) AS DOUBLE) / $PowerScale AS loading
+       |FROM v$PowerIters
+       |ORDER BY d""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("sim_pagerank", pagerank(_, _).orderBy("vec_id"), Some(pagerankSql)),
     Q("sim_triangles", triangles(_, _).orderBy("vec_id"), Some(trianglesSql)),
@@ -883,5 +955,6 @@ object Similarity {
     Q("sim_pq_topk", pqTopK(_, _).orderBy("query_id", "rank"), Some(pqTopKSql)),
     Q("sim_recall_eval", recallEval(_, _).orderBy("method", "query_id"),
       Some(recallEvalSql)),
-    Q("sim_kcore", kcore(_, _).orderBy("vec_id"), Some(kcoreSql)))
+    Q("sim_kcore", kcore(_, _).orderBy("vec_id"), Some(kcoreSql)),
+    Q("sim_pca_power", pcaPower(_, _).orderBy("d"), Some(pcaPowerSql)))
 }

@@ -32,7 +32,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_recall_eval" -> 8, // composes bf (×4 references) + lsh planes/bands
     // + ivf/pq probe broadcasts — each inherited BNLJ is allowlisted above
     // in its source query; caching can hide some, so this is the ceiling
-    "sim_kcore" -> 2) // inherits knnGraph's broadcast plane projection
+    "sim_kcore" -> 2, // inherits knnGraph's broadcast plane projection
+    "events_cooccurrence" -> 1, // one-row broadcast corpus-user-count scalar
+    "sim_pca_power" -> 5) // one 1-row broadcast max-|raw| scalar per iteration
 
   test("no declared query plans a cartesian product; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
