@@ -896,14 +896,21 @@ object Similarity {
     var v = cov.select(col("d1").as("dd")).distinct()
       .select(col("dd"), lit(PowerScale).as("v"))
     for (_ <- 1 to PowerIters) {
+      // localCheckpoint per generation: v feeds BOTH the matvec and (via
+      // raw) the max-scalar, so without lineage truncation the plan tree
+      // doubles every iteration (2^iters subtree copies — 31 plan nodes of
+      // broadcast join by round 5). Same discipline as Dedup.components;
+      // the state is 64 rows, so each checkpoint is microseconds.
       val raw = cov.join(broadcast(v), col("d2") === col("dd"))
         .groupBy(col("d1"))
         .agg(sum(col("c").cast(d38) * col("v")).as("raw"))
+        .localCheckpoint()
       val m = raw.agg(max(abs(col("raw"))).as("m"))
       v = raw.crossJoin(broadcast(m))
         .select(col("d1").as("dd"),
           (when(col("raw") < 0, lit(-1L)).otherwise(lit(1L)) *
             expr(s"(abs(raw) * $PowerScale) div m")).as("v"))
+        .localCheckpoint()
     }
     v.select(col("dd").cast("int").as("d"), col("v").as("component"),
       (col("v").cast("double") / PowerScale).as("loading"))
