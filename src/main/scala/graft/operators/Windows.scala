@@ -335,6 +335,61 @@ object Windows {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** FORWARD as-of join (the lead-direction twin of [[asofJoin]]): each
+    * purchase annotated with the user's FIRST click at-or-after it —
+    * `first(…, ignore nulls)` over a current-row→unbounded-FOLLOWING frame
+    * on the tagged union. Sort order (ts, src) with purchases before clicks
+    * at equal ts puts an equal-timestamp click inside the frame, giving
+    * at-or-after semantics; gap is NULL when no later click exists. Same
+    * single-shuffle cost profile as the backward form. */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val tagged = purchases
+      .select(col("user_id"), col("ts"), lit(0).as("src"),
+        lit(null).cast("long").as("click_id"), col("purchase_id"))
+      .unionByName(clicks.select(col("user_id"), col("ts"), lit(1).as("src"),
+        col("click_id"), lit(null).cast("long").as("purchase_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("src"), col("purchase_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("next_click_id", first(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("next_click_ts",
+        first(when(col("src") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("src") === 0)
+      .select(
+        col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("next_click_id"),
+        (unix_micros(col("next_click_ts")) - unix_micros(col("ts"))).as("gap_us"))
+  }
+
+  val asofForwardSql: String =
+    """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+      |      FROM events WHERE event_type = 'purchase'),
+      |tagged AS (
+      |  SELECT user_id, ts, 0 AS src, NULL::BIGINT AS click_id, purchase_id FROM p
+      |  UNION ALL
+      |  SELECT user_id, ts, 1 AS src, click_id, NULL::BIGINT AS purchase_id FROM c),
+      |ann AS (
+      |  SELECT *,
+      |         FIRST_VALUE(click_id IGNORE NULLS) OVER win AS next_click_id,
+      |         FIRST_VALUE(CASE WHEN src = 1 THEN ts END IGNORE NULLS) OVER win
+      |           AS next_click_ts
+      |  FROM tagged
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, src, purchase_id
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT purchase_id, user_id, ts AS purchase_ts, next_click_id,
+      |       epoch_us(next_click_ts) - epoch_us(ts) AS gap_us
+      |FROM ann WHERE src = 0
+      |ORDER BY purchase_id""".stripMargin
+
   /** Weighted moving average (weights 4,3,2,1 over the last 4 orders) of a
     * customer's order totals — in EXACT integer cents, finalized with one
     * half-up division. A frame-SUM over doubles would be nondeterministic
@@ -393,6 +448,8 @@ object Windows {
     Q("win_asof_last_signup", asofLastSignup(_, _).orderBy("event_id"),
       Some(asofLastSignupSql)),
     Q("win_asof_join", asofJoin(_, _).orderBy("purchase_id"), Some(asofJoinSql)),
+    Q("win_asof_forward", asofForward(_, _).orderBy("purchase_id"),
+      Some(asofForwardSql)),
     Q("win_asof_custom", asofJoinCustom(_, _).orderBy("purchase_id"), Some(asofJoinSql)),
     Q("win_sliding_1h", slidingHour(_, _).orderBy("event_id"), Some(slidingHourSql)),
     Q("win_ntile_deciles", ntileDeciles(_, _).orderBy("event_id"), Some(ntileDecilesSql)))
