@@ -386,6 +386,53 @@ object EventTime {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** DAU/WAU engagement: per day, the distinct active users that day, the
+    * distinct users across the trailing 7-day window, and the stickiness
+    * ratio DAU/WAU — the canonical product-engagement metric. The trailing
+    * DISTINCT cannot be a window sum (distincts don't decompose), so the
+    * exact form joins the (day, user) relation to the day spine with a
+    * bounded 7-day band — fan-out is exactly 7× the daily-active relation,
+    * which is user-cardinality-sized, not event-sized. At 100 TB the exact
+    * trailing distinct is usually replaced by a mergeable sketch per day
+    * (HLL union over the window — `rel_hll_union` demonstrates the
+    * primitive); this operator pins the exact semantics the sketch
+    * approximates. */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+        col("user_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    // trailing window as an EXPLODE, not a band join: each active (day,
+    // user) contributes to exactly the 7 window anchors day..day+6, so the
+    // trailing distinct becomes an equi-shuffle (a band join would plan a
+    // broadcast nested loop: spine × daily-active comparisons). Anchors
+    // past the observed range fall away in the dau equi-join.
+    val wau = du
+      .select(explode(sequence(lit(0), lit(6))).as("off"), col("day"), col("user_id"))
+      .select((col("day") + col("off")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+  }
+
+  val dauWauSql: String =
+    """WITH du AS (SELECT DISTINCT
+      |              datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |              user_id
+      |            FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+      |wau AS (SELECT du.day + off AS day, COUNT(DISTINCT du.user_id) AS wau
+      |        FROM du, UNNEST(range(0, 7)) AS u(off)
+      |        GROUP BY 1)
+      |SELECT CAST(dau.day AS INTEGER) AS day, dau, wau,
+      |       CAST(dau AS DOUBLE) / wau AS stickiness
+      |FROM dau JOIN wau USING (day)
+      |ORDER BY day""".stripMargin
+
   /** Behavior CO-OCCURRENCE with lift: for every unordered pair of event
     * types, how many users did both, and the lift
     * n_ab·n_users / (n_a·n_b) (>1 ⇒ the behaviors attract, <1 ⇒ repel) —
@@ -440,6 +487,7 @@ object EventTime {
     Q("events_rfm", rfmScores(_, _).orderBy("user_id"), Some(rfmScoresSql)),
     Q("events_cooccurrence", cooccurrence(_, _).orderBy("type_a", "type_b"),
       Some(cooccurrenceSql)),
+    Q("events_dau_wau", dauWau(_, _).orderBy("day"), Some(dauWauSql)),
     Q("events_markov", markovTransitions(_, _).orderBy("from_type", "to_type"),
       Some(markovTransitionsSql)),
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),
