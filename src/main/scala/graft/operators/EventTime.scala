@@ -386,6 +386,79 @@ object EventTime {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** PATH MINING over sessionized events: the top-10 session-opening
+    * paths (first three event types, in order) with their session counts
+    * and corpus share — the "how do sessions start" question behind
+    * navigation/funnel design. Sessions come from the same 30-minute-gap
+    * derivation as [[sessions]]; the ordered 3-prefix is folded with
+    * MAX(CASE rn) pivots (order-independent aggregation — a positional
+    * collect_list would depend on shuffle order), and `concat_ws` drops
+    * the NULL slots of shorter sessions identically on both engines. The
+    * path relation is path-cardinality-sized (≤ |types|³), so the final
+    * global-share window runs on a trivial relation at any corpus size. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1)
+          .when(lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("us"), col("event_id"))
+    val counts = sess
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(concat_ws(">",
+        max(when(col("rn") === 1, col("event_type"))),
+        max(when(col("rn") === 2, col("event_type"))),
+        max(when(col("rn") === 3, col("event_type")))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    counts
+      .withColumn("share",
+        col("n_sessions").cast("double") /
+          sum(col("n_sessions")).over(Window.partitionBy()))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
+  val topPathsSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |           FROM events),
+       |m AS (SELECT user_id, event_id, event_type, us,
+       |             CASE WHEN us - LAG(us, 1) OVER w > $SessionGapUs THEN 1
+       |                  WHEN LAG(us, 1) OVER w IS NULL THEN 1
+       |                  ELSE 0 END AS new_session
+       |      FROM e
+       |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (SELECT user_id, event_id, event_type, us,
+       |             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               AS session_idx
+       |      FROM m),
+       |f AS (SELECT user_id, session_idx, event_type,
+       |             ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+       |                                ORDER BY us, event_id) AS rn
+       |      FROM s),
+       |p AS (SELECT user_id, session_idx,
+       |             concat_ws('>', MAX(CASE WHEN rn = 1 THEN event_type END),
+       |                            MAX(CASE WHEN rn = 2 THEN event_type END),
+       |                            MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+       |      FROM f WHERE rn <= 3 GROUP BY 1, 2),
+       |c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+       |SELECT path, n_sessions,
+       |       CAST(n_sessions AS DOUBLE) / SUM(n_sessions) OVER () AS share
+       |FROM c
+       |ORDER BY n_sessions DESC, path
+       |LIMIT 10""".stripMargin
+
   /** DAU/WAU engagement: per day, the distinct active users that day, the
     * distinct users across the trailing 7-day window, and the stickiness
     * ratio DAU/WAU — the canonical product-engagement metric. The trailing
@@ -488,6 +561,7 @@ object EventTime {
     Q("events_cooccurrence", cooccurrence(_, _).orderBy("type_a", "type_b"),
       Some(cooccurrenceSql)),
     Q("events_dau_wau", dauWau(_, _).orderBy("day"), Some(dauWauSql)),
+    Q("events_top_paths", topPaths, Some(topPathsSql)),
     Q("events_markov", markovTransitions(_, _).orderBy("from_type", "to_type"),
       Some(markovTransitionsSql)),
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),
