@@ -550,6 +550,45 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** BUCKETED storage round-trip under the oracle gate: both fact tables
+    * written `bucketBy(8, key).sortBy(key)` (external parquet tables), then
+    * the fact×fact join read back bucket-to-bucket. This is the declared-
+    * query face of what BucketedJoinSpec asserts at the plan level (bucket
+    * co-location ⇒ ZERO exchange on either side of the sort-merge join) —
+    * the storage-layout lever for the one genuinely large×large join in
+    * the schema, and the 100 TB answer to re-shuffling a snapshot on every
+    * daily join. Results must be identical to the unbucketed join (layout,
+    * not semantics) — which is exactly what the DuckDB oracle checks. */
+  def bucketedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val nonce = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_sink/" +
+      spark.sparkContext.applicationId + "/" + nonce
+    val tblO = s"graft_bkt_orders_$nonce"
+    val tblL = s"graft_bkt_lineitem_$nonce"
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable(tblO)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").saveAsTable(tblL)
+    spark.table(tblO)
+      .join(spark.table(tblL), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        dec2(sum(dec(col("l_extendedprice")))).as("revenue"))
+  }
+
+  val bucketedRoundtripSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Space-Saving heavy hitters as a declared query, run in its EXACT
     * regime: capacity 16 > the key cardinality of event_type, so no counter
     * is ever evicted, counts are exact and err = 0 — which is what makes a
@@ -906,6 +945,45 @@ object Relational {
       |FROM o GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  private val StatsCols =
+    Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  /** ANALYZE-style TABLE STATISTICS: per-column null and distinct counts
+    * (long form) — the inputs a cost-based optimizer's stats collection
+    * gathers, expressed as one declared query. One pass computes every
+    * per-column aggregate; the multiple exact COUNT(DISTINCT)s plan an
+    * Expand (|cols|× row multiplication before partial aggregation), which
+    * is the documented cost of exact ndv — at 100 TB a stats job swaps in
+    * `approx_count_distinct` (HLL, single pass, no Expand) with the same
+    * output shape. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.customer(spark, dir)
+    val aggs = count(lit(1)).as("n_rows") +: StatsCols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"), count_distinct(col(c)).as(s"nd_$c")))
+    t.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(StatsCols.map(c =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"))): _*)).as("s"))
+      .select(col("s.column_name"), col("s.n_rows"),
+        col("s.n_nulls"), col("s.n_distinct"))
+  }
+
+  val tableStatsSql: String = {
+    val aggList = StatsCols.map(c =>
+      s"COUNT($c) AS nn_$c, COUNT(DISTINCT $c) AS nd_$c").mkString(",\n         ")
+    val rows = StatsCols.map(c =>
+      s"""SELECT '$c' AS column_name, n_rows,
+         |       n_rows - nn_$c AS n_nulls, nd_$c AS n_distinct FROM s""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |         $aggList
+       |  FROM customer)
+       |$rows
+       |ORDER BY column_name""".stripMargin
+  }
+
   /** MERGE / UPSERT semantics (the lakehouse `MERGE INTO` contract) over a
     * plain star-schema dim, expressed as one FULL OUTER join: a delta batch
     * (every 3rd customer with a re-stated balance, including keys the base
@@ -1037,6 +1115,8 @@ object Relational {
     Q("rel_merge_upsert", mergeUpsert(_, _).orderBy("c_custkey"),
       Some(mergeUpsertSql)),
     Q("meta_skew_report", skewReport(_, _).orderBy("key_col"), Some(skewReportSql)),
+    Q("meta_table_stats", tableStats(_, _).orderBy("column_name"),
+      Some(tableStatsSql)),
     Q("rel_range_join", rangeJoin(_, _).orderBy("tier"), Some(rangeJoinSql)),
     Q("rel_salted_join", saltedJoin(_, _).orderBy("c_mktsegment"), Some(saltedJoinSql)),
     Q("rel_median_mode", medianMode(_, _).orderBy("p_brand"), Some(medianModeSql)),
@@ -1050,6 +1130,8 @@ object Relational {
     Q("rel_string_agg", stringAgg(_, _).orderBy("p_brand"), Some(stringAggSql)),
     Q("rel_partitioned_roundtrip", partitionedRoundtrip(_, _).orderBy("l_returnflag"),
       Some(partitionedRoundtripSql)),
+    Q("rel_bucketed_roundtrip", bucketedRoundtrip(_, _).orderBy("l_returnflag"),
+      Some(bucketedRoundtripSql)),
     Q("rel_heavy_hitters", heavyHitters(_, _).orderBy("event_type"),
       Some(heavyHittersSql)),
     Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),

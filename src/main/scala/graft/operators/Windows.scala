@@ -390,6 +390,53 @@ object Windows {
       |FROM ann WHERE src = 0
       |ORDER BY purchase_id""".stripMargin
 
+  /** NEAREST as-of: each purchase matched to its nearest click in EITHER
+    * direction — the min of the backward and forward gaps, ties to the
+    * backward match (the attribution convention: a preceding click wins an
+    * exact tie). Pure composition of [[asofJoin]] and [[asofForward]] on
+    * the purchase key: both sides are one-shuffle window passes over the
+    * same relation, and the final join is keyed on the (much smaller)
+    * purchase set. Emits the direction for auditability; NULL-safe when
+    * only one direction has a match. */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val back = asofJoin(spark, dir)
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("asof_click_id").as("back_id"), col("gap_us").as("back_gap"))
+    val fwd = asofForward(spark, dir)
+      .select(col("purchase_id"), col("next_click_id").as("fwd_id"),
+        col("gap_us").as("fwd_gap"))
+    back.join(fwd, Seq("purchase_id"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        when(col("back_id").isNotNull &&
+          (col("fwd_id").isNull || col("back_gap") <= col("fwd_gap")),
+          lit("backward")).otherwise(lit("forward")).as("direction"),
+        when(col("back_id").isNotNull &&
+          (col("fwd_id").isNull || col("back_gap") <= col("fwd_gap")),
+          col("back_id")).otherwise(col("fwd_id")).as("nearest_click_id"),
+        when(col("back_id").isNotNull &&
+          (col("fwd_id").isNull || col("back_gap") <= col("fwd_gap")),
+          col("back_gap")).otherwise(col("fwd_gap")).as("nearest_gap_us"))
+  }
+
+  val asofNearestSql: String =
+    s"""WITH back AS (SELECT purchase_id, user_id, purchase_ts,
+       |                     asof_click_id AS back_id, gap_us AS back_gap
+       |              FROM ($asofJoinSql)),
+       |fwd AS (SELECT purchase_id, next_click_id AS fwd_id, gap_us AS fwd_gap
+       |        FROM ($asofForwardSql))
+       |SELECT back.purchase_id, user_id, purchase_ts,
+       |       CASE WHEN back_id IS NOT NULL
+       |                 AND (fwd_id IS NULL OR back_gap <= fwd_gap)
+       |            THEN 'backward' ELSE 'forward' END AS direction,
+       |       CASE WHEN back_id IS NOT NULL
+       |                 AND (fwd_id IS NULL OR back_gap <= fwd_gap)
+       |            THEN back_id ELSE fwd_id END AS nearest_click_id,
+       |       CASE WHEN back_id IS NOT NULL
+       |                 AND (fwd_id IS NULL OR back_gap <= fwd_gap)
+       |            THEN back_gap ELSE fwd_gap END AS nearest_gap_us
+       |FROM back JOIN fwd ON back.purchase_id = fwd.purchase_id
+       |ORDER BY back.purchase_id""".stripMargin
+
   /** Weighted moving average (weights 4,3,2,1 over the last 4 orders) of a
     * customer's order totals — in EXACT integer cents, finalized with one
     * half-up division. A frame-SUM over doubles would be nondeterministic
@@ -450,6 +497,8 @@ object Windows {
     Q("win_asof_join", asofJoin(_, _).orderBy("purchase_id"), Some(asofJoinSql)),
     Q("win_asof_forward", asofForward(_, _).orderBy("purchase_id"),
       Some(asofForwardSql)),
+    Q("win_asof_nearest", asofNearest(_, _).orderBy("purchase_id"),
+      Some(asofNearestSql)),
     Q("win_asof_custom", asofJoinCustom(_, _).orderBy("purchase_id"), Some(asofJoinSql)),
     Q("win_sliding_1h", slidingHour(_, _).orderBy("event_id"), Some(slidingHourSql)),
     Q("win_ntile_deciles", ntileDeciles(_, _).orderBy("event_id"), Some(ntileDecilesSql)))
