@@ -90,11 +90,55 @@ object Analytics {
       |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Month-over-month revenue growth: monthly order totals (exact decimal,
+    * emitted as cents for the delta arithmetic) with the previous month's
+    * revenue and the MoM delta in basis points — computed as INTEGER
+    * arithmetic over exact cents ((cur−prev)·10⁴ div prev), because a
+    * float percentage of two large sums can differ in the last ulp across
+    * engines. The monthly relation is month-cardinality-sized, so the lag
+    * window is trivial after one map-side-combinable aggregate over the
+    * fact table. */
+  def momGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = to_date(col("o_orderdate"))
+    val monthly = Tables.orders(spark, dir)
+      .groupBy((year(d) * 100 + month(d)).as("ym"))
+      .agg((sum(graft.Q.dec(col("o_totalprice"))) * 100).cast("long").as("rev_cents"))
+    val w = Window.orderBy(col("ym"))
+    monthly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .select(col("ym"), graft.Q.dbl(col("rev_cents")) / 100 as "revenue",
+        graft.Q.dbl(col("prev_cents")) / 100 as "prev_revenue",
+        when(col("prev_cents").isNotNull,
+          expr("CAST(sign(rev_cents - prev_cents) * " +
+            "((abs(rev_cents - prev_cents) * 10000) div prev_cents) AS BIGINT)"))
+          .as("mom_bps"))
+  }
+
+  val momGrowthSql: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |           AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT ym, rev_cents,
+      |             LAG(rev_cents, 1) OVER (ORDER BY ym) AS prev_cents
+      |      FROM m)
+      |SELECT ym, CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+      |       CAST(prev_cents AS DOUBLE) / 100 AS prev_revenue,
+      |       CASE WHEN prev_cents IS NOT NULL THEN
+      |         CAST(SIGN(rev_cents - prev_cents)
+      |           * ((ABS(rev_cents - prev_cents) * 10000) // prev_cents) AS BIGINT)
+      |       END AS mom_bps
+      |FROM l
+      |ORDER BY ym""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("analytics_regional_revenue",
       regionalRevenue(_, _).orderBy("region", "nation", "year"),
       Some(regionalRevenueSql)),
     Q("analytics_big_orders", bigOrders(_, _).orderBy("o_orderkey"), Some(bigOrdersSql)),
+    Q("analytics_mom_growth", momGrowth(_, _).orderBy("ym"), Some(momGrowthSql)),
     Q("analytics_inactive_customers", customersWithoutF(_, _).orderBy("c_custkey"),
       Some(customersWithoutFSql)))
 }

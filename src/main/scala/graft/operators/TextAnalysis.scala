@@ -276,6 +276,41 @@ object TextAnalysis {
       |ORDER BY pair_count DESC, pair
       |LIMIT 20""".stripMargin
 
+  /** N-GRAM NOVELTY per document: what fraction of a doc's distinct word
+    * 3-grams appear NOWHERE else in the corpus — near 1 for genuinely novel
+    * text, near 0 for template/boilerplate-derived docs; the inverse signal
+    * of near-dup detection, used to score synthetic-data batches for mode
+    * collapse. One inverted-index pass: distinct (doc, gram-hash) rows,
+    * corpus df per hash (map-side-combinable aggregate), then a per-doc
+    * ratio — every step is the same bounded shapes the dedup tier uses. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordNGrams(col("text"), 3)).as("g"))
+      .select(col("doc_id"), hash60(col("g")).as("h"))
+      .distinct()
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") === 1, 1)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_grams")).as("novelty"))
+  }
+
+  val noveltySql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |             FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ${hash60Sql("s.g")} AS h
+       |       FROM tok, UNNEST(${shingles3Sql("ts")}) AS s(g)),
+       |df AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |       COUNT(CASE WHEN df = 1 THEN 1 END) AS n_unique,
+       |       CAST(COUNT(CASE WHEN df = 1 THEN 1 END) AS DOUBLE) / COUNT(*)
+       |         AS novelty
+       |FROM sh JOIN df USING (h)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Benchmark decontamination: flag corpus documents sharing any 5-gram
     * with a held-out "benchmark" set (here: every 97th doc, a deterministic
     * stand-in for an eval set; production loads the real benchmark's
@@ -623,6 +658,7 @@ object TextAnalysis {
     Q("text_regex_tokens", regexTokens(_, _).orderBy("doc_id"), Some(regexTokensSql)),
     Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
     Q("text_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    Q("text_novelty", novelty(_, _).orderBy("doc_id"), Some(noveltySql)),
     Q("text_quality_score", qualityScore(_, _).orderBy("doc_id"), Some(qualityScoreSql)),
     Q("text_lang_id", langId(_, _).orderBy("doc_id"), Some(langIdSql)),
     Q("text_winnow_fingerprint", winnowFingerprint(_, _).orderBy("doc_id"),
