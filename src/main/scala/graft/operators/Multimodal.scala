@@ -101,6 +101,61 @@ object Multimodal {
        |FROM f, UNNEST(range(0, n_frames, $FrameStep)) AS u(frame_idx)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  private val TileSize = 32
+
+  /** Image TILING over the "image" media rows: the ViT-style patch grid —
+    * one row per [[TileSize]]² tile with its pixel box and a per-tile
+    * digest (the key a real pipeline stores patch embeddings under). Grid
+    * geometry is pure integer math off the fake-decoded width/height; edge
+    * tiles clamp to the image bounds. Single Generate over the flat tile
+    * index (tx/ty recovered by div/mod) running map-side next to the
+    * payload — the image-modality sibling of [[frameSample]] (video) and
+    * [[audioChunks]] (audio), with the same decoder swap-in seam. */
+  def imageTiles(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir)
+      .filter(col("media_kind") === 0)
+      .select(col("doc_id"), col("content_md5"),
+        greatest(col("width"), lit(1)).as("w"),
+        greatest(col("height"), lit(1)).as("h"))
+      .withColumn("nx", expr(s"CAST((w + ${TileSize - 1}) div $TileSize AS INT)"))
+      .withColumn("ny", expr(s"CAST((h + ${TileSize - 1}) div $TileSize AS INT)"))
+      .select(col("doc_id"), col("content_md5"), col("w"), col("h"), col("nx"),
+        explode(sequence(lit(0), col("nx") * col("ny") - 1)).as("tile_idx"))
+      .select(
+        col("doc_id"),
+        col("tile_idx"),
+        (col("tile_idx") % col("nx")).as("tx"),
+        expr("CAST(tile_idx div nx AS INT)").as("ty"),
+        (col("tile_idx") % col("nx") * TileSize).as("x0"),
+        expr(s"CAST(tile_idx div nx AS INT) * $TileSize").as("y0"),
+        least(col("tile_idx") % col("nx") * TileSize + TileSize, col("w")).as("x1"),
+        least(expr(s"CAST(tile_idx div nx AS INT) * $TileSize + $TileSize"), col("h"))
+          .as("y1"),
+        md5(concat(col("content_md5"), lit("@"), col("tile_idx").cast("string")))
+          .as("tile_digest"))
+
+  val imageTilesSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, md5(text) AS content_md5,
+       |         greatest(CAST(octet_length(encode(text)) % 640 AS INTEGER), 1) AS w,
+       |         greatest(CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER), 1) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |g AS (SELECT doc_id, content_md5, w, h,
+       |             CAST((w + ${TileSize - 1}) // $TileSize AS INTEGER) AS nx,
+       |             CAST((h + ${TileSize - 1}) // $TileSize AS INTEGER) AS ny
+       |      FROM f)
+       |SELECT doc_id,
+       |       CAST(tile_idx AS INTEGER) AS tile_idx,
+       |       CAST(tile_idx % nx AS INTEGER) AS tx,
+       |       CAST(tile_idx // nx AS INTEGER) AS ty,
+       |       CAST(tile_idx % nx * $TileSize AS INTEGER) AS x0,
+       |       CAST(tile_idx // nx * $TileSize AS INTEGER) AS y0,
+       |       CAST(LEAST(tile_idx % nx * $TileSize + $TileSize, w) AS INTEGER) AS x1,
+       |       CAST(LEAST(tile_idx // nx * $TileSize + $TileSize, h) AS INTEGER) AS y1,
+       |       md5(content_md5 || '@' || CAST(tile_idx AS VARCHAR)) AS tile_digest
+       |FROM g, UNNEST(range(0, nx * ny)) AS u(tile_idx)
+       |ORDER BY doc_id, tile_idx""".stripMargin
+
   private val SampleRate = 16000
   private val ChunkSamples = 5 * SampleRate // 5-second windows
 
@@ -182,6 +237,8 @@ object Multimodal {
       Some(frameSampleSql)),
     Q("mm_audio_chunks", audioChunks(_, _).orderBy("doc_id", "chunk"),
       Some(audioChunksSql)),
+    Q("mm_image_tiles", imageTiles(_, _).orderBy("doc_id", "tile_idx"),
+      Some(imageTilesSql)),
     Q("mm_modality_join", modalityJoin(_, _).orderBy("doc_id"),
       Some(modalityJoinSql)))
 }
