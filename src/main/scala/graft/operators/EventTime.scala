@@ -386,6 +386,56 @@ object EventTime {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** TIME-TO-CONVERT distribution: per user, the gap between the first
+    * 'view' and the first later-or-equal 'purchase'; reported as one
+    * corpus row — user counts plus exact interpolated p50/p90 of the gap.
+    * First-touch timestamps are MIN aggregates (order-independent); the
+    * percentile runs over the (user-cardinality-sized) converted set. The
+    * canonical conversion-latency metric next to [[funnel]]'s stage
+    * counts. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("first_view"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("first_purchase"))
+    firsts.agg(
+      count(lit(1)).as("n_users"),
+      count(when(col("first_view").isNotNull &&
+        col("first_purchase") >= col("first_view"), 1)).as("n_converted"),
+      expr("percentile(CASE WHEN first_view IS NOT NULL " +
+        "AND first_purchase >= first_view " +
+        "THEN first_purchase - first_view END, 0.5)").as("p50_gap_us"),
+      expr("percentile(CASE WHEN first_view IS NOT NULL " +
+        "AND first_purchase >= first_view " +
+        "THEN first_purchase - first_view END, 0.9)").as("p90_gap_us"))
+  }
+
+  val timeToConvertSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |         MIN(CASE WHEN event_type = 'view'
+      |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_view,
+      |         MIN(CASE WHEN event_type = 'purchase'
+      |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_purchase
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users,
+      |       COUNT(CASE WHEN first_view IS NOT NULL
+      |                       AND first_purchase >= first_view THEN 1 END)
+      |         AS n_converted,
+      |       quantile_cont(CASE WHEN first_view IS NOT NULL
+      |                               AND first_purchase >= first_view
+      |                          THEN first_purchase - first_view END, 0.5)
+      |         AS p50_gap_us,
+      |       quantile_cont(CASE WHEN first_view IS NOT NULL
+      |                               AND first_purchase >= first_view
+      |                          THEN first_purchase - first_view END, 0.9)
+      |         AS p90_gap_us
+      |FROM f""".stripMargin
+
   /** PATH MINING over sessionized events: the top-10 session-opening
     * paths (first three event types, in order) with their session counts
     * and corpus share — the "how do sessions start" question behind
@@ -562,6 +612,8 @@ object EventTime {
       Some(cooccurrenceSql)),
     Q("events_dau_wau", dauWau(_, _).orderBy("day"), Some(dauWauSql)),
     Q("events_top_paths", topPaths, Some(topPathsSql)),
+    Q("events_time_to_convert", timeToConvert(_, _).orderBy("n_users"),
+      Some(timeToConvertSql)),
     Q("events_markov", markovTransitions(_, _).orderBy("from_type", "to_type"),
       Some(markovTransitionsSql)),
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),

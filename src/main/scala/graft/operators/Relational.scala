@@ -550,6 +550,63 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** REFERENTIAL-INTEGRITY audit: orphan counts for the star schema's
+    * three foreign keys, each a LEFT ANTI join (never a NOT IN — the
+    * anti-join shuffles keys, a NOT-IN list would collect to the driver).
+    * The complement of [[graft.operators.Medallion]]'s expectation checks:
+    * those validate values, this validates the JOIN GRAPH — the audit a
+    * pipeline runs before trusting any denormalization. At 100 TB each
+    * check is one key-projected scan per side (ReadSchema = the key
+    * column), and the dim side broadcasts. */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def check(name: String, fact: DataFrame, key: String,
+        dim: DataFrame, dimKey: String): DataFrame = {
+      // the fact total rides along as a 1-row aggregate crossJoin — never a
+      // driver-side count() action (same policy as sample_size_biased's
+      // corpus-max scalar)
+      val total = fact.agg(count(lit(1)).as("n_rows"))
+      fact.join(dim.select(col(dimKey).as(key)).distinct(), Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(broadcast(total))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_rows")).as("orphan_frac"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    check("lineitem.l_orderkey->orders",
+        li.select(col("l_orderkey")), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(check("orders.o_custkey->customer",
+        Tables.orders(spark, dir).select(col("o_custkey")), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .unionByName(check("lineitem.l_partkey->part",
+        li.select(col("l_partkey")), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+  }
+
+  val refIntegritySql: String =
+    """SELECT 'lineitem.l_orderkey->orders' AS fk,
+      |       (SELECT COUNT(*) FROM lineitem) AS n_rows,
+      |       COUNT(*) AS n_orphans,
+      |       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM lineitem)
+      |         AS orphan_frac
+      |FROM lineitem WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer',
+      |       (SELECT COUNT(*) FROM orders),
+      |       COUNT(*),
+      |       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders)
+      |FROM orders WHERE NOT EXISTS
+      |  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |UNION ALL
+      |SELECT 'lineitem.l_partkey->part',
+      |       (SELECT COUNT(*) FROM lineitem),
+      |       COUNT(*),
+      |       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM lineitem)
+      |FROM lineitem WHERE NOT EXISTS
+      |  (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      |ORDER BY fk""".stripMargin
+
   /** BUCKETED storage round-trip under the oracle gate: both fact tables
     * written `bucketBy(8, key).sortBy(key)` (external parquet tables), then
     * the fact×fact join read back bucket-to-bucket. This is the declared-
@@ -1132,6 +1189,8 @@ object Relational {
       Some(partitionedRoundtripSql)),
     Q("rel_bucketed_roundtrip", bucketedRoundtrip(_, _).orderBy("l_returnflag"),
       Some(bucketedRoundtripSql)),
+    Q("meta_ref_integrity", refIntegrity(_, _).orderBy("fk"),
+      Some(refIntegritySql)),
     Q("rel_heavy_hitters", heavyHitters(_, _).orderBy("event_type"),
       Some(heavyHittersSql)),
     Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),

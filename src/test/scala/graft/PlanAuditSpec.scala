@@ -34,8 +34,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // in its source query; caching can hide some, so this is the ceiling
     "sim_kcore" -> 2, // inherits knnGraph's broadcast plane projection
     "events_cooccurrence" -> 1, // one-row broadcast corpus-user-count scalar
-    "sim_pca_power" -> 1) // the final round's 1-row broadcast max-|raw|
+    "sim_pca_power" -> 1, // the final round's 1-row broadcast max-|raw|
     // scalar (earlier rounds are materialized behind localCheckpoints)
+    "meta_ref_integrity" -> 3) // one 1-row broadcast fact-total per FK check
 
   test("no declared query plans a cartesian product; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
