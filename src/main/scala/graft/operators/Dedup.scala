@@ -480,6 +480,80 @@ object Dedup {
        |))
        |ORDER BY doc_id""".stripMargin
 
+  /** LSH CANDIDATE-RECALL evaluation: the MinHash-LSH pipeline's verified
+    * pairs measured against the exact inverted-index Jaccard ground truth
+    * at the same threshold — one row: truth size, found size, true
+    * positives, recall, precision. The dedup twin of `sim_recall_eval`:
+    * the number you check before trusting a band geometry in production
+    * (the S-curve says what recall SHOULD be; this measures it). Both
+    * inputs are the already-persisted pipeline products, so the evaluation
+    * costs two small joins. Precision can be < 1 even though candidates
+    * are exactly verified: LSH verifies over ALL shared shingles while the
+    * ground truth scores over the df-capped index — the report quantifies
+    * exactly that definitional gap. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val found = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val tp = truth.join(found, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_tp"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(tp)
+      .select(col("n_truth"), col("n_found"), col("n_tp"),
+        (col("n_tp").cast("double") / col("n_truth")).as("recall"),
+        (col("n_tp").cast("double") / col("n_found")).as("precision"))
+  }
+
+  val lshRecallSql: String =
+    s"""WITH truth AS (SELECT doc_a, doc_b FROM (
+       |$ngramJaccardSql
+       |)),
+       |found AS (SELECT doc_a, doc_b FROM (
+       |$minhashLshSql
+       |)),
+       |tp AS (SELECT COUNT(*) AS n_tp FROM truth
+       |       WHERE EXISTS (SELECT 1 FROM found f
+       |                     WHERE f.doc_a = truth.doc_a AND f.doc_b = truth.doc_b))
+       |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       |       (SELECT COUNT(*) FROM found) AS n_found,
+       |       n_tp,
+       |       CAST(n_tp AS DOUBLE) / (SELECT COUNT(*) FROM truth) AS recall,
+       |       CAST(n_tp AS DOUBLE) / (SELECT COUNT(*) FROM found) AS precision
+       |FROM tp""".stripMargin
+
+  /** DEDUP IMPACT report: the before/after accounting a pipeline publishes
+    * with every dedup run — corpus size, survivors of the edge-wise
+    * MinHash keep-set, and the character mass retained, in one row. Chars
+    * aggregate in exact integers; fractions are single int/int divisions.
+    * Composes the persisted keep-set product with one corpus aggregate. */
+  def impact(spark: SparkSession, dir: String): DataFrame = {
+    val before = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_before"))
+    val after = keepSet(spark, dir)
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_after"))
+    before.crossJoin(after)
+      .select(col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_removed"),
+        col("chars_before"), col("chars_after"),
+        (col("n_kept").cast("double") / col("n_docs")).as("doc_frac_kept"),
+        (col("chars_after").cast("double") / col("chars_before"))
+          .as("char_frac_kept"))
+  }
+
+  val impactSql: String =
+    s"""WITH ks AS (
+       |$keepSetSql
+       |),
+       |b AS (SELECT COUNT(*) AS n_docs,
+       |             CAST(SUM(n_chars) AS BIGINT) AS chars_before FROM documents),
+       |a AS (SELECT COUNT(*) AS n_kept,
+       |             CAST(SUM(n_chars) AS BIGINT) AS chars_after FROM ks)
+       |SELECT n_docs, n_kept, n_docs - n_kept AS n_removed,
+       |       chars_before, chars_after,
+       |       CAST(n_kept AS DOUBLE) / n_docs AS doc_frac_kept,
+       |       CAST(chars_after AS DOUBLE) / chars_before AS char_frac_kept
+       |FROM b, a""".stripMargin
+
   private val EditMax = 3
 
   /** String-edit near-dup over catalog names: distinct names paired within
@@ -686,6 +760,8 @@ object Dedup {
     Q("dedup_minhash_lsh", minhashLsh(_, _).orderBy("doc_a", "doc_b"),
       Some(minhashLshSql)),
     Q("dedup_keep_set", keepSet(_, _).orderBy("doc_id"), Some(keepSetSql)),
+    Q("dedup_lsh_recall", lshRecall(_, _).orderBy("n_truth"), Some(lshRecallSql)),
+    Q("dedup_impact", impact(_, _).orderBy("n_docs"), Some(impactSql)),
     Q("dedup_components", components(_, _).orderBy("doc_id"), Some(componentsSql)),
     Q("dedup_cluster_keep", clusterKeep(_, _).orderBy("doc_id"), Some(clusterKeepSql)),
     Q("dedup_name_edit", nameEdit(_, _).orderBy("name_a", "name_b"), Some(nameEditSql)),

@@ -36,7 +36,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_cooccurrence" -> 1, // one-row broadcast corpus-user-count scalar
     "sim_pca_power" -> 1, // the final round's 1-row broadcast max-|raw|
     // scalar (earlier rounds are materialized behind localCheckpoints)
-    "meta_ref_integrity" -> 3) // one 1-row broadcast fact-total per FK check
+    "meta_ref_integrity" -> 3, // one 1-row broadcast fact-total per FK check
+    "dedup_lsh_recall" -> 2, // two 1-row count scalars joined to the tp row
+    "dedup_impact" -> 1) // 1-row before-aggregate × 1-row after-aggregate
 
   test("no declared query plans a cartesian product; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
