@@ -383,27 +383,31 @@ object Similarity {
   /** Oracle for [[ivfKmeansTopK]]: the Lloyd iterations unrolled as chained
     * CTEs (cent0 → dist0/assign0 → cent1 → … → cent[[KmeansIters]]), then
     * the same probe/search tail as the seeded-IVF oracle. */
-  val ivfKmeansTopKSql: String = {
-    def distCte(name: String, cent: String) =
-      s"""$name AS (SELECT vec_id, list_id, SUM((q - cq) * (q - cq)) AS d2
-         |         FROM dims JOIN $cent USING (d)
-         |         GROUP BY 1, 2)""".stripMargin
-    def assignCte(name: String, dist: String) =
-      s"""$name AS (SELECT vec_id, list_id FROM (
-         |             SELECT vec_id, list_id,
-         |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
-         |             FROM $dist) WHERE rn = 1)""".stripMargin
-    def centCte(name: String, assign: String) =
-      s"""$name AS (SELECT list_id, d,
-         |                CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
-         |         FROM dims JOIN $assign USING (vec_id)
-         |         GROUP BY 1, 2)""".stripMargin
+  private def kmDistCte(name: String, cent: String) =
+    s"""$name AS (SELECT vec_id, list_id, SUM((q - cq) * (q - cq)) AS d2
+       |         FROM dims JOIN $cent USING (d)
+       |         GROUP BY 1, 2)""".stripMargin
+  private def kmAssignCte(name: String, dist: String) =
+    s"""$name AS (SELECT vec_id, list_id FROM (
+       |             SELECT vec_id, list_id,
+       |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+       |             FROM $dist) WHERE rn = 1)""".stripMargin
+  private def kmCentCte(name: String, assign: String) =
+    s"""$name AS (SELECT list_id, d,
+       |                CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |         FROM dims JOIN $assign USING (vec_id)
+       |         GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE prefix: Lloyd-refined centroids + final assignment
+    * (`assign`) and distances (`distf`). Consumed by the k-means IVF
+    * search AND the cluster-purity evaluation. */
+  private val kmeansAssignCtesSql: String = {
     val iterations = (0 until KmeansIters).map { i =>
-      Seq(distCte(s"dist$i", s"cent$i"),
-        assignCte(s"kassign$i", s"dist$i"),
-        centCte(s"cent${i + 1}", s"kassign$i")).mkString(",\n")
+      Seq(kmDistCte(s"dist$i", s"cent$i"),
+        kmAssignCte(s"kassign$i", s"dist$i"),
+        kmCentCte(s"cent${i + 1}", s"kassign$i")).mkString(",\n")
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |dims AS (SELECT vec_id, i - 1 AS d,
        |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
        |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
@@ -412,11 +416,15 @@ object Similarity {
        |         FROM dims JOIN embeddings emb USING (vec_id)
        |         GROUP BY 1, 2),
        |$iterations,
-       |${distCte("distf", s"cent$KmeansIters")},
+       |${kmDistCte("distf", s"cent$KmeansIters")},
        |assign AS (SELECT vec_id, list_id FROM (
        |             SELECT vec_id, list_id,
        |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
-       |             FROM distf) WHERE rn = 1),
+       |             FROM distf) WHERE rn = 1)""".stripMargin
+  }
+
+  val ivfKmeansTopKSql: String = {
+    s"""WITH $kmeansAssignCtesSql,
        |probes AS (SELECT vec_id AS query_id, list_id AS probe_list FROM (
        |             SELECT vec_id, list_id,
        |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
@@ -438,6 +446,53 @@ object Similarity {
        |FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** k-means cluster PURITY: for each Lloyd-refined list, the share of its
+    * members whose original label equals the list's dominant label — the
+    * standard external clustering-quality metric, next to
+    * [[recallEval]]'s index-recall and [[lshRecall]]'s dedup-recall in the
+    * evaluation tier. Ties in the dominant label break to the smallest
+    * label (arg-max over cnt·1000−label — `mode()` ties are engine-
+    * arbitrary, a silent cross-engine divergence). Reuses the persisted
+    * refined-centroid tables; the label join broadcasts. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val dims = quantDims(e)
+    var cent = seedCentroids(spark, dir, dims)
+    for (_ <- 0 until KmeansIters)
+      cent = lloydStep(dims, cent)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dist = centDist(dims, cent)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
+    val assign = dist.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("list_id"))
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    assign.join(broadcast(lab), "vec_id")
+      .groupBy(col("list_id"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("list_id"))
+      .agg(
+        sum(col("cnt")).as("n_vecs"),
+        max_by(col("label"), col("cnt") * 1000L - col("label")).as("top_label"),
+        max(col("cnt")).as("n_top"))
+      .select(col("list_id"), col("n_vecs"), col("top_label"), col("n_top"),
+        (col("n_top").cast("double") / col("n_vecs")).as("purity"))
+  }
+
+  val clusterPuritySql: String =
+    s"""WITH $kmeansAssignCtesSql,
+       |cl AS (SELECT list_id, emb.label, COUNT(*) AS cnt
+       |       FROM assign JOIN embeddings emb USING (vec_id)
+       |       GROUP BY 1, 2)
+       |SELECT list_id,
+       |       CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+       |       arg_max(label, cnt * 1000 - label) AS top_label,
+       |       MAX(cnt) AS n_top,
+       |       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS purity
+       |FROM cl
+       |GROUP BY list_id
+       |ORDER BY list_id""".stripMargin
 
   private val GraphK = 5
 
@@ -963,5 +1018,7 @@ object Similarity {
     Q("sim_recall_eval", recallEval(_, _).orderBy("method", "query_id"),
       Some(recallEvalSql)),
     Q("sim_kcore", kcore(_, _).orderBy("vec_id"), Some(kcoreSql)),
-    Q("sim_pca_power", pcaPower(_, _).orderBy("d"), Some(pcaPowerSql)))
+    Q("sim_pca_power", pcaPower(_, _).orderBy("d"), Some(pcaPowerSql)),
+    Q("sim_cluster_purity", clusterPurity(_, _).orderBy("list_id"),
+      Some(clusterPuritySql)))
 }
