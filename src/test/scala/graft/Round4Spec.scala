@@ -72,6 +72,32 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("LSH dedup recall row reproduces set arithmetic over the two pair tables") {
+    import graft.operators.Dedup
+    val truth = Dedup.ngramJaccard(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashLsh(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = Dedup.lshRecall(spark, TestSpark.Sf0001).collect()(0)
+    assert(row.getLong(0) == truth.size)
+    assert(row.getLong(1) == found.size)
+    assert(row.getLong(2) == (truth & found).size)
+  }
+
+  test("cluster purity: per-list top-label count dominates and bounds hold") {
+    import graft.operators.Similarity
+    val rows = Similarity.clusterPurity(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nTop, purity) = (r.getLong(1), r.getLong(3), r.getDouble(4))
+      assert(nTop >= 1 && nTop <= n)
+      assert(math.abs(purity - nTop.toDouble / n) < 1e-15)
+    }
+    // the assignment partitions the corpus: list sizes sum to |embeddings|
+    val total = Tables.embeddings(spark, TestSpark.Sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
   test("weighted moving average: row population and value bounds") {
     val wma = Windows.weightedMovingAvg(spark, TestSpark.Sf0001).collect()
     val perCust = Tables.orders(spark, TestSpark.Sf0001)
