@@ -169,6 +169,9 @@ object Dedup {
         (col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common")))
           .as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
+      // two consumers (the declared query + the LSH-recall evaluator) —
+      // same materialized-product policy as the MinHash verified pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   val ngramJaccardSql: String =
