@@ -386,6 +386,44 @@ object EventTime {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** INTER-ARRIVAL distribution: per event type, exact p50/p90 of the gap
+    * between a user's consecutive events of that type — the recurrence
+    * profile behind rate limiting, anomaly baselines, and retention
+    * heuristics. One window pass over (user, type) streams; percentiles
+    * run over the gap relation (events-sized, but the heavy lifting is a
+    * single sort-within-partition). */
+  def interArrival(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, 0.5)").as("p50_gap_us"),
+        expr("percentile(gap_us, 0.9)").as("p90_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
+  val interArrivalSql: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events),
+      |g AS (SELECT event_type,
+      |             us - LAG(us, 1) OVER (PARTITION BY user_id, event_type
+      |                                   ORDER BY us, event_id) AS gap_us
+      |      FROM e)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |       quantile_cont(gap_us, 0.5) AS p50_gap_us,
+      |       quantile_cont(gap_us, 0.9) AS p90_gap_us,
+      |       MAX(gap_us) AS max_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** TIME-TO-CONVERT distribution: per user, the gap between the first
     * 'view' and the first later-or-equal 'purchase'; reported as one
     * corpus row — user counts plus exact interpolated p50/p90 of the gap.
@@ -614,6 +652,8 @@ object EventTime {
     Q("events_top_paths", topPaths, Some(topPathsSql)),
     Q("events_time_to_convert", timeToConvert(_, _).orderBy("n_users"),
       Some(timeToConvertSql)),
+    Q("events_inter_arrival", interArrival(_, _).orderBy("event_type"),
+      Some(interArrivalSql)),
     Q("events_markov", markovTransitions(_, _).orderBy("from_type", "to_type"),
       Some(markovTransitionsSql)),
     Q("events_hourly", hourly(_, _).orderBy("window_start_epoch", "event_type"),

@@ -184,6 +184,34 @@ object Relational {
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  /** Compressed-codec CSV round-trip: same lossless contract as
+    * [[csvRoundtrip]] through GZIP part files. Codec choice is a real
+    * scale lever — gzip is NOT splittable, so one .csv.gz file = one task
+    * regardless of size; at 100 TB land compressed text as many small
+    * objects (as here: one per input partition) or use a splittable codec,
+    * or parquet. The query pins that the codec layer is lossless and
+    * transparent to the reader. */
+  def csvGzipRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_gzip/" +
+      spark.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/supplier"
+    Tables.supplier(spark, dir)
+      .write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip")
+      .csv(out)
+    spark.read
+      .option("header", "true").option("inferSchema", "true")
+      .option("mode", "FAILFAST")
+      .csv(out)
+      .select(col("s_suppkey").cast("long"), col("s_name"),
+        col("s_nationkey").cast("int"), col("s_acctbal").cast("double"))
+  }
+
+  val csvGzipRoundtripSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Catalog inventory (S6/S7/S9 + the reference's expected-table contract,
     * `etl_medallion.py:261-265`): register the medallion relations as temp
     * views in a session catalog namespace-by-prefix, then read the inventory
@@ -1228,6 +1256,8 @@ object Relational {
       .orderBy(col("channel").asc_nulls_first, col("region").asc_nulls_first),
       Some(cubeRevenueSql)),
     Q("rel_csv_roundtrip", csvRoundtrip(_, _).orderBy("p_partkey"), Some(csvRoundtripSql)),
+    Q("rel_csv_gzip_roundtrip", csvGzipRoundtrip(_, _).orderBy("s_suppkey"),
+      Some(csvGzipRoundtripSql)),
     Q("rel_catalog_inventory", catalogInventory(_, _).orderBy("name"),
       Some(catalogInventorySql)),
     Q("rel_catalog_columns", catalogColumns(_, _).orderBy("name", "ordinal"),
