@@ -276,6 +276,54 @@ object TextAnalysis {
       |ORDER BY pair_count DESC, pair
       |LIMIT 20""".stripMargin
 
+  private val RagChunkTokens = 128
+  private val RagStride = 96 // 32-token overlap between consecutive chunks
+
+  /** RAG-style OVERLAPPING CHUNK WINDOWS: each document split into
+    * [[RagChunkTokens]]-token windows advancing by [[RagStride]] (32-token
+    * overlap — the standard retrieval-chunking scheme so no sentence
+    * straddles a hard boundary unseen). Emits one row per chunk with its
+    * token span; the fan-out is a pure integer Generate next to the text
+    * (same map-side discipline as the modality fan-outs). Number of chunks
+    * = ceil(max(n−overlap, 1)/stride); the last chunk clamps to the token
+    * count. Token-positioned content extraction composes downstream via
+    * `slice(tokens, start, len)` — the spans here are the contract. */
+  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+    val overlap = RagChunkTokens - RagStride
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("n_chunks",
+        expr(s"CAST((greatest(n_tokens - $overlap, 1) + ${RagStride - 1}) " +
+          s"div $RagStride AS INT)"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        (col("chunk_idx") * RagStride).as("tok_start"),
+        least(col("chunk_idx") * RagStride + RagChunkTokens, col("n_tokens"))
+          .as("tok_end"))
+  }
+
+  val ragChunksSql: String = {
+    val overlap = RagChunkTokens - RagStride
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+       |  FROM documents),
+       |g AS (SELECT doc_id, n_tokens,
+       |             (greatest(n_tokens - $overlap, 1) + ${RagStride - 1})
+       |               // $RagStride AS n_chunks
+       |      FROM d)
+       |SELECT doc_id,
+       |       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       |       CAST(n_tokens AS INTEGER) AS n_tokens,
+       |       CAST(chunk_idx * $RagStride AS INTEGER) AS tok_start,
+       |       CAST(LEAST(chunk_idx * $RagStride + $RagChunkTokens, n_tokens)
+       |            AS INTEGER) AS tok_end
+       |FROM g, UNNEST(range(0, n_chunks)) AS u(chunk_idx)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** N-GRAM NOVELTY per document: what fraction of a doc's distinct word
     * 3-grams appear NOWHERE else in the corpus — near 1 for genuinely novel
     * text, near 0 for template/boilerplate-derived docs; the inverse signal
@@ -659,6 +707,8 @@ object TextAnalysis {
     Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
     Q("text_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Q("text_novelty", novelty(_, _).orderBy("doc_id"), Some(noveltySql)),
+    Q("text_rag_chunks", ragChunks(_, _).orderBy("doc_id", "chunk_idx"),
+      Some(ragChunksSql)),
     Q("text_quality_score", qualityScore(_, _).orderBy("doc_id"), Some(qualityScoreSql)),
     Q("text_lang_id", langId(_, _).orderBy("doc_id"), Some(langIdSql)),
     Q("text_winnow_fingerprint", winnowFingerprint(_, _).orderBy("doc_id"),
