@@ -20,7 +20,11 @@ class DeterminismSpec extends AnyFunSuite {
     "events_sessions", // window + derived-key aggregation
     "rel_approx_distinct", // sketch with bound
     "sim_ivf_kmeans_topk", // iterative quantized k-means
-    "sample_balanced_per_lang") // hash-order window rank
+    "sample_balanced_per_lang", // hash-order window rank
+    "rel_zscore_outliers", // integer decision boundary (n·c−s)² vs 9(n·q−s²)
+    "sim_pca_power", // fixed-point power iteration, integer renormalization
+    "sim_kcore", // bounded peel fixpoint with early exit
+    "events_top_paths") // ordered-pivot path fold + global-share window
 
   private def run(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.Sf0001)
