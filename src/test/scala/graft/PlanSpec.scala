@@ -120,4 +120,39 @@ class PlanSpec extends AnyFunSuite {
     // candidate generation is an equi-join on the band key
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("bucketed roundtrip joins bucket-to-bucket: no shuffle below the join") {
+    // both sides stored bucketBy(8, key): with broadcast disabled (at real
+    // scale neither fact side broadcasts) the SMJ runs on bucket
+    // co-location — the ONLY shuffle exchanges in the plan are the
+    // post-join aggregation and the declared final sort. A non-bucketed
+    // plan would add one hashpartitioning exchange per join side (4 total).
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = finalPlan("rel_bucketed_roundtrip").split("== Initial Plan ==").head
+      val shuffles =
+        "Exchange (hash|range)partitioning".r.findAllIn(p).size
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert(shuffles <= 2,
+        s"bucketed join should add zero shuffles (got $shuffles):\n${p.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("zone maps scan reads only the three involved columns") {
+    val p = plan("rel_zone_maps")
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("l_orderkey") && rs.contains("l_shipdate") &&
+      rs.contains("l_extendedprice"), rs)
+    assert(!rs.contains("l_partkey") && !rs.contains("l_quantity"),
+      s"zone maps must prune unused lineitem columns: $rs")
+  }
+
+  test("z-score outliers: stats side broadcasts back to the fact scan") {
+    // two-pass shape: sufficient-stats aggregate, then a broadcast join of
+    // the (group-cardinality) stats relation — never a shuffle of the fact
+    // table for the second pass
+    val p = plan("rel_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
