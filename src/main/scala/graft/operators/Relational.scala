@@ -684,6 +684,26 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Exact distinct users per event type through the [[graft.functions
+    * .BitmapDistinct]] typed aggregator — bitmap partials OR-merged across
+    * partitions, popcount at the end. Same result as COUNT(DISTINCT) (the
+    * oracle) with a different execution shape: no per-group distinct
+    * shuffle of the id column, just fixed-size bitmap partials — the
+    * bitmap-index aggregation pattern. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val bd = udaf(graft.functions.BitmapDistinct)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(bd(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+  }
+
+  val bitmapDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      |       COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Space-Saving heavy hitters as a declared query, run in its EXACT
     * regime: capacity 16 > the key cardinality of event_type, so no counter
     * is ever evicted, counts are exact and err = 0 — which is what makes a
@@ -1231,6 +1251,8 @@ object Relational {
       Some(refIntegritySql)),
     Q("rel_heavy_hitters", heavyHitters(_, _).orderBy("event_type"),
       Some(heavyHittersSql)),
+    Q("rel_bitmap_distinct", bitmapDistinct(_, _).orderBy("event_type"),
+      Some(bitmapDistinctSql)),
     Q("rel_set_ops", setOps(_, _).orderBy("user_id"), Some(setOpsSql)),
     Q("rel_set_ops_all", setOpsAll(_, _).orderBy("user_id"), Some(setOpsAllSql)),
     Q("rel_quantiles", quantiles(_, _).orderBy("event_type"), Some(quantilesSql)),
