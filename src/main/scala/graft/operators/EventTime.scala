@@ -594,6 +594,39 @@ object EventTime {
       |FROM dau JOIN wau USING (day)
       |ORDER BY day""".stripMargin
 
+  /** NEW-USER GROWTH curve: per day, the users whose FIRST-ever event
+    * lands that day, with the running total — the acquisition counterpart
+    * of [[dauWau]]'s engagement view. First-touch is a MIN aggregate
+    * (order-independent); the cumulative sum runs over the day-cardinality
+    * relation, so the single-partition window is free at any corpus
+    * size. */
+  def newUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    first.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val newUsersSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |         MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+      |           AS first_day
+      |  FROM events GROUP BY user_id),
+      |d AS (SELECT first_day AS day, COUNT(*) AS new_users FROM f GROUP BY 1)
+      |SELECT CAST(day AS INTEGER) AS day, new_users,
+      |       CAST(SUM(new_users) OVER (ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum_users
+      |FROM d
+      |ORDER BY day""".stripMargin
+
   /** Behavior CO-OCCURRENCE with lift: for every unordered pair of event
     * types, how many users did both, and the lift
     * n_ab·n_users / (n_a·n_b) (>1 ⇒ the behaviors attract, <1 ⇒ repel) —
@@ -649,6 +682,7 @@ object EventTime {
     Q("events_cooccurrence", cooccurrence(_, _).orderBy("type_a", "type_b"),
       Some(cooccurrenceSql)),
     Q("events_dau_wau", dauWau(_, _).orderBy("day"), Some(dauWauSql)),
+    Q("events_new_users", newUsers(_, _).orderBy("day"), Some(newUsersSql)),
     Q("events_top_paths", topPaths, Some(topPathsSql)),
     Q("events_time_to_convert", timeToConvert(_, _).orderBy("n_users"),
       Some(timeToConvertSql)),

@@ -41,6 +41,28 @@ object Sampling {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** K-FOLD cross-validation assignment with its balance audit: every doc
+    * lands in one of 5 hash-derived folds, and the output is the
+    * fold × lang contingency matrix — the check that folds are exchangeable
+    * BEFORE any model sees them (a skewed fold invalidates the CV
+    * estimate). Assignment derives from the id hash alone, so folds are
+    * stable under corpus growth and reproducible on any cluster; the audit
+    * is one map-side-combinable aggregate. */
+  def kfoldBalance(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        pmod(hash60(concat(lit("fold:"), col("doc_id").cast("string"))), lit(5))
+          .as("fold"))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  val kfoldBalanceSql: String =
+    s"""SELECT ${hash60Sql("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold,
+       |       lang, COUNT(*) AS n_docs
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY fold, lang""".stripMargin
+
   /** Deterministic ~10% corpus sample (bucket < 10). */
   def hashSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -137,6 +159,8 @@ object Sampling {
 
   val all: Seq[Q] = Seq(
     Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
+    Q("sample_kfold_balance", kfoldBalance(_, _).orderBy("fold", "lang"),
+      Some(kfoldBalanceSql)),
     Q("sample_hash_10pct", hashSample(_, _).orderBy("doc_id"), Some(hashSampleSql)),
     Q("sample_balanced_per_lang", balancedSample(_, _).orderBy("lang", "rk"),
       Some(balancedSampleSql)),
