@@ -485,6 +485,59 @@ object Relational {
       |WHERE c.s_acctbal <> i.s_acctbal
       |ORDER BY s_suppkey, version""".stripMargin
 
+  private val PitCutoverDay = 9000 // 1994-08-22: mid-range of the order dates
+
+  /** POINT-IN-TIME join against a validity-windowed (SCD2-style) dimension:
+    * each order joined to the dimension version valid ON ITS ORDER DATE —
+    * the lookup every fact load against a slowly-changing dimension runs
+    * (as-of semantics expressed relationally: equi-key + half-open range
+    * containment). The synthetic history: every 4th customer's segment was
+    * 'LEGACY' before [[PitCutoverDay]] and its current value after;
+    * validity ranges partition the timeline, so each fact row matches
+    * exactly one version. The planner hash-joins the equi key and applies
+    * the range as a post-filter — the at-scale shape since version
+    * cardinality per key is tiny (the range never drives the join). */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val changed = cust.filter(col("c_custkey") % 4 === 0)
+    val dim = cust.filter(col("c_custkey") % 4 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        lit(0).as("valid_from"), lit(Int.MaxValue).as("valid_to"))
+      .unionByName(changed.select(col("c_custkey"), lit("LEGACY").as("segment"),
+        lit(0).as("valid_from"), lit(PitCutoverDay).as("valid_to")))
+      .unionByName(changed.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        lit(PitCutoverDay).as("valid_from"), lit(Int.MaxValue).as("valid_to")))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("order_day"))
+      .join(broadcast(dim),
+        col("o_custkey") === col("c_custkey") &&
+          col("order_day") >= col("valid_from") && col("order_day") < col("valid_to"))
+      .select(col("o_orderkey"), col("o_custkey"), col("order_day"), col("segment"))
+  }
+
+  val pitJoinSql: String =
+    s"""WITH dim AS (
+       |  SELECT c_custkey, c_mktsegment AS segment,
+       |         0 AS valid_from, 2147483647 AS valid_to
+       |  FROM customer WHERE c_custkey % 4 <> 0
+       |  UNION ALL
+       |  SELECT c_custkey, 'LEGACY', 0, $PitCutoverDay
+       |  FROM customer WHERE c_custkey % 4 = 0
+       |  UNION ALL
+       |  SELECT c_custkey, c_mktsegment, $PitCutoverDay, 2147483647
+       |  FROM customer WHERE c_custkey % 4 = 0),
+       |o AS (SELECT o_orderkey, o_custkey,
+       |             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |                  AS INTEGER) AS order_day
+       |      FROM orders)
+       |SELECT o_orderkey, o_custkey, order_day, segment
+       |FROM o JOIN dim
+       |  ON o_custkey = c_custkey
+       | AND order_day >= valid_from AND order_day < valid_to
+       |ORDER BY o_orderkey""".stripMargin
+
   /** Snapshot reconciliation — the FULL OUTER JOIN face of the engine:
     * diff two dimension snapshots into added / removed / retained rows in
     * one pass (the audit report run after every incremental load; SCD2
@@ -1267,6 +1320,7 @@ object Relational {
       Some(countDistinctSql)),
     Q("rel_arg_max", argMax(_, _).orderBy("p_brand"), Some(argMaxSql)),
     Q("rel_scd2_dim", scd2(_, _).orderBy("s_suppkey", "version"), Some(scd2Sql)),
+    Q("rel_pit_join", pitJoin(_, _).orderBy("o_orderkey"), Some(pitJoinSql)),
     Q("rel_reconcile", reconcile(_, _).orderBy("s_suppkey"), Some(reconcileSql)),
     Q("rel_grouping_sets", groupingSetsRevenue(_, _)
       .orderBy(col("gid"), col("channel").asc_nulls_first, col("region").asc_nulls_first),
