@@ -594,6 +594,38 @@ object EventTime {
       |FROM dau JOIN wau USING (day)
       |ORDER BY day""".stripMargin
 
+  /** SEASONALITY matrix: event volume by (day-of-week × hour-of-day) with
+    * each cell's share of the total — the load-curve heat map behind
+    * capacity planning and anomaly baselines. Day-of-week comes from pure
+    * epoch-day arithmetic ((day+3) mod 7, Monday=0 — 1970-01-01 was a
+    * Thursday), NOT from calendar functions, because weekday numbering
+    * conventions differ across engines (Spark Sun=1 vs ISO Mon=1 — a
+    * known cross-engine trap). One map-side-combinable aggregate; the
+    * share window runs over at most 168 cells. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(to_date(col("ts")), lit("1970-01-01"))
+    Tables.events(spark, dir)
+      .select(pmod(day + 3, lit(7)).as("dow"), hour(col("ts")).as("hod"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("share",
+        col("n_events").cast("double") /
+          sum(col("n_events")).over(Window.partitionBy()))
+  }
+
+  val seasonalitySql: String =
+    """WITH c AS (
+      |  SELECT (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+      |           AS dow,
+      |         CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod
+      |  FROM events)
+      |SELECT CAST(dow AS INTEGER) AS dow, hod, COUNT(*) AS n_events,
+      |       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+      |FROM c
+      |GROUP BY dow, hod
+      |ORDER BY dow, hod""".stripMargin
+
   /** NEW-USER GROWTH curve: per day, the users whose FIRST-ever event
     * lands that day, with the running total — the acquisition counterpart
     * of [[dauWau]]'s engagement view. First-touch is a MIN aggregate
@@ -683,6 +715,8 @@ object EventTime {
       Some(cooccurrenceSql)),
     Q("events_dau_wau", dauWau(_, _).orderBy("day"), Some(dauWauSql)),
     Q("events_new_users", newUsers(_, _).orderBy("day"), Some(newUsersSql)),
+    Q("events_seasonality", seasonality(_, _).orderBy("dow", "hod"),
+      Some(seasonalitySql)),
     Q("events_top_paths", topPaths, Some(topPathsSql)),
     Q("events_time_to_convert", timeToConvert(_, _).orderBy("n_users"),
       Some(timeToConvertSql)),
