@@ -709,7 +709,59 @@ object EventTime {
       |CROSS JOIN u
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** ENGAGEMENT CONCENTRATION (Lorenz curve by decile): users ranked by
+    * event count into ntile(10) deciles, each decile's share and cumulative
+    * share of all events in integer basis points — the "top 10% of users
+    * produce X% of traffic" report, and for a training pipeline the
+    * user-skew audit run before per-user data caps are chosen. Shares are
+    * computed from cumulative integer sums ((cum·10000) div total), never
+    * summed floats, so the Lorenz curve is exactly reproducible (and the
+    * last row is exactly 10000). The per-user aggregate shrinks events by
+    * orders of magnitude before the rank; the global ntile window sorts the
+    * USER relation (at extreme scale: range-partitioned percent_rank — same
+    * output, no single-partition sort). */
+  def powerUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val wd = Window.orderBy(col("n_events").desc, col("user_id"))
+    val deciles = perUser
+      .withColumn("decile", ntile(10).over(wd))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+    val tot = deciles.agg(sum(col("n_events")).as("total_events"))
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles.crossJoin(broadcast(tot))
+      .withColumn("cum_events", sum(col("n_events")).over(wc))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        expr("(n_events * 10000) div total_events").as("share_bp"),
+        expr("(cum_events * 10000) div total_events").as("cum_share_bp"))
+  }
+
+  val powerUsersSql: String =
+    """WITH pu AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+      |dc AS (SELECT n_events,
+      |              CAST(NTILE(10) OVER (ORDER BY n_events DESC, user_id) AS INTEGER)
+      |                AS decile
+      |       FROM pu),
+      |d AS (SELECT decile, COUNT(*) AS n_users,
+      |             CAST(SUM(n_events) AS BIGINT) AS n_events
+      |      FROM dc GROUP BY decile),
+      |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total_events FROM d),
+      |c AS (SELECT decile, n_users, n_events,
+      |             CAST(SUM(n_events) OVER (ORDER BY decile
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |               AS cum_events
+      |      FROM d)
+      |SELECT decile, n_users, n_events,
+      |       (n_events * 10000) // total_events AS share_bp,
+      |       (cum_events * 10000) // total_events AS cum_share_bp
+      |FROM c, t
+      |ORDER BY decile""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("events_power_users", powerUsers(_, _).orderBy("decile"), Some(powerUsersSql)),
     Q("events_rfm", rfmScores(_, _).orderBy("user_id"), Some(rfmScoresSql)),
     Q("events_cooccurrence", cooccurrence(_, _).orderBy("type_a", "type_b"),
       Some(cooccurrenceSql)),

@@ -231,8 +231,58 @@ object Multimodal {
       |  ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
 
+  private val ShardBytes = 16384
+
+  /** SHARD MANIFEST: WebDataset-style packing of the media stream into
+    * ~[[ShardBytes]]-byte shards — the storage layout a multimodal training
+    * loader actually reads (sequential tar-like shards, not one file per
+    * item). Items are laid out in doc_id order; an item belongs to the
+    * shard its FIRST byte falls in (boundary-binned packing: shard_id =
+    * floor(preceding_bytes / target) — deterministic, one window pass, and
+    * within one item-size of the greedy packer everywhere). Output is the
+    * manifest a loader indexes: per shard, the item count, byte size, and
+    * the doc_id range (contiguous by construction). The prefix sum is a
+    * global ordered window here; at 100 TB it becomes the standard two-pass
+    * distributed prefix sum (per-partition totals, then offsets) — same
+    * arithmetic, no single-partition sort. Payload bytes never move: the
+    * window carries only (doc_id, n_bytes). */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    features(spark, dir)
+      .select(col("doc_id"), col("n_bytes"))
+      .withColumn("cum_before", coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+      .withColumn("shard_id", expr(s"cum_before div $ShardBytes"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("doc_lo"),
+        max(col("doc_id")).as("doc_hi"))
+  }
+
+  val shardManifestSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |                  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+       |           FROM documents),
+       |c AS (SELECT doc_id, n_bytes,
+       |             COALESCE(CAST(SUM(n_bytes) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |               AS cum_before
+       |      FROM m)
+       |SELECT cum_before // $ShardBytes AS shard_id,
+       |       COUNT(*) AS n_items,
+       |       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       |       MIN(doc_id) AS doc_lo,
+       |       MAX(doc_id) AS doc_hi
+       |FROM c
+       |GROUP BY 1
+       |ORDER BY shard_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("mm_features", features(_, _).orderBy("doc_id"), Some(featuresSql)),
+    Q("mm_shard_manifest", shardManifest(_, _).orderBy("shard_id"),
+      Some(shardManifestSql)),
     Q("mm_frame_sample", frameSample(_, _).orderBy("doc_id", "frame_idx"),
       Some(frameSampleSql)),
     Q("mm_audio_chunks", audioChunks(_, _).orderBy("doc_id", "chunk"),

@@ -157,6 +157,47 @@ object Sampling {
   private def bucketSqlK(sql: String, k: Int): String =
     s"${hash60Sql(s"CAST($sql AS VARCHAR)")} % $k"
 
+  /** TARGET-MIXTURE resampling weights: for each language stratum, the
+    * repeat factor (in basis points) that reweights the corpus to a UNIFORM
+    * language mix — the data-mixture lever of a training pipeline (a corpus
+    * 44% en / 13% zh trains a very different model than the uniform mix the
+    * curriculum asked for). `repeat_bp` = target_count / actual_count where
+    * target_count = total/n_langs: languages over-represented get < 10000
+    * (downsample), under-represented get > 10000 (repeat epochs);
+    * `planned_docs` is the stratum's size after applying the factor. All
+    * ratios are integer basis points (floor on non-negative operands — both
+    * engines agree), never a float boundary. One map-side-combinable
+    * aggregate over the corpus + a one-row broadcast: scan-speed at 100 TB,
+    * and the output (one row per language) feeds the actual resampler as a
+    * broadcast dim. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val tot = byLang.agg(
+      sum(col("n_docs")).as("total_docs"), count(lit(1)).as("n_langs"))
+    byLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        expr("(n_docs * 10000) div total_docs").as("share_bp"),
+        expr("(total_docs * 10000) div (n_langs * n_docs)").as("repeat_bp"),
+        expr("(n_docs * ((total_docs * 10000) div (n_langs * n_docs))) div 10000")
+          .as("planned_docs"))
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH by_lang AS (SELECT lang, COUNT(*) AS n_docs,
+      |                        CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |                 FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+      |               COUNT(*) AS n_langs FROM by_lang)
+      |SELECT lang, n_docs, n_chars,
+      |       (n_docs * 10000) // total_docs AS share_bp,
+      |       (total_docs * 10000) // (n_langs * n_docs) AS repeat_bp,
+      |       (n_docs * ((total_docs * 10000) // (n_langs * n_docs))) // 10000
+      |         AS planned_docs
+      |FROM by_lang, tot
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
     Q("sample_kfold_balance", kfoldBalance(_, _).orderBy("fold", "lang"),
@@ -166,5 +207,7 @@ object Sampling {
       Some(balancedSampleSql)),
     Q("sample_domain_cap", domainCap(_, _).orderBy("source", "rk"),
       Some(domainCapSql)),
-    Q("sample_size_biased", sizeBiased(_, _).orderBy("doc_id"), Some(sizeBiasedSql)))
+    Q("sample_size_biased", sizeBiased(_, _).orderBy("doc_id"), Some(sizeBiasedSql)),
+    Q("sample_mixture_weights", mixtureWeights(_, _).orderBy("lang"),
+      Some(mixtureWeightsSql)))
 }

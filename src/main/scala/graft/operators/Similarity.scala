@@ -936,6 +936,68 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** NEIGHBORHOOD JACCARD per mutual-kNN edge: for each symmetric edge
+    * (a,b), |N(a)∩N(b)| / |N(a)∪N(b)| over the mutual graph — the
+    * structural edge weight that separates edges inside dense communities
+    * (high shared-neighbor overlap) from bridges between them (near zero),
+    * the standard link-strength feature for community pruning and
+    * link prediction. Shared neighbors come from the wedge join
+    * sym(x,c)⋈sym(y,c) on the common endpoint — fan-out bounded by the
+    * mutual degree (≤ [[GraphK]] per node), never all-pairs; edges with no
+    * shared neighbor survive via the left join (0 overlap). The union
+    * |N(a)|+|N(b)|−shared includes a and b themselves (b ∈ N(a) by
+    * edge-ness), the usual convention; one int/int division at the end is
+    * cross-engine exact. */
+  def neighborJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnGraph(spark, dir)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+    val rev = knn.select(col("b").as("ra"), col("a").as("rb"))
+    // consumed three times (edge list, both wedge sides, degrees)
+    val sym = knn
+      .join(rev, col("a") === col("ra") && col("b") === col("rb"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = sym.filter(col("a") < col("b"))
+      .select(col("a").as("ea"), col("b").as("eb"))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.as("x")
+      .join(sym.as("y"), col("x.b") === col("y.b") && col("x.a") < col("y.a"))
+      .groupBy(col("x.a").as("wa"), col("y.a").as("wb"))
+      .agg(count(lit(1)).as("n_shared"))
+    edges
+      .join(wedges, col("ea") === col("wa") && col("eb") === col("wb"), "left")
+      .join(deg.as("da"), col("ea") === col("da.a"))
+      .join(deg.as("db"), col("eb") === col("db.a"))
+      .select(col("ea").as("vec_a"), col("eb").as("vec_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("da.deg").as("deg_a"), col("db.deg").as("deg_b"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("da.deg") + col("db.deg") - coalesce(col("n_shared"), lit(0L))))
+          .as("nbr_jaccard"))
+  }
+
+  val neighborJaccardSql: String =
+    s"""WITH knn AS (SELECT vec_id, neighbor_id FROM (
+       |$knnGraphSql
+       |)),
+       |sym AS (SELECT x.vec_id AS a, x.neighbor_id AS b
+       |        FROM knn x JOIN knn y
+       |          ON x.vec_id = y.neighbor_id AND x.neighbor_id = y.vec_id),
+       |deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+       |wedge AS (SELECT x.a AS wa, y.a AS wb, COUNT(*) AS n_shared
+       |          FROM sym x JOIN sym y ON x.b = y.b AND x.a < y.a
+       |          GROUP BY 1, 2),
+       |edges AS (SELECT a AS ea, b AS eb FROM sym WHERE a < b)
+       |SELECT ea AS vec_a, eb AS vec_b,
+       |       COALESCE(n_shared, 0) AS n_shared,
+       |       da.deg AS deg_a, db.deg AS deg_b,
+       |       CAST(COALESCE(n_shared, 0) AS DOUBLE)
+       |         / (da.deg + db.deg - COALESCE(n_shared, 0)) AS nbr_jaccard
+       |FROM edges
+       |LEFT JOIN wedge ON wa = ea AND wb = eb
+       |JOIN deg da ON da.a = ea
+       |JOIN deg db ON db.a = eb
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   private val PowerIters = 5
   private val PowerScale = 1048576L // 2^20: the fixed-point unit for v
 
@@ -1039,5 +1101,7 @@ object Similarity {
     Q("sim_kcore", kcore(_, _).orderBy("vec_id"), Some(kcoreSql)),
     Q("sim_pca_power", pcaPower(_, _).orderBy("d"), Some(pcaPowerSql)),
     Q("sim_cluster_purity", clusterPurity(_, _).orderBy("list_id"),
-      Some(clusterPuritySql)))
+      Some(clusterPuritySql)),
+    Q("sim_neighbor_jaccard", neighborJaccard(_, _).orderBy("vec_a", "vec_b"),
+      Some(neighborJaccardSql)))
 }

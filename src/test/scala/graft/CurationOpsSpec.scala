@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EventTime, Multimodal, Sampling, Similarity}
+
+/** Semantic contracts of the mixture-weight, power-user, shard-manifest,
+  * and neighborhood-Jaccard operators, each checked against an independent
+  * collect-side reimplementation (the oracle gate covers the SQL axis).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("mixture weights reproduce the integer target-mix arithmetic") {
+    val langs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("lang")).collect().map(_.getString(0))
+    val byLang = langs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = langs.length.toLong
+    val nLangs = byLang.size.toLong
+    val rows = Sampling.mixtureWeights(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == nLangs)
+    rows.foreach { r =>
+      val n = byLang(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(3) == n * 10000 / total, "share_bp")
+      assert(r.getLong(4) == total * 10000 / (nLangs * n), "repeat_bp")
+      assert(r.getLong(5) == n * (total * 10000 / (nLangs * n)) / 10000,
+        "planned_docs")
+    }
+    // the reweighted corpus should sit within one doc-per-lang of uniform
+    val planned = rows.map(_.getLong(5))
+    assert(planned.max - planned.min <= nLangs,
+      s"planned docs far from uniform: ${planned.mkString(",")}")
+  }
+
+  test("power-user deciles form an exact Lorenz curve over per-user counts") {
+    val perUser = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id")).collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (uid, n) => (-n, uid) }
+    val counts = perUser.map(_._2)
+    val nUsers = counts.length
+    // ntile(10): first (n % 10) buckets get ceil(n/10) rows
+    val base = nUsers / 10
+    val extra = nUsers % 10
+    val sizes = (1 to 10).map(d => if (d <= extra) base + 1 else base)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val total = counts.sum
+    val rows = EventTime.powerUsers(spark, TestSpark.Sf0001)
+      .orderBy("decile").collect()
+    assert(rows.length == 10)
+    var cum = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val slice = counts.slice(offsets(i), offsets(i + 1))
+      cum += slice.sum
+      assert(r.getInt(0) == i + 1)
+      assert(r.getLong(1) == sizes(i), s"decile ${i + 1} user count")
+      assert(r.getLong(2) == slice.sum, s"decile ${i + 1} event count")
+      assert(r.getLong(3) == slice.sum * 10000 / total)
+      assert(r.getLong(4) == cum * 10000 / total)
+    }
+    assert(rows.last.getLong(4) == 10000, "Lorenz curve must end at 10000 bp")
+  }
+
+  test("shard manifest tiles the byte stream contiguously and completely") {
+    val items = Multimodal.features(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("n_bytes")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._1)
+    // independent boundary-binned packing
+    var cum = 0L
+    val expected = items.map { case (id, b) =>
+      val shard = cum / 16384; cum += b; (shard, id, b)
+    }.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._3).sum, g.map(_._2).min, g.map(_._2).max)
+    }.toMap
+    val rows = Multimodal.shardManifest(spark, TestSpark.Sf0001)
+      .orderBy("shard_id").collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, bytes, lo, hi) = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        == ((n, bytes, lo, hi)), s"shard ${r.getLong(0)}")
+    }
+    assert(rows.map(_.getLong(2)).sum == items.map(_._2).sum,
+      "every byte lands in exactly one shard")
+    // doc ranges are contiguous: each shard starts right after the previous
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(1).getLong(3) == w(0).getLong(4) + 1)
+    }
+  }
+
+  test("neighborhood Jaccard matches a set-arithmetic recomputation") {
+    val knn = Similarity.knnGraph(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sym = knn.filter { case (a, b) => knn.contains((b, a)) }
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = Similarity.neighborJaccard(spark, TestSpark.Sf0001).collect()
+    val edges = sym.filter { case (a, b) => a < b }
+    assert(rows.length == edges.size, "one row per canonical mutual edge")
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(edges.contains((a, b)))
+      val shared = (nbrs(a) & nbrs(b)).size.toLong
+      val union = (nbrs(a) | nbrs(b)).size.toLong
+      assert(r.getLong(2) == shared, s"shared count of ($a,$b)")
+      assert(r.getLong(3) == nbrs(a).size.toLong)
+      assert(r.getLong(4) == nbrs(b).size.toLong)
+      assert(r.getDouble(5) == shared.toDouble / union, s"jaccard of ($a,$b)")
+    }
+  }
+}

@@ -33,9 +33,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // + ivf/pq probe broadcasts — each inherited BNLJ is allowlisted above
     // in its source query; caching can hide some, so this is the ceiling
     "sim_kcore" -> 2, // inherits knnGraph's broadcast plane projection
+    "sim_neighbor_jaccard" -> 2, // same knnGraph inheritance
     "events_cooccurrence" -> 1, // one-row broadcast corpus-user-count scalar
-    "sim_pca_power" -> 1, // the final round's 1-row broadcast max-|raw|
-    // scalar (earlier rounds are materialized behind localCheckpoints)
+    "events_power_users" -> 1, // one-row broadcast total-events scalar
+    "sample_mixture_weights" -> 1, // one-row broadcast corpus-total scalar
     "meta_ref_integrity" -> 3, // one 1-row broadcast fact-total per FK check
     "dedup_lsh_recall" -> 2, // two 1-row count scalars joined to the tp row
     "dedup_impact" -> 1) // 1-row before-aggregate × 1-row after-aggregate
