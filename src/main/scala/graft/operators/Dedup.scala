@@ -557,6 +557,54 @@ object Dedup {
        |       CAST(chars_after AS DOUBLE) / chars_before AS char_frac_kept
        |FROM b, a""".stripMargin
 
+  /** MODALITY AGREEMENT: do the lexical and the semantic near-dup detectors
+    * find the same pairs? One row: the exact n-gram Jaccard pair set vs the
+    * embedding-cosine pair set (same doc key space), their overlap, and the
+    * Jaccard of the two PAIR SETS. The cross-modality sanity check a dedup
+    * rollout runs before trusting either detector alone: high agreement
+    * says the corpus's near-dups are plain copies (either detector
+    * suffices); low agreement says paraphrase-heavy (semantic catches what
+    * lexical misses) or template-heavy (vice versa). Both inputs are the
+    * persisted pipeline products, so this evaluator costs one semi-join +
+    * three scalar aggregates. NULL agreement when both sets are empty
+    * (0/0), identically on both engines. */
+  def modalityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val lex = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sem = Similarity.embeddingCosinePairs(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val both = lex.join(sem, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    lex.agg(count(lit(1)).as("n_lexical"))
+      .crossJoin(sem.agg(count(lit(1)).as("n_semantic")))
+      .crossJoin(both)
+      .select(col("n_lexical"), col("n_semantic"), col("n_both"),
+        when(col("n_lexical") + col("n_semantic") - col("n_both") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("n_both").cast("double") /
+            (col("n_lexical") + col("n_semantic") - col("n_both")))
+          .as("pair_agreement"))
+  }
+
+  val modalityAgreementSql: String =
+    s"""WITH lex AS (SELECT doc_a, doc_b FROM (
+       |$ngramJaccardSql
+       |)),
+       |sem AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+       |${Similarity.embeddingCosinePairsSql}
+       |)),
+       |b AS (SELECT COUNT(*) AS n_both FROM lex
+       |      WHERE EXISTS (SELECT 1 FROM sem
+       |                    WHERE sem.doc_a = lex.doc_a AND sem.doc_b = lex.doc_b)),
+       |s AS (SELECT (SELECT COUNT(*) FROM lex) AS n_lexical,
+       |             (SELECT COUNT(*) FROM sem) AS n_semantic,
+       |             n_both
+       |      FROM b)
+       |SELECT n_lexical, n_semantic, n_both,
+       |       CASE WHEN n_lexical + n_semantic - n_both = 0 THEN NULL
+       |            ELSE CAST(n_both AS DOUBLE) / (n_lexical + n_semantic - n_both)
+       |       END AS pair_agreement
+       |FROM s""".stripMargin
+
   private val EditMax = 3
 
   /** String-edit near-dup over catalog names: distinct names paired within
@@ -764,6 +812,8 @@ object Dedup {
       Some(minhashLshSql)),
     Q("dedup_keep_set", keepSet(_, _).orderBy("doc_id"), Some(keepSetSql)),
     Q("dedup_lsh_recall", lshRecall(_, _).orderBy("n_truth"), Some(lshRecallSql)),
+    Q("dedup_modality_agreement", modalityAgreement(_, _).orderBy("n_lexical"),
+      Some(modalityAgreementSql)),
     Q("dedup_impact", impact(_, _).orderBy("n_docs"), Some(impactSql)),
     Q("dedup_components", components(_, _).orderBy("doc_id"), Some(componentsSql)),
     Q("dedup_cluster_keep", clusterKeep(_, _).orderBy("doc_id"), Some(clusterKeepSql)),

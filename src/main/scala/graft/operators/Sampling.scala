@@ -198,6 +198,45 @@ object Sampling {
       |FROM by_lang, tot
       |ORDER BY lang""".stripMargin
 
+  private val CurriculumPhases = 4
+
+  /** CURRICULUM PHASES: the corpus cut into [[CurriculumPhases]] quality
+    * tiers (ntile over the deterministic per-doc quality score, highest
+    * first — phase 1 is what an anneal/cooldown stage trains on last), with
+    * each phase's doc count, token budget, and quality range. The ranking
+    * key is the oracle-checked `quality_score` with doc_id tiebreak, so the
+    * assignment is exactly reproducible; phase stats aggregate integers
+    * (token sums) and order-independent min/max — no float accumulation.
+    * The per-doc relation is corpus-sized: the global ntile sorts it once
+    * (at extreme scale: range-partitioned percent_rank, same output). */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val w = Window.orderBy(col("quality_score").desc, col("doc_id"))
+    q.withColumn("phase", ntile(CurriculumPhases).over(w))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+  }
+
+  val curriculumSql: String =
+    s"""WITH q AS (SELECT doc_id, n_tokens, quality_score FROM (
+       |${TextAnalysis.qualityScoreSql}
+       |)),
+       |p AS (SELECT n_tokens, quality_score,
+       |             CAST(NTILE($CurriculumPhases) OVER (
+       |               ORDER BY quality_score DESC, doc_id) AS INTEGER) AS phase
+       |      FROM q)
+       |SELECT phase, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       MIN(quality_score) AS min_quality,
+       |       MAX(quality_score) AS max_quality
+       |FROM p
+       |GROUP BY phase
+       |ORDER BY phase""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
     Q("sample_kfold_balance", kfoldBalance(_, _).orderBy("fold", "lang"),
@@ -209,5 +248,7 @@ object Sampling {
       Some(domainCapSql)),
     Q("sample_size_biased", sizeBiased(_, _).orderBy("doc_id"), Some(sizeBiasedSql)),
     Q("sample_mixture_weights", mixtureWeights(_, _).orderBy("lang"),
-      Some(mixtureWeightsSql)))
+      Some(mixtureWeightsSql)),
+    Q("sample_curriculum", curriculum(_, _).orderBy("phase"),
+      Some(curriculumSql)))
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventTime, Multimodal, Sampling, Similarity}
+import graft.operators.{Dedup, EventTime, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Semantic contracts of the mixture-weight, power-user, shard-manifest,
   * and neighborhood-Jaccard operators, each checked against an independent
@@ -87,6 +87,49 @@ class CurationOpsSpec extends AnyFunSuite {
     // doc ranges are contiguous: each shard starts right after the previous
     rows.sliding(2).foreach { w =>
       if (w.length == 2) assert(w(1).getLong(3) == w(0).getLong(4) + 1)
+    }
+  }
+
+  test("modality agreement reproduces set arithmetic over the two pair sets") {
+    val lex = Dedup.ngramJaccard(spark, TestSpark.Sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Similarity.embeddingCosinePairs(spark, TestSpark.Sf0001)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = Dedup.modalityAgreement(spark, TestSpark.Sf0001).collect().head
+    assert(r.getLong(0) == lex.size)
+    assert(r.getLong(1) == sem.size)
+    assert(r.getLong(2) == (lex & sem).size)
+    val union = (lex | sem).size
+    if (union == 0) assert(r.isNullAt(3))
+    else assert(r.getDouble(3) == (lex & sem).size.toDouble / union)
+  }
+
+  test("curriculum phases tile the corpus by quality rank") {
+    val docs = TextAnalysis.qualityScore(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    val n = docs.length
+    val base = n / 4
+    val extra = n % 4
+    val sizes = (1 to 4).map(p => if (p <= extra) base + 1 else base)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val rows = Sampling.curriculum(spark, TestSpark.Sf0001)
+      .orderBy("phase").collect()
+    assert(rows.length == 4)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val slice = docs.slice(offsets(i), offsets(i + 1))
+      assert(r.getInt(0) == i + 1)
+      assert(r.getLong(1) == sizes(i))
+      assert(r.getLong(2) == slice.map(_._2).sum, s"phase ${i + 1} tokens")
+      assert(r.getDouble(3) == slice.map(_._3).min, s"phase ${i + 1} min q")
+      assert(r.getDouble(4) == slice.map(_._3).max, s"phase ${i + 1} max q")
+    }
+    // phases are quality-ordered: each phase's floor ≥ the next phase's cap
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0).getDouble(3) >= w(1).getDouble(4))
     }
   }
 

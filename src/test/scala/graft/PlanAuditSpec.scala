@@ -39,7 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sample_mixture_weights" -> 1, // one-row broadcast corpus-total scalar
     "meta_ref_integrity" -> 3, // one 1-row broadcast fact-total per FK check
     "dedup_lsh_recall" -> 2, // two 1-row count scalars joined to the tp row
-    "dedup_impact" -> 1) // 1-row before-aggregate × 1-row after-aggregate
+    "dedup_impact" -> 1, // 1-row before-aggregate × 1-row after-aggregate
+    "dedup_modality_agreement" -> 4) // two 1-row count scalars + the
+    // embedding-pair side's broadcast plane projections
 
   test("no declared query plans a cartesian product; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
