@@ -336,6 +336,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(wordNGrams(col("text"), 3)).as("g"))
       .select(col("doc_id"), hash60(col("g")).as("h"))
       .distinct()
+      // referenced twice (df counts + the ratio join) — persist so the
+      // scan + explode + MD5 run once (the shingle-index policy)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     sh.join(df, Seq("h"))
       .groupBy(col("doc_id"))
@@ -371,6 +374,9 @@ object TextAnalysis {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(wordNGrams(col("text"), 5)).as("g"))
       .select(col("doc_id"), hash60(col("g")).as("h"))
+      // both the benchmark slice and the corpus slice filter this relation
+      // — persist so the scan + explode + MD5 run once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchGrams = grams.filter(col("doc_id") % 97 === 0)
       .select(col("h")).distinct()
     grams.filter(col("doc_id") % 97 =!= 0)
@@ -524,6 +530,9 @@ object TextAnalysis {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(wordNGrams(col("text"), 2)).as("g"))
       .select(col("doc_id"), hash60(col("g")).as("h"))
+      // referenced twice (corpus counts + the per-doc join) — persist so
+      // the scan + explode + MD5 run once (the shingle-index policy)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusCounts = grams.groupBy(col("h")).agg(count(lit(1)).as("bc"))
     grams.join(corpusCounts, "h")
       .groupBy(col("doc_id"))
