@@ -557,6 +557,56 @@ object Dedup {
        |       CAST(chars_after AS DOUBLE) / chars_before AS char_frac_kept
        |FROM b, a""".stripMargin
 
+  /** THRESHOLD SWEEP: candidate-pair counts at every Jaccard threshold
+    * 0.1 … 0.9 — the calibration table you read BEFORE picking a dedup
+    * threshold (and the empirical side of the LSH S-curve: band geometry
+    * is tuned so the curve's midpoint sits at the chosen threshold). One
+    * conditional aggregation over the already-persisted pair-intersection
+    * table — the sweep costs nothing beyond the pipeline that produced the
+    * candidates; every threshold appears even with zero pairs. The
+    * jaccard double is an int/int division computed identically on both
+    * engines, so the threshold comparisons agree bit-for-bit. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingleIndex(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val scored = pairIntersections(spark, dir)
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select((col("n_common").cast("double") /
+        (col("sa.n") + col("sb.n") - col("n_common"))).as("j"))
+    val aggs = (1 to 9).map(i =>
+      count(when(col("j") >= lit(i / 10.0), 1)).as(s"n_$i"))
+    scored.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((1 to 9).map(i =>
+        struct(lit(i * 10).as("threshold_pct"), col(s"n_$i").as("n_pairs"))): _*))
+        .as("s"))
+      .select(col("s.threshold_pct"), col("s.n_pairs"))
+  }
+
+  val thresholdSweepSql: String = {
+    val conds = (1 to 9).map(i =>
+      s"COUNT(CASE WHEN j >= ${i / 10.0} THEN 1 END) AS n_$i").mkString(",\n       ")
+    val rows = (1 to 9).map(i =>
+      s"SELECT ${i * 10} AS threshold_pct, n_$i AS n_pairs FROM a")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $shingleIndexSql,
+       |$cappedShingleIndexSql,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |          FROM shf a JOIN shf b
+       |            ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |sc AS (SELECT CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS j
+       |       FROM inter
+       |       JOIN sz sa ON sa.doc_id = doc_a
+       |       JOIN sz sb ON sb.doc_id = doc_b),
+       |a AS (SELECT
+       |       $conds
+       |      FROM sc)
+       |$rows
+       |ORDER BY threshold_pct""".stripMargin
+  }
+
   /** MODALITY AGREEMENT: do the lexical and the semantic near-dup detectors
     * find the same pairs? One row: the exact n-gram Jaccard pair set vs the
     * embedding-cosine pair set (same doc key space), their overlap, and the
@@ -814,6 +864,8 @@ object Dedup {
     Q("dedup_lsh_recall", lshRecall(_, _).orderBy("n_truth"), Some(lshRecallSql)),
     Q("dedup_modality_agreement", modalityAgreement(_, _).orderBy("n_lexical"),
       Some(modalityAgreementSql)),
+    Q("dedup_threshold_sweep", thresholdSweep(_, _).orderBy("threshold_pct"),
+      Some(thresholdSweepSql)),
     Q("dedup_impact", impact(_, _).orderBy("n_docs"), Some(impactSql)),
     Q("dedup_components", components(_, _).orderBy("doc_id"), Some(componentsSql)),
     Q("dedup_cluster_keep", clusterKeep(_, _).orderBy("doc_id"), Some(clusterKeepSql)),

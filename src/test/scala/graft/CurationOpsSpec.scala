@@ -106,6 +106,19 @@ class CurationOpsSpec extends AnyFunSuite {
     else assert(r.getDouble(3) == (lex & sem).size.toDouble / union)
   }
 
+  test("threshold sweep is monotone and agrees with the declared threshold") {
+    val rows = Dedup.thresholdSweep(spark, TestSpark.Sf0001)
+      .orderBy("threshold_pct").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9).map(_ * 10))
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getLong(1) >= w(1).getLong(1), "sweep must be non-increasing")
+    }
+    // the 0.3 column is exactly the declared ngram-Jaccard query's pair count
+    val atDeclared = rows.find(_.getInt(0) == 30).get.getLong(1)
+    assert(atDeclared == Dedup.ngramJaccard(spark, TestSpark.Sf0001).count())
+  }
+
   test("curriculum phases tile the corpus by quality rank") {
     val docs = TextAnalysis.qualityScore(spark, TestSpark.Sf0001)
       .select(col("doc_id"), col("n_tokens"), col("quality_score")).collect()
