@@ -709,6 +709,58 @@ object EventTime {
       |CROSS JOIN u
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** OHLC CANDLES: per (hour, event_type) the ORDERED-first/last and
+    * min/max of `value` — the open/high/low/close time-bucket aggregate
+    * every monitoring/market pipeline publishes, and the one aggregate
+    * family (ordered first/last in group) the plain groupBy vocabulary
+    * lacks. Open/close are picked by rank over the deterministic
+    * (ts, event_id) order — never min_by on a possibly-tied timestamp
+    * (a tie would be engine-arbitrary); min/max are order-independent.
+    * One shuffle on the bucket key; the rank windows sort within the
+    * already-shuffled partitions. */
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_trunc("hour", col("ts")).cast("long").as("hour_epoch"),
+        col("ts"), col("event_id"), col("value"))
+    val wOrd = Window.partitionBy(col("hour_epoch"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("hour_epoch"), col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bucketed
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("hour_epoch"), col("event_type"))
+      .agg(
+        max(col("cnt")).as("n_events"),
+        max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+  }
+
+  val ohlcSql: String =
+    """WITH b AS (SELECT event_type,
+      |                  CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |                    AS hour_epoch,
+      |                  ts, event_id, value
+      |           FROM events),
+      |r AS (SELECT hour_epoch, event_type, value,
+      |             ROW_NUMBER() OVER (PARTITION BY hour_epoch, event_type
+      |                                ORDER BY ts, event_id) AS rn,
+      |             COUNT(*) OVER (PARTITION BY hour_epoch, event_type) AS cnt
+      |      FROM b)
+      |SELECT hour_epoch, event_type,
+      |       CAST(MAX(cnt) AS BIGINT) AS n_events,
+      |       MAX(CASE WHEN rn = 1 THEN value END) AS open,
+      |       MAX(value) AS high,
+      |       MIN(value) AS low,
+      |       MAX(CASE WHEN rn = cnt THEN value END) AS close
+      |FROM r
+      |GROUP BY hour_epoch, event_type
+      |ORDER BY hour_epoch, event_type""".stripMargin
+
   /** ENGAGEMENT CONCENTRATION (Lorenz curve by decile): users ranked by
     * event count into ntile(10) deciles, each decile's share and cumulative
     * share of all events in integer basis points — the "top 10% of users
@@ -762,6 +814,7 @@ object EventTime {
 
   val all: Seq[Q] = Seq(
     Q("events_power_users", powerUsers(_, _).orderBy("decile"), Some(powerUsersSql)),
+    Q("events_ohlc", ohlc(_, _).orderBy("hour_epoch", "event_type"), Some(ohlcSql)),
     Q("events_rfm", rfmScores(_, _).orderBy("user_id"), Some(rfmScoresSql)),
     Q("events_cooccurrence", cooccurrence(_, _).orderBy("type_a", "type_b"),
       Some(cooccurrenceSql)),

@@ -146,6 +146,25 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("OHLC candles agree with an independent sort-and-pick per bucket") {
+    val evs = Tables.events(spark, TestSpark.Sf0001)
+      .select(expr("CAST(date_trunc('hour', ts) AS LONG)").as("h"),
+        col("event_type"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val expected = evs.groupBy(e => (e._1, e._2)).view.mapValues { g =>
+      val sorted = g.sortBy(e => (e._3, e._4))
+      (g.length.toLong, sorted.head._5, g.map(_._5).max, g.map(_._5).min, sorted.last._5)
+    }.toMap
+    val rows = EventTime.ohlc(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val e = expected((r.getLong(0), r.getString(1)))
+      assert((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+        == e, s"bucket (${r.getLong(0)}, ${r.getString(1)})")
+    }
+  }
+
   test("neighborhood Jaccard matches a set-arithmetic recomputation") {
     val knn = Similarity.knnGraph(spark, TestSpark.Sf0001)
       .select(col("vec_id"), col("neighbor_id")).collect()
