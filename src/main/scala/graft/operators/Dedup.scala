@@ -383,6 +383,9 @@ object Dedup {
     toks.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), digest.as("simhash"))
+      // the digest table is the operator's product: the declared simhash
+      // query AND the band-pair query both consume it (cache key = plan)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Shared CTE prefix computing (doc_id, simhash) as `d`. */
@@ -436,6 +439,8 @@ object Dedup {
       posexplode(array((0 until nBands).map(b =>
         expr(s"shiftright(simhash, ${b * bandBits}) & $mask")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      // both self-join sides read this — persist (the signature-table policy)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

@@ -200,6 +200,9 @@ object Similarity {
       .join(e.select(col("vec_id"), col("v").as("vb")), col("vec_b") === col("vec_id"))
       .select(col("vec_a"), col("vec_b"), cosineFast(col("va"), col("vb")).as("cos_sim"))
       .filter(col("cos_sim") >= PairTau)
+      // the verified-pairs table is the pipeline's product: the declared
+      // query AND the modality-agreement evaluator consume it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   val embeddingCosinePairsSql: String = {
