@@ -709,6 +709,42 @@ object EventTime {
       |CROSS JOIN u
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** DAILY VOLUME ANOMALIES: days whose event count sits more than 3σ from
+    * the mean daily volume — the load-anomaly monitor (outage, bot flood,
+    * backfill) run over ingestion ledgers. The 3σ decision is the exact
+    * integer boundary (n·c − s)² > 9(n·q − s²) in DECIMAL(38,0)/HUGEINT
+    * (same discipline as `rel_zscore_outliers`): no float ever touches the
+    * comparison, so both engines flag identical days. The day relation is
+    * date-cardinality — the whole test after the one map-side-combined
+    * count costs nothing at any corpus size. */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val days = Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val stats = days.agg(count(lit(1)).as("n"), sum(col("n_events")).as("s"),
+      sum(col("n_events").cast(d38) * col("n_events")).as("q"))
+    val dev = col("n").cast(d38) * col("n_events") - col("s")
+    days.crossJoin(broadcast(stats))
+      .select(col("day"), col("n_events"),
+        ((dev * dev) > (lit(9).cast(d38) *
+          (col("n").cast(d38) * col("q") - col("s").cast(d38) * col("s"))))
+          .as("is_anomaly"))
+  }
+
+  val anomalyDaysSql: String =
+    """WITH d AS (SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |                  COUNT(*) AS n_events
+      |           FROM events GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n, CAST(SUM(n_events) AS BIGINT) AS s,
+      |              SUM(CAST(n_events AS HUGEINT) * n_events) AS q
+      |       FROM d)
+      |SELECT CAST(day AS INTEGER) AS day, n_events,
+      |       (CAST(n AS HUGEINT) * n_events - s) * (CAST(n AS HUGEINT) * n_events - s)
+      |         > 9 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS is_anomaly
+      |FROM d, st
+      |ORDER BY day""".stripMargin
+
   /** OHLC CANDLES: per (hour, event_type) the ORDERED-first/last and
     * min/max of `value` — the open/high/low/close time-bucket aggregate
     * every monitoring/market pipeline publishes, and the one aggregate
@@ -815,6 +851,7 @@ object EventTime {
   val all: Seq[Q] = Seq(
     Q("events_power_users", powerUsers(_, _).orderBy("decile"), Some(powerUsersSql)),
     Q("events_ohlc", ohlc(_, _).orderBy("hour_epoch", "event_type"), Some(ohlcSql)),
+    Q("events_anomaly_days", anomalyDays(_, _).orderBy("day"), Some(anomalyDaysSql)),
     Q("events_rfm", rfmScores(_, _).orderBy("user_id"), Some(rfmScoresSql)),
     Q("events_cooccurrence", cooccurrence(_, _).orderBy("type_a", "type_b"),
       Some(cooccurrenceSql)),

@@ -965,6 +965,50 @@ object Relational {
     ("bronze", 0.0, 100.0), ("silver", 100.0, 250.0),
     ("gold", 250.0, 500.0), ("platinum", 500.0, 1000000.0))
 
+  /** SKYLINE (Pareto frontier) over part: the parts no other part beats on
+    * BOTH price (lower better) and size (higher better). The classic OLAP
+    * dominance query — and the classic quadratic trap: the textbook
+    * NOT-EXISTS dominance test plans a part×part nested loop. The 2-D
+    * skyline instead falls out of TWO WINDOW PASSES over the price order:
+    * a row survives iff (a) no strictly-cheaper row has size ≥ its size
+    * (running max over the RANGE frame ending 1 cent before) and (b) it
+    * ties the max size within its own price point (equal price + larger
+    * size dominates; exact ties are mutually non-dominating and all
+    * survive). Price compares in exact DECIMAL cents. One sort instead of
+    * a self-join; at scale the global window becomes a range-partitioned
+    * sort with per-partition running-max merge — still one pass. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("price_cents"),
+        col("p_size"))
+    val wCheaper = Window.orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy(col("price_cents"))
+    p.withColumn("m_cheaper", max(col("p_size")).over(wCheaper))
+      .withColumn("m_same", max(col("p_size")).over(wSame))
+      .filter((col("m_cheaper").isNull || col("m_cheaper") < col("p_size")) &&
+        col("p_size") === col("m_same"))
+      .select(col("p_partkey"), col("p_name"), col("price_cents"), col("p_size"))
+  }
+
+  val skylineSql: String =
+    """WITH p AS (SELECT p_partkey, p_name,
+      |                  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |                    AS price_cents,
+      |                  p_size
+      |           FROM part),
+      |w AS (SELECT p_partkey, p_name, price_cents, p_size,
+      |             MAX(p_size) OVER (ORDER BY price_cents
+      |               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_cheaper,
+      |             MAX(p_size) OVER (PARTITION BY price_cents) AS m_same
+      |      FROM p)
+      |SELECT p_partkey, p_name, price_cents, p_size
+      |FROM w
+      |WHERE (m_cheaper IS NULL OR m_cheaper < p_size) AND p_size = m_same
+      |ORDER BY p_partkey""".stripMargin
+
   /** Non-equi range (band) join: classify every event into a value tier by
     * `lo <= value < hi` against a broadcast tier table. The generic point-
     * in-interval join (pricing tiers, IP→geo ranges, SLA buckets): with the
@@ -1286,6 +1330,7 @@ object Relational {
     Q("meta_table_stats", tableStats(_, _).orderBy("column_name"),
       Some(tableStatsSql)),
     Q("rel_range_join", rangeJoin(_, _).orderBy("tier"), Some(rangeJoinSql)),
+    Q("rel_skyline", skyline(_, _).orderBy("p_partkey"), Some(skylineSql)),
     Q("rel_salted_join", saltedJoin(_, _).orderBy("c_mktsegment"), Some(saltedJoinSql)),
     Q("rel_median_mode", medianMode(_, _).orderBy("p_brand"), Some(medianModeSql)),
     Q("rel_histogram", histogram(_, _).orderBy("event_type", "bin"),

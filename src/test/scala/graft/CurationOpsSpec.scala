@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, EventTime, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventTime, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Semantic contracts of the mixture-weight, power-user, shard-manifest,
   * and neighborhood-Jaccard operators, each checked against an independent
@@ -143,6 +143,39 @@ class CurationOpsSpec extends AnyFunSuite {
     // phases are quality-ordered: each phase's floor ≥ the next phase's cap
     rows.sliding(2).foreach { w =>
       if (w.length == 2) assert(w(0).getDouble(3) >= w(1).getDouble(4))
+    }
+  }
+
+  test("skyline equals the brute-force dominance definition") {
+    val parts = Tables.part(spark, TestSpark.Sf0001)
+      .select(col("p_partkey"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS LONG)"),
+        col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    def dominates(a: (Long, Long, Int), b: (Long, Long, Int)): Boolean =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    val expected = parts.filter(q => !parts.exists(p => dominates(p, q)))
+      .map(_._1).toSet
+    val got = Relational.skyline(spark, TestSpark.Sf0001)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("anomaly days reproduce the integer 3-sigma boundary") {
+    import scala.math.BigInt
+    val counts = Tables.events(spark, TestSpark.Sf0001)
+      .select(expr("datediff(to_date(ts), '1970-01-01')")).collect()
+      .map(_.getInt(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = BigInt(counts.size)
+    val s = counts.values.map(BigInt(_)).sum
+    val q = counts.values.map(c => BigInt(c) * c).sum
+    val rows = EventTime.anomalyDays(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val c = BigInt(counts(r.getInt(0)))
+      val expected = (n * c - s).pow(2) > 9 * (n * q - s * s)
+      assert(r.getBoolean(2) == expected, s"day ${r.getInt(0)}")
+      assert(r.getLong(1) == c.toLong)
     }
   }
 

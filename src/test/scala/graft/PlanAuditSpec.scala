@@ -36,6 +36,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_neighbor_jaccard" -> 2, // same knnGraph inheritance
     "events_cooccurrence" -> 1, // one-row broadcast corpus-user-count scalar
     "events_power_users" -> 1, // one-row broadcast total-events scalar
+    "events_anomaly_days" -> 1, // one-row broadcast daily-stats scalar
     "sample_mixture_weights" -> 1, // one-row broadcast corpus-total scalar
     "meta_ref_integrity" -> 3, // one 1-row broadcast fact-total per FK check
     "dedup_lsh_recall" -> 2, // two 1-row count scalars joined to the tp row
