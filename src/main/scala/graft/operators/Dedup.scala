@@ -562,6 +562,72 @@ object Dedup {
        |       CAST(chars_after AS DOUBLE) / chars_before AS char_frac_kept
        |FROM b, a""".stripMargin
 
+  private val WinnowW = 16 // winnowing window: 16 consecutive char-8-grams
+  private val WinnowShared = 2 // pairs must share at least this many prints
+
+  /** WINNOWING PAIRS — the MOSS-style shared-SPAN detector: true windowed
+    * winnowing (min gram hash per sliding window of [[WinnowW]] consecutive
+    * char-8-grams, full windows only) gives each document a sparse
+    * fingerprint SET with the guarantee that any shared substring of
+    * ≥ W+7 chars yields a shared fingerprint; documents sharing ≥
+    * [[WinnowShared]] fingerprints are reported with the shared count.
+    * This catches copied SPANS (quotes, license blocks, lifted paragraphs)
+    * that whole-document Jaccard dilutes away — the span-level face of the
+    * dedup tier. Same never-all-pairs shape as everything here: inverted
+    * index on the fingerprint (df-capped), self-join, count. The window
+    * min runs inside the per-doc sort Spark already does for the explode's
+    * partition; fingerprint density is ~2/W of the gram count, so the
+    * index is 8× sparser than the raw gram index. Docs shorter than
+    * W+7 chars have no full window and drop out (by construction). */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), (length(col("text")) - 7).as("n_grams"),
+        posexplode(charGrams(col("text"), 8)))
+      .select(col("doc_id"), col("n_grams"), col("pos"), hash60(col("col")).as("h"))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val fps = grams
+      .withColumn("fp", min(col("h")).over(wWin))
+      .filter(col("pos") <= col("n_grams") - WinnowW) // full windows only
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+      // both self-join sides + the df cap read this
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select(col("fp"))
+    val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowShared)
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, length(text) - 7 AS n_grams, i AS pos,
+       |         ${hash60Sql("substr(text, i, 8)")} AS h
+       |  FROM documents, UNNEST(range(1, greatest(length(text) - 6, 1))) AS u(i)
+       |  WHERE length(text) >= 8),
+       |w AS (SELECT doc_id, n_grams, pos,
+       |             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+       |      FROM g),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM w
+       |        WHERE pos <= n_grams - $WinnowW + 1),
+       |capped AS (SELECT fps.doc_id, fps.fp FROM fps
+       |           JOIN (SELECT fp FROM fps GROUP BY fp
+       |                 HAVING COUNT(*) <= $DfCap) r USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |FROM capped a JOIN capped b
+       |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $WinnowShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** THRESHOLD SWEEP: candidate-pair counts at every Jaccard threshold
     * 0.1 … 0.9 — the calibration table you read BEFORE picking a dedup
     * threshold (and the empirical side of the LSH S-curve: band geometry
@@ -871,6 +937,8 @@ object Dedup {
       Some(modalityAgreementSql)),
     Q("dedup_threshold_sweep", thresholdSweep(_, _).orderBy("threshold_pct"),
       Some(thresholdSweepSql)),
+    Q("dedup_winnow_pairs", winnowPairs(_, _).orderBy("doc_a", "doc_b"),
+      Some(winnowPairsSql)),
     Q("dedup_impact", impact(_, _).orderBy("n_docs"), Some(impactSql)),
     Q("dedup_components", components(_, _).orderBy("doc_id"), Some(componentsSql)),
     Q("dedup_cluster_keep", clusterKeep(_, _).orderBy("doc_id"), Some(clusterKeepSql)),

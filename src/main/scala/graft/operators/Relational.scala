@@ -965,6 +965,40 @@ object Relational {
     ("bronze", 0.0, 100.0), ("silver", 100.0, 250.0),
     ("gold", 250.0, 500.0), ("platinum", 500.0, 1000000.0))
 
+  /** CATEGORICAL IMPURITY PROFILE: Gini impurity (1 − Σ pᵢ²) and distinct
+    * count per categorical column of documents — the stratification-
+    * readiness probe (a near-zero-impurity column can't balance a sample;
+    * a high-impurity one makes a good shard/stratum key). Gini, unlike
+    * entropy, needs NO logarithm — libm log differs across engines, Σ c²
+    * is an exact integer — so the profile is exactly reproducible. One
+    * map-side-combined aggregate per column. (The final p² division runs
+    * in doubles: exact for corpora below 2²⁶ rows; past that, compute
+    * Σc²/n² in DECIMAL — the comparison here is informational, not a
+    * decision boundary.) */
+  def giniProfile(spark: SparkSession, dir: String): DataFrame = {
+    def one(c: String): DataFrame =
+      Tables.documents(spark, dir)
+        .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("cnt")).as("n"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+        .select(lit(c).as("column_name"), col("n_distinct"),
+          (lit(1.0) - col("ss").cast("double") /
+            (col("n").cast("double") * col("n").cast("double"))).as("gini"))
+    one("lang").unionByName(one("source"))
+  }
+
+  val giniProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_distinct,
+         |       1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+         |             / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS gini
+         |FROM (SELECT $c, COUNT(*) AS cnt FROM documents GROUP BY $c)""".stripMargin
+    s"""${one("lang")}
+       |UNION ALL
+       |${one("source")}
+       |ORDER BY column_name""".stripMargin
+  }
+
   /** SKYLINE (Pareto frontier) over part: the parts no other part beats on
     * BOTH price (lower better) and size (higher better). The classic OLAP
     * dominance query — and the classic quadratic trap: the textbook
@@ -1331,6 +1365,8 @@ object Relational {
       Some(tableStatsSql)),
     Q("rel_range_join", rangeJoin(_, _).orderBy("tier"), Some(rangeJoinSql)),
     Q("rel_skyline", skyline(_, _).orderBy("p_partkey"), Some(skylineSql)),
+    Q("meta_gini_profile", giniProfile(_, _).orderBy("column_name"),
+      Some(giniProfileSql)),
     Q("rel_salted_join", saltedJoin(_, _).orderBy("c_mktsegment"), Some(saltedJoinSql)),
     Q("rel_median_mode", medianMode(_, _).orderBy("p_brand"), Some(medianModeSql)),
     Q("rel_histogram", histogram(_, _).orderBy("event_type", "bin"),

@@ -146,6 +146,45 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow pairs match an independent JVM winnowing recomputation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h60(s: String) = graft.functions.Hash60.hash(UTF8String.fromString(s))
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fps = docs.collect { case (id, text) if text.length >= 8 =>
+      val grams = (0 to text.length - 8).map(i => h60(text.substring(i, i + 8)))
+      id -> (0 to grams.length - 16).map(p => grams.slice(p, p + 16).min).toSet
+    }.filter(_._2.nonEmpty)
+    val df = fps.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val capped = fps.map { case (id, s) => id -> s.filter(df(_) <= 64) }
+    val expected = (for {
+      (a, sa) <- capped; (b, sb) <- capped if a < b
+      shared = (sa & sb).size if shared >= 2
+    } yield (a, b) -> shared.toLong).toMap
+    val rows = Dedup.winnowPairs(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows == expected)
+  }
+
+  test("gini profile reproduces exact impurity arithmetic") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def expected(vals: Seq[String]) = {
+      val counts = vals.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = vals.length.toDouble
+      (counts.size.toLong, 1.0 - counts.values.map(c => c * c).sum.toDouble / (n * n))
+    }
+    val byCol = Map("lang" -> expected(docs.map(_._1).toSeq),
+      "source" -> expected(docs.map(_._2).toSeq))
+    Relational.giniProfile(spark, TestSpark.Sf0001).collect().foreach { r =>
+      val (nd, g) = byCol(r.getString(0))
+      assert(r.getLong(1) == nd)
+      assert(math.abs(r.getDouble(2) - g) < 1e-12)
+    }
+  }
+
   test("skyline equals the brute-force dominance definition") {
     val parts = Tables.part(spark, TestSpark.Sf0001)
       .select(col("p_partkey"),
