@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Artifacts, Q, Tables}
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -79,19 +79,18 @@ object Dedup {
     * comparison is a long equality (hashed-shingle Jaccard, the standard
     * at-scale form; a 60-bit collision merging two shingles is ~n²/2⁶¹ and
     * deterministic on both engines, so the oracle still matches exactly).
-    * Persisted because one near-dup pipeline references it several times
-    * (signatures, pair intersection, doc sizes) and Spark would otherwise
-    * recompute the scan+explode per reference; at production scale this
-    * materialization would be an intermediate table, dropped (unpersisted)
-    * when the dedup stage ends. (Cache key is the logical plan, so all
-    * queries share one copy per sf.)
+    * Materialized once per session ([[Artifacts]]): one near-dup pipeline
+    * references it several times (signatures, pair intersection, doc sizes)
+    * and several queries share it — every consumer reads the written table
+    * instead of re-running the scan+explode or trusting cache reuse.
     */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(wordNGrams(col("text"), 3)).as("shingle"))
-      .select(col("doc_id"), hash60(col("shingle")).as("h"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Artifacts.table(spark, dir, "dedup_shingle_index") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(wordNGrams(col("text"), 3)).as("shingle"))
+        .select(col("doc_id"), hash60(col("shingle")).as("h"))
+        .distinct()
+    }
 
   private val shingleIndexSql: String =
     s"""tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
@@ -119,17 +118,17 @@ object Dedup {
     * full-index window SORT with an agg over partials plus a map-side
     * filter — measured ~2× on the Jaccard query; at corpus scale the sort
     * was the bottleneck. If the hot set ever outgrew a broadcast, the
-    * fallback is a shuffled anti-join — never a window sort. Persisted:
+    * fallback is a shuffled anti-join — never a window sort. Materialized:
     * consumed by the Jaccard AND containment pipelines (sizes + both
     * self-join sides each). */
-  private def cappedShingleIndex(spark: SparkSession, dir: String): DataFrame = {
-    val idx = shingleIndex(spark, dir)
-    val hot = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCap).select(col("h"))
-    idx.join(broadcast(hot), Seq("h"), "left_anti")
-      .select("doc_id", "h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private def cappedShingleIndex(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "dedup_capped_shingle_index") {
+      val idx = shingleIndex(spark, dir)
+      val hot = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap).select(col("h"))
+      idx.join(broadcast(hot), Seq("h"), "left_anti")
+        .select("doc_id", "h")
+    }
 
   /** Shared CTE suffix: `shf` = the df-capped index over `sh`. */
   private val cappedShingleIndexSql: String =
@@ -141,38 +140,38 @@ object Dedup {
     * pair meeting in the capped inverted index. The self-join + aggregate is
     * the expensive step of BOTH the Jaccard and the containment pipelines
     * (only their final scoring differs), so it is computed once and
-    * persisted — the dedup-stage intermediate a production pipeline would
-    * materialize between candidate generation and each scoring policy. */
-  private def pairIntersections(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingleIndex(spark, dir)
-    sh.as("a")
-      .join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+    * materialized — the dedup-stage intermediate a production pipeline
+    * writes between candidate generation and each scoring policy. */
+  private def pairIntersections(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "dedup_pair_intersections") {
+      val sh = cappedShingleIndex(spark, dir)
+      sh.as("a")
+        .join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+    }
 
   /** Exact n-gram Jaccard near-dup pairs above [[JaccardThreshold]], found
     * through the inverted shingle index (docs never meet unless they share a
     * shingle — no O(n²) cross join), restricted to discriminative shingles
     * (df ≤ [[DfCap]]). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingleIndex(spark, dir)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairIntersections(spark, dir)
-    inter
-      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("n_common"),
-        (col("sa.n") + col("sb.n") - col("n_common")).as("n_union"),
-        (col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      // two consumers (the declared query + the LSH-recall evaluator) —
-      // same materialized-product policy as the MinHash verified pairs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    // three consumers (the declared query, the LSH-recall evaluator, the
+    // modality-agreement evaluator) read the materialized truth-pair table
+    Artifacts.table(spark, dir, "dedup_jaccard_pairs") {
+      val sh = cappedShingleIndex(spark, dir)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairIntersections(spark, dir)
+      inter
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          (col("sa.n") + col("sb.n") - col("n_common")).as("n_union"),
+          (col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+    }
 
   val ngramJaccardSql: String =
     s"""WITH $shingleIndexSql,
@@ -251,36 +250,72 @@ object Dedup {
       spark: SparkSession,
       dir: String,
       numPerms: Int = NumPerms,
-      numBands: Int = NumBands): DataFrame = {
+      numBands: Int = NumBands): DataFrame =
+    if (numPerms == NumPerms && numBands == NumBands)
+      // the verified-pairs table is the pipeline's product: the pairs
+      // query, keep-set, impact, LSH-recall, and connected components all
+      // read the materialized table — the dedup stage writes it once
+      Artifacts.table(spark, dir, "dedup_minhash_pairs")(
+        minhashPipeline(spark, dir, numPerms, numBands))
+    else minhashPipeline(spark, dir, numPerms, numBands)
+
+  /** The MinHash signature table (doc_id, sig: array of numPerms longs) —
+    * materialized for the default geometry (referenced three times per
+    * pipeline run: banding + both sides of the estimate join). */
+  private def minhashSignatures(
+      spark: SparkSession, dir: String, numPerms: Int): DataFrame = {
+    def build = {
+      val sh = shingleIndex(spark, dir)
+        .withColumn("base", col("h") % MersenneP)
+      val minhashes = (0 until numPerms).map(i =>
+        min((lit(permA(i)) * col("base") + lit(permB(i))) % MersenneP).as(s"h$i"))
+      sh.groupBy("doc_id")
+        .agg(minhashes.head, minhashes.tail: _*)
+        .withColumn("sig", array((0 until numPerms).map(i => col(s"h$i")): _*))
+        .select("doc_id", "sig")
+    }
+    if (numPerms == NumPerms)
+      Artifacts.table(spark, dir, "dedup_minhash_sig")(build)
+    else build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def minhashPipeline(
+      spark: SparkSession,
+      dir: String,
+      numPerms: Int,
+      numBands: Int): DataFrame = {
     require(numPerms % numBands == 0, "numBands must divide numPerms")
     val rowsPerBand = numPerms / numBands
     val sh = shingleIndex(spark, dir)
-      .withColumn("base", col("h") % MersenneP)
-    val minhashes = (0 until numPerms).map(i =>
-      min((lit(permA(i)) * col("base") + lit(permB(i))) % MersenneP).as(s"h$i"))
-    // referenced three times below (banding + both sides of the estimate
-    // join) — persist like the shingle index; at scale this is the
-    // "signature table" a production dedup job would materialize once
-    val sig = sh.groupBy("doc_id")
-      .agg(minhashes.head, minhashes.tail: _*)
-      .withColumn("sig", array((0 until numPerms).map(i => col(s"h$i")): _*))
-      .select("doc_id", "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatures(spark, dir, numPerms)
 
-    // one row per (doc, band): band key = md5 of the comma-joined band slice
-    val bands = sig.select(
-      col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => md5(array_join(
-          transform(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
-            h => h.cast("string")), ",")))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
-
+    // one row per (doc, band): the band key is the band's signature slice
+    // PACKED PAIRWISE into longs — sig values are < P = 2³¹−1, so
+    // v₁·P + v₂ < 2⁶² is an exact, collision-free 8-byte key (odd tails
+    // pad with 0). The candidate self-join shuffles ⌈r/2⌉ longs per row
+    // instead of a 32-char md5 string (≈¼ the key bytes at r = 4), with no
+    // hashing work at all — and the key function is plain integer
+    // arithmetic, so the DuckDB oracle reproduces the identical candidate
+    // set. (SimHash bands were already integer — this closes the gap.)
+    val nPacks = (rowsPerBand + 1) / 2
+    val bandStructs = (0 until numBands).map { b =>
+      val packs = (0 until nPacks).map { i =>
+        val idx = b * rowsPerBand + 2 * i
+        val v1 = col("sig").getItem(idx)
+        val v2 = if (2 * i + 1 < rowsPerBand) col("sig").getItem(idx + 1) else lit(0L)
+        (v1 * MersenneP + v2).as(s"k$i")
+      }
+      struct(lit(b).as("band") +: packs: _*)
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id") +: col("bs.band").as("band") +:
+        (0 until nPacks).map(i => col(s"bs.k$i")): _*)
+    val bandEq = (0 until nPacks)
+      .map(i => col(s"x.k$i") === col(s"y.k$i"))
+      .foldLeft(col("x.band") === col("y.band"))(_ && _)
     val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
+      .join(bands.as("y"), bandEq && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
@@ -310,11 +345,6 @@ object Dedup {
         (col("n_common").cast("double") / (col("za.n") + col("zb.n") - col("n_common")))
           .as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-      // the verified-pairs table is the pipeline's product: the pairs query
-      // AND the keep-set application both consume it (cache key = logical
-      // plan, so they share one copy) — production materializes it between
-      // the dedup stage and every downstream keeper policy
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   val minhashLshSql: String = {
@@ -325,18 +355,28 @@ object Dedup {
     val estSum = (1 to NumPerms)
       .map(i => s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END")
       .mkString("(", " + ", ")")
+    // packed pairwise integer band keys — mirrors the Spark side exactly
+    // (sig values < P so v1*P + v2 stays inside BIGINT)
+    val nPacks = (RowsPerBand + 1) / 2
+    val packCols = (0 until nPacks).map { i =>
+      val v1 = s"sig[b*$RowsPerBand + ${2 * i + 1}]"
+      val v2 = if (2 * i + 1 < RowsPerBand) s"sig[b*$RowsPerBand + ${2 * i + 2}]"
+        else "0"
+      s"$v1 * $MersenneP + $v2 AS k$i"
+    }.mkString(",\n                 ")
+    val keyEq = (0 until nPacks).map(i => s"x.k$i = y.k$i").mkString(" AND ")
     s"""WITH $shingleIndexSql,
        |shb AS (SELECT doc_id, h % $MersenneP AS base FROM sh),
        |sigc AS (SELECT doc_id,
        |       $minCols
        |       FROM shb GROUP BY doc_id),
        |sig AS (SELECT doc_id, $sigList AS sig FROM sigc),
-       |bands AS (SELECT doc_id, sig, b,
-       |                 md5(array_to_string(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], ',')) AS band_key
+       |bands AS (SELECT doc_id, b,
+       |                 $packCols
        |          FROM sig, UNNEST(range(0, $NumBands)) AS u(b)),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
-       |           ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |           ON x.b = y.b AND $keyEq AND x.doc_id < y.doc_id),
        |est AS (SELECT doc_a, doc_b, CAST($estSum AS DOUBLE) / $NumPerms AS est_jaccard
        |        FROM cand
        |        JOIN sig sa ON sa.doc_id = doc_a
@@ -380,12 +420,13 @@ object Dedup {
     val digest = (0 until SimhashBits)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a: Column, b: Column) => a + b)
-    toks.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), digest.as("simhash"))
-      // the digest table is the operator's product: the declared simhash
-      // query AND the band-pair query both consume it (cache key = plan)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the digest table is the operator's product: the declared simhash
+    // query AND the band-pair query both read the materialized table
+    Artifacts.table(spark, dir, "dedup_simhash") {
+      toks.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), digest.as("simhash"))
+    }
   }
 
   /** Shared CTE prefix computing (doc_id, simhash) as `d`. */
@@ -777,7 +818,13 @@ object Dedup {
     * GraphX/GraphFrames use. Iterations are bounded by the component
     * diameter (near-dup clusters are shallow; the cap is a safety rail).
     */
-  def components(spark: SparkSession, dir: String): DataFrame = {
+  def components(spark: SparkSession, dir: String): DataFrame =
+    // two consumers (the declared query + the cluster-keeper policy) read
+    // the materialized component labels; the fixpoint runs once per session
+    Artifacts.table(spark, dir, "dedup_components")(
+      componentsFixpoint(spark, dir))
+
+  private def componentsFixpoint(spark: SparkSession, dir: String): DataFrame = {
     val edges = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
     // the pair graph is orders of magnitude smaller than the corpus — size
     // the fixpoint's partitioning to the edge relation, not the corpus

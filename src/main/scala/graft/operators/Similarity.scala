@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Artifacts, Q, Tables}
 import graft.functions.VectorFns._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -30,8 +30,14 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
-  /** Exact brute-force cosine top-k for the first [[NumQueries]] vectors. */
-  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact brute-force cosine top-k for the first [[NumQueries]] vectors.
+    * Materialized: the declared query AND the recall evaluation (which uses
+    * it as ground truth against all three indexes) read the same table. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "sim_bf_topk")(bruteForceTopKBuild(spark, dir))
+
+  /** The producer pipeline (plan contract pinned in PlanSpec). */
+  private[graft] def bruteForceTopKBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -95,21 +101,33 @@ object Similarity {
         StructField("coefs", ArrayType(DoubleType), nullable = false))))
   }
 
+  /** The (vec_id, tbl, bkey) SRP band table for a given plane geometry —
+    * the index artifact of the SRP-LSH family, materialized once per
+    * session and read by every consumer (query-vs-corpus top-k, the kNN
+    * graph's self-join sides, the cosine-pair detector). */
+  private def srpBands(spark: SparkSession, dir: String, name: String,
+      tables: Int, bits: Int): DataFrame =
+    Artifacts.table(spark, dir, name) {
+      corpus(spark, dir).crossJoin(broadcast(planesTable(spark, tables, bits)))
+        .select(col("vec_id"), col("tbl"),
+          when(dot(col("v"), col("coefs")) > 0, expr("shiftleft(1, j)"))
+            .otherwise(lit(0)).as("bit"))
+        .groupBy(col("vec_id"), col("tbl"))
+        .agg(sum(col("bit")).as("bkey"))
+    }
+
   /** Multi-table SRP-LSH + exact cosine re-rank: candidates are vectors
     * sharing any of [[NumTables]] band keys with the query, deduplicated,
     * then re-ranked with exact cosine. Approximate — recall vs
     * [[bruteForceTopK]] is measured in the spec. At scale the band explode
     * multiplies the corpus by NumTables but turns ANN into an equi-join.
-    */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    * Materialized: the declared query and the recall evaluation share it. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "sim_lsh_topk")(lshTopKBuild(spark, dir))
+
+  private def lshTopKBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
-    val bands = e.crossJoin(broadcast(planesTable(spark)))
-      .select(col("vec_id"), col("tbl"),
-        when(dot(col("v"), col("coefs")) > 0, expr("shiftleft(1, j)"))
-          .otherwise(lit(0)).as("bit"))
-      .groupBy(col("vec_id"), col("tbl"))
-      .agg(sum(col("bit")).as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = srpBands(spark, dir, "sim_srp_bands", NumTables, BitsPerTable)
     val qBands = bands.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"), col("bkey").as("qkey"))
     val cand = bands.join(broadcast(qBands),
@@ -179,31 +197,29 @@ object Similarity {
     * corpus × PairTables band rows, self-join on (tbl, band key), exact
     * verification only on candidates — the same shape as MinHash-LSH.
     */
-  def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir)
-    val bands = e.crossJoin(broadcast(planesTable(spark, PairTables, PairBits)))
-      .select(col("vec_id"), col("tbl"),
-        when(dot(col("v"), col("coefs")) > 0, expr("shiftleft(1, j)"))
-          .otherwise(lit(0)).as("bit"))
-      .groupBy(col("vec_id"), col("tbl"))
-      .agg(sum(col("bit")).as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    cand
-      .join(e.select(col("vec_id"), col("v").as("va")), col("vec_a") === col("vec_id"))
-      .drop("vec_id")
-      .join(e.select(col("vec_id"), col("v").as("vb")), col("vec_b") === col("vec_id"))
-      .select(col("vec_a"), col("vec_b"), cosineFast(col("va"), col("vb")).as("cos_sim"))
-      .filter(col("cos_sim") >= PairTau)
-      // the verified-pairs table is the pipeline's product: the declared
-      // query AND the modality-agreement evaluator consume it
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    // the verified-pairs table is the pipeline's product: the declared
+    // query AND the modality-agreement evaluator read the materialized table
+    Artifacts.table(spark, dir, "sim_cosine_pairs")(
+      embeddingCosinePairsBuild(spark, dir))
+
+  /** The producer pipeline (plan contract pinned in PlanSpec). */
+  private[graft] def embeddingCosinePairsBuild(spark: SparkSession, dir: String): DataFrame = {
+      val e = corpus(spark, dir)
+      val bands = srpBands(spark, dir, "sim_srp_bands_pair", PairTables, PairBits)
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id"), col("v").as("va")), col("vec_a") === col("vec_id"))
+        .drop("vec_id")
+        .join(e.select(col("vec_id"), col("v").as("vb")), col("vec_b") === col("vec_id"))
+        .select(col("vec_a"), col("vec_b"), cosineFast(col("va"), col("vb")).as("cos_sim"))
+        .filter(col("cos_sim") >= PairTau)
+    }
 
   val embeddingCosinePairsSql: String = {
     val planeValues = (for {
@@ -245,24 +261,28 @@ object Similarity {
     * probes/k of the corpus.
     */
   /** Quantized dims relation: (vec_id, d, q) with q = floor(v[d] * 1e6).
-    * Persisted: the IVF/k-means plans reference it once per distance
-    * computation (every Lloyd step + the final search), and `dist` itself
-    * is referenced twice (assignment + probes) — without the cache the
-    * whole upstream subtree would re-execute per reference. */
-  private def quantDims(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), posexplode(col("v")))
-      .select(col("vec_id"), col("pos").as("d"),
-        floor(col("col") * 1000000).cast("long").as("q"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * Materialized: the IVF/k-means plans reference it once per distance
+    * computation (every Lloyd step + the final search), PQ/PCA/centroid
+    * queries read it too — every consumer scans the written table instead
+    * of re-running the explode. */
+  private def quantDims(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "sim_quant_dims") {
+      corpus(spark, dir).select(col("vec_id"), posexplode(col("v")))
+        .select(col("vec_id"), col("pos").as("d"),
+          floor(col("col") * 1000000).cast("long").as("q"))
+    }
 
   /** Integer centroids seeded from the label column:
-    * floor(sum(q)/n) per (list, dimension). */
-  private def seedCentroids(spark: SparkSession, dir: String, dims: DataFrame): DataFrame = {
-    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
-    dims.join(broadcast(lab), "vec_id")
-      .groupBy(col("label").as("list_id"), col("d"))
-      .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
-  }
+    * floor(sum(q)/n) per (list, dimension). Materialized: read by the
+    * seeded-IVF search, the k-means refinement chain, and the label-
+    * centroid query. */
+  private def seedCentroids(spark: SparkSession, dir: String, dims: DataFrame): DataFrame =
+    Artifacts.table(spark, dir, "sim_seed_centroids") {
+      val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      dims.join(broadcast(lab), "vec_id")
+        .groupBy(col("label").as("list_id"), col("d"))
+        .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
+    }
 
   /** Exact integer L2 distance of every vector to every centroid. */
   private def centDist(dims: DataFrame, cent: DataFrame): DataFrame =
@@ -315,11 +335,13 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
   }
 
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir)
-    val dims = quantDims(e)
-    ivfSearch(e, dims, seedCentroids(spark, dir, dims))
-  }
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    // materialized: the declared query and the recall evaluation share it
+    Artifacts.table(spark, dir, "sim_ivf_topk") {
+      val e = corpus(spark, dir)
+      val dims = quantDims(spark, dir)
+      ivfSearch(e, dims, seedCentroids(spark, dir, dims))
+    }
 
   private val KmeansIters = 2
 
@@ -333,17 +355,23 @@ object Similarity {
     * (Empty clusters simply drop out of the centroid table — determinism
     * is preserved because both engines drop them identically.)
     */
+  /** The Lloyd-refined centroid table (k×64 rows) — the k-means index
+    * artifact, materialized once and read by the k-means IVF search AND
+    * the cluster-purity evaluation; writing it also truncates the k-means
+    * training lineage, so consumers never re-embed the Lloyd history. */
+  private def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "sim_kmeans_centroids") {
+      val dims = quantDims(spark, dir)
+      var cent = seedCentroids(spark, dir, dims)
+      for (_ <- 0 until KmeansIters)
+        cent = lloydStep(dims, cent)
+      cent
+    }
+
   def ivfKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
-    val dims = quantDims(e)
-    var cent = seedCentroids(spark, dir, dims)
-    // persist each refined centroid table (k×64 rows): the next step and
-    // the final search both reference it, and its lineage is the whole
-    // k-means history — exactly what an iterative algorithm must truncate
-    for (_ <- 0 until KmeansIters)
-      cent = lloydStep(dims, cent)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ivfSearch(e, dims, cent)
+    val dims = quantDims(spark, dir)
+    ivfSearch(e, dims, kmeansCentroids(spark, dir))
   }
 
   val ivfTopKSql: String =
@@ -459,13 +487,8 @@ object Similarity {
     * arbitrary, a silent cross-engine divergence). Reuses the persisted
     * refined-centroid tables; the label join broadcasts. */
   def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir)
-    val dims = quantDims(e)
-    var cent = seedCentroids(spark, dir, dims)
-    for (_ <- 0 until KmeansIters)
-      cent = lloydStep(dims, cent)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dist = centDist(dims, cent)
+    val dims = quantDims(spark, dir)
+    val dist = centDist(dims, kmeansCentroids(spark, dir))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
     val assign = dist.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
@@ -509,17 +532,18 @@ object Similarity {
     * Vectors with no band-mates contribute no rows (documented sparsity,
     * not data loss — production would widen tables/probes to bound it).
     */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    // five consumers build on this graph (the declared query, triangles,
+    // PageRank, k-core, neighborhood Jaccard) — materialize the graph
+    // itself, not just the band table, so the candidate join + top-k
+    // window run once per session; at scale this is the materialized
+    // kNN-graph table every graph stage reads
+    Artifacts.table(spark, dir, "sim_knn_graph")(knnGraphBuild(spark, dir))
+
+  private def knnGraphBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
-    // both self-join sides consume the band table — persist it so the
-    // projection + band aggregation run once (the signature-table policy)
-    val bands = e.crossJoin(broadcast(planesTable(spark)))
-      .select(col("vec_id"), col("tbl"),
-        when(dot(col("v"), col("coefs")) > 0, expr("shiftleft(1, j)"))
-          .otherwise(lit(0)).as("bit"))
-      .groupBy(col("vec_id"), col("tbl"))
-      .agg(sum(col("bit")).as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both self-join sides read the materialized band table
+    val bands = srpBands(spark, dir, "sim_srp_bands", NumTables, BitsPerTable)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
@@ -538,12 +562,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= GraphK)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
-      // four consumers build this identical plan (the declared query,
-      // triangles, PageRank, k-core) — persist the graph itself, not just
-      // the band table, so the candidate join + top-k window run once per
-      // session; at scale this is the materialized kNN-graph table every
-      // graph stage reads
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   val knnGraphSql: String = {
@@ -589,11 +607,9 @@ object Similarity {
     * Plan: posexplode to (vec, d, q) → one shuffle on (label, d); at scale
     * the dims relation is corpus × 64 rows but the output is labels × 64.
     */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir)
-    seedCentroids(spark, dir, quantDims(e))
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    seedCentroids(spark, dir, quantDims(spark, dir))
       .select(col("list_id").as("label"), col("d"), col("cq"))
-  }
 
   val labelCentroidsSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -668,16 +684,22 @@ object Similarity {
     * At 100 TB: the corpus ships/stores 8 bytes/vector (32× compression),
     * the distance table is queries × 64 longs broadcast, and the scan is
     * memory-bandwidth-bound over codes — the reason PQ exists. */
-  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir)
-    val dims = quantDims(e)
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    // materialized: the declared query and the recall evaluation share it
+    Artifacts.table(spark, dir, "sim_pq_topk")(pqTopKBuild(spark, dir))
+
+  private def pqTopKBuild(spark: SparkSession, dir: String): DataFrame = {
+    val dims = quantDims(spark, dir)
     val sub = dims.withColumn("s", expr(s"d div $PqSubDims").cast("int"))
     val lab = Tables.embeddings(spark, dir)
       .select(col("vec_id"), pmod(col("label"), lit(PqCodes)).as("code"))
-    val subCent = sub.join(broadcast(lab), "vec_id")
-      .groupBy(col("s"), col("code"), col("d"))
-      .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the sub-codebook is the PQ index artifact: encode AND the query
+    // distance table both read it
+    val subCent = Artifacts.table(spark, dir, "sim_pq_subcent") {
+      sub.join(broadcast(lab), "vec_id")
+        .groupBy(col("s"), col("code"), col("d"))
+        .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
+    }
     val enc = sub.join(broadcast(subCent), Seq("s", "d"))
       .groupBy(col("vec_id"), col("s"), col("code"))
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
@@ -880,13 +902,19 @@ object Similarity {
     * count, and each generation is lineage-truncated the same way
     * [[graft.operators.Dedup.components]] is — the iterative-fixpoint
     * discipline at scale. */
+  /** The MUTUAL-kNN edge set (a, b): kNN edges where each endpoint ranks
+    * the other in its top-k — the symmetric backbone both graph analyses
+    * (k-core, neighborhood Jaccard) read. Materialized once. */
+  private def mutualEdges(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "sim_mutual_edges") {
+      val knn = knnGraph(spark, dir)
+        .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+      val rev = knn.select(col("b").as("ra"), col("a").as("rb"))
+      knn.join(rev, col("a") === col("ra") && col("b") === col("rb"), "left_semi")
+    }
+
   def kcore(spark: SparkSession, dir: String): DataFrame = {
-    val knn = knnGraph(spark, dir)
-      .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
-    val rev = knn.select(col("b").as("ra"), col("a").as("rb"))
-    var edges = knn
-      .join(rev, col("a") === col("ra") && col("b") === col("rb"), "left_semi")
-      .localCheckpoint()
+    var edges = mutualEdges(spark, dir).localCheckpoint()
     // early exit on convergence: peeling only ever REMOVES edges, so an
     // unchanged edge count means an unchanged edge set — the remaining
     // rounds are identity maps and both engines' results already agree.
@@ -952,13 +980,9 @@ object Similarity {
     * edge-ness), the usual convention; one int/int division at the end is
     * cross-engine exact. */
   def neighborJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val knn = knnGraph(spark, dir)
-      .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
-    val rev = knn.select(col("b").as("ra"), col("a").as("rb"))
-    // consumed three times (edge list, both wedge sides, degrees)
-    val sym = knn
-      .join(rev, col("a") === col("ra") && col("b") === col("rb"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumed three times (edge list, both wedge sides, degrees) — all
+    // three scan the materialized mutual-edge table
+    val sym = mutualEdges(spark, dir)
     val edges = sym.filter(col("a") < col("b"))
       .select(col("a").as("ea"), col("b").as("eb"))
     val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
@@ -1021,7 +1045,7 @@ object Similarity {
     * iteration is THE distributed top-k-eigenvector method. */
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val dims = quantDims(corpus(spark, dir))
+    val dims = quantDims(spark, dir)
     // 64×64 Gram matrix; five downstream matvecs consume it — persist
     val cov = dims.as("a")
       .join(dims.as("b"), col("a.vec_id") === col("b.vec_id"))

@@ -82,7 +82,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("similarity scoring runs inside whole-stage codegen") {
-    val p = finalPlan("sim_bruteforce_topk")
+    // assert on the PRODUCER pipeline: the declared query reads the
+    // write-once artifact table, so the scoring plan lives in the build
+    val df = operators.Similarity.bruteForceTopKBuild(spark, TestSpark.Sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.linesIterator.exists(l =>
       l.contains("cosine_similarity") && l.contains("*(")), p.take(800))
   }
@@ -108,7 +112,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("embedding near-dup verifies only candidates, never all pairs") {
-    val p = plan("dedup_embedding_cosine")
+    // assert on the PRODUCER pipeline (the declared query reads the artifact)
+    val p = operators.Similarity.embeddingCosinePairsBuild(spark, TestSpark.Sf001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     // candidate generation is an equi-join on (tbl, band key) — a hash join,
     // not a cartesian/BNL over the corpus
     assert(!p.contains("CartesianProduct"), p.take(800))
