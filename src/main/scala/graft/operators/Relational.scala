@@ -971,16 +971,20 @@ object Relational {
     * a high-impurity one makes a good shard/stratum key). Gini, unlike
     * entropy, needs NO logarithm — libm log differs across engines, Σ c²
     * is an exact integer — so the profile is exactly reproducible. One
-    * map-side-combined aggregate per column. (The final p² division runs
-    * in doubles: exact for corpora below 2²⁶ rows; past that, compute
-    * Σc²/n² in DECIMAL — the comparison here is informational, not a
-    * decision boundary.) */
+    * map-side-combined aggregate per column. Σc² accumulates in
+    * DECIMAL(38,0)/HUGEINT (the anomalyDays discipline): a category past
+    * ~3×10⁹ rows would overflow cnt·cnt in BIGINT, where Spark (non-ANSI)
+    * wraps silently but DuckDB raises — widening keeps the engines
+    * identical at any scale. (The final p² division runs in doubles:
+    * exact for corpora below 2²⁶ rows; the comparison here is
+    * informational, not a decision boundary.) */
   def giniProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def one(c: String): DataFrame =
       Tables.documents(spark, dir)
         .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
         .agg(count(lit(1)).as("n_distinct"), sum(col("cnt")).as("n"),
-          sum(col("cnt") * col("cnt")).as("ss"))
+          sum(col("cnt").cast(d38) * col("cnt")).as("ss"))
         .select(lit(c).as("column_name"), col("n_distinct"),
           (lit(1.0) - col("ss").cast("double") /
             (col("n").cast("double") * col("n").cast("double"))).as("gini"))
@@ -990,7 +994,7 @@ object Relational {
   val giniProfileSql: String = {
     def one(c: String) =
       s"""SELECT '$c' AS column_name, COUNT(*) AS n_distinct,
-         |       1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+         |       1.0 - CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE)
          |             / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS gini
          |FROM (SELECT $c, COUNT(*) AS cnt FROM documents GROUP BY $c)""".stripMargin
     s"""${one("lang")}

@@ -84,9 +84,15 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getLong(2)).sum == items.map(_._2).sum,
       "every byte lands in exactly one shard")
-    // doc ranges are contiguous: each shard starts right after the previous
+    // doc ranges are contiguous IN ID ORDER: each shard starts at the
+    // successor of the previous shard's doc_hi within the sorted id
+    // sequence (not doc_hi + 1 — doc_ids need not be gapless)
+    val ids = items.map(_._1)
     rows.sliding(2).foreach { w =>
-      if (w.length == 2) assert(w(1).getLong(3) == w(0).getLong(4) + 1)
+      if (w.length == 2) {
+        val successor = ids(ids.indexOf(w(0).getLong(4)) + 1)
+        assert(w(1).getLong(3) == successor)
+      }
     }
   }
 
