@@ -737,6 +737,34 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Object-store staging round-trip (S5) through an EXPLICIT `file://`
+    * URI: [[graft.sources.Stage.put]] writes the customer table to a
+    * fully-qualified Hadoop-FS URI and [[graft.sources.Stage.get]] reads
+    * it back (reference `data_generator.py:280-291` uploads to
+    * `gs://bucket/landing/…` — the identical call with the GCS connector
+    * on a cluster classpath; the URI scheme is the ONLY difference).
+    * Staging is write-once per session (the bucketed-sink policy): repeat
+    * invocations read the existing staged object set. The oracle is the
+    * source table — staging must be lossless. */
+  private val uriStaged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def uriStageRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val target = uriStaged.getOrElseUpdate(dir, {
+      val out = "file://" + System.getProperty("java.io.tmpdir") +
+        "/graft_uri_stage/" + spark.sparkContext.applicationId + "/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/customer"
+      graft.sources.Stage.put(Tables.customer(spark, dir), out)
+    })
+    graft.sources.Stage.get(spark, target,
+      schema = Some(Tables.customerSchema))
+  }
+
+  val uriStageRoundtripSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   /** Exact distinct users per event type through the [[graft.functions
     * .BitmapDistinct]] typed aggregator — bitmap partials OR-merged across
     * partitions, popcount at the end. Same result as COUNT(DISTINCT) (the
@@ -1417,6 +1445,8 @@ object Relational {
       .orderBy(col("channel").asc_nulls_first, col("region").asc_nulls_first),
       Some(cubeRevenueSql)),
     Q("rel_csv_roundtrip", csvRoundtrip(_, _).orderBy("p_partkey"), Some(csvRoundtripSql)),
+    Q("rel_uri_stage_roundtrip", uriStageRoundtrip(_, _).orderBy("c_custkey"),
+      Some(uriStageRoundtripSql)),
     Q("rel_csv_gzip_roundtrip", csvGzipRoundtrip(_, _).orderBy("s_suppkey"),
       Some(csvGzipRoundtripSql)),
     Q("rel_catalog_inventory", catalogInventory(_, _).orderBy("name"),

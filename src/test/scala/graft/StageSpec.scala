@@ -22,6 +22,16 @@ class StageSpec extends AnyFunSuite {
     assert(back.schema == df.schema)
   }
 
+  test("Tables readers accept explicit file:// URIs (scheme-agnostic sources)") {
+    // the pinned-schema readers go through the Hadoop FileSystem registry,
+    // so a fully-qualified URI directory is the same call as a bare path —
+    // swap in gs://bucket/sf with the connector on the classpath
+    val viaUri = Tables.documents(spark, s"file://${TestSpark.Sf0001}")
+    val bare = Tables.documents(spark, TestSpark.Sf0001)
+    assert(viaUri.count() == bare.count())
+    assert(viaUri.schema == bare.schema)
+  }
+
   test("bare paths resolve against the default filesystem with a scheme") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage-bare").toString
     val resolved = Stage.resolve(spark, s"$dir/x")
