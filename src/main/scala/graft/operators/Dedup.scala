@@ -863,11 +863,14 @@ object Dedup {
     // partitioning here would force one extra exchange per round.
     var prevSum = Long.MinValue
     while (!converged && iters < 20) {
+      // LAZY checkpoint: the convergence aggregate is the action that
+      // materializes this generation's RDD (sc.runJob checkpoints marked
+      // ancestors) — one job per round instead of checkpoint + aggregate
       val next = labels.select(col("id"), col("comp"))
         .unionByName(labels.join(sym, col("id") === col("doc_a"))
           .select(col("doc_b").as("id"), col("comp")))
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val labelSum = next.agg(sum(col("comp"))).collect()(0).getLong(0)
       labels = next // superseded generation's RDD is freed by the ContextCleaner
       converged = labelSum == prevSum

@@ -914,7 +914,11 @@ object Similarity {
     }
 
   def kcore(spark: SparkSession, dir: String): DataFrame = {
-    var edges = mutualEdges(spark, dir).localCheckpoint()
+    // LAZY localCheckpoint + count: the convergence count is the action
+    // that materializes (and truncates) each generation — ONE job per
+    // round instead of an eager-checkpoint job followed by a count job.
+    // (sc.runJob checkpoints every marked RDD in the job's lineage.)
+    var edges = mutualEdges(spark, dir).localCheckpoint(eager = false)
     // early exit on convergence: peeling only ever REMOVES edges, so an
     // unchanged edge count means an unchanged edge set — the remaining
     // rounds are identity maps and both engines' results already agree.
@@ -935,7 +939,7 @@ object Similarity {
         .join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val c = edges.count()
       converged = c == prevCount
       prevCount = c
@@ -1042,41 +1046,55 @@ object Similarity {
     * digits). The emitted double loading v/2²⁰ is a division by a power
     * of two — exact in binary. At 100 TB: Gram accumulation is the scan;
     * iterations cost nothing (64-row relation), which is why power
-    * iteration is THE distributed top-k-eigenvector method. */
+    * iteration is THE distributed top-k-eigenvector method.
+    *
+    * The iteration itself runs ON THE DRIVER over the collected 64×64
+    * matrix — the same split Spark MLlib's
+    * `RowMatrix.computePrincipalComponents` makes (distributed Gram
+    * accumulation, local eigen-solve): the matrix is CONSTANT-size in the
+    * corpus, so shipping it to the driver is a 4096-row collect at any
+    * scale, and a dataframe-op formulation was measured 6× slower here —
+    * ten scheduler round-trips (broadcast + checkpoint per generation) to
+    * move 64 rows. BigInt arithmetic mirrors the oracle's HUGEINT
+    * bit-for-bit (exact products, truncating division on non-negatives). */
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val dims = quantDims(spark, dir)
-    // 64×64 Gram matrix; five downstream matvecs consume it — persist
-    val cov = dims.as("a")
-      .join(dims.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
-      .agg(sum(col("a.q") * col("b.q")).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var v = cov.select(col("d1").as("dd")).distinct()
-      .select(col("dd"), lit(PowerScale).as("v"))
-    // the renormalizing max|raw| comes from an unpartitioned window over
-    // the 64-row matvec result — one single-partition pass, instead of a
-    // separate aggregate + broadcast build (two extra driver round-trips
-    // per iteration). 64 rows on one partition is exactly what the window
-    // costs; the relation never grows with the corpus.
-    val wAll = Window.partitionBy()
+    // 64×64 Gram matrix in ONE corpus pass, no join: two stacked generates
+    // (outer product per row) feed a map-side-combined hash aggregate, so
+    // the only shuffle is 4096 partial rows per partition — a quantDims
+    // self-join would shuffle the corpus×64 dims relation twice to
+    // co-locate on vec_id before producing the same corpus×4096 stream.
+    val qarr = corpus(spark, dir)
+      .select(transform(col("v"), x => floor(x * 1000000).cast("long")).as("q"))
+    val covRows = qarr
+      .select(col("q"), posexplode(col("q")))
+      .select(col("pos").as("d1"), col("col").as("q1"), posexplode(col("q")))
+      .groupBy(col("d1"), col("pos").as("d2"))
+      .agg(sum(col("q1") * col("col")).as("c"))
+      .collect()
+    val dim = 64
+    val g = Array.ofDim[BigInt](dim, dim)
+    covRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2)))
+    var v = Array.fill(dim)(BigInt(PowerScale))
     for (_ <- 1 to PowerIters) {
-      // ONE localCheckpoint per generation: v is consumed by the next
-      // iteration's matvec, so without lineage truncation the plan tree
-      // doubles every iteration (2^iters subtree copies — 31 plan nodes of
-      // broadcast join by round 5). Same discipline as Dedup.components;
-      // the state is 64 rows, so each checkpoint is microseconds.
-      v = cov.join(broadcast(v), col("d2") === col("dd"))
-        .groupBy(col("d1"))
-        .agg(sum(col("c").cast(d38) * col("v")).as("raw"))
-        .withColumn("m", max(abs(col("raw"))).over(wAll))
-        .select(col("d1").as("dd"),
-          (when(col("raw") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr(s"(abs(raw) * $PowerScale) div m")).as("v"))
-        .localCheckpoint()
+      // raw = G·v in unbounded integers (the oracle's HUGEINT); renormalize
+      // in fixed point by max|raw| — integer division, never a float norm
+      val raw = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + g(i)(j) * v(j)))
+      val m = raw.map(_.abs).max
+      v = raw.map(r => r.signum * (r.abs * PowerScale / m))
     }
-    v.select(col("dd").cast("int").as("d"), col("v").as("component"),
-      (col("v").cast("double") / PowerScale).as("loading"))
+    import scala.jdk.CollectionConverters.SeqHasAsJava
+    import org.apache.spark.sql.types._
+    val out = (0 until dim).map { d =>
+      val c = v(d).toLong
+      org.apache.spark.sql.Row(d, c, c.toDouble / PowerScale)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](out.asJava),
+      StructType(Seq(
+        StructField("d", IntegerType, nullable = false),
+        StructField("component", LongType, nullable = false),
+        StructField("loading", DoubleType, nullable = false))))
   }
 
   val pcaPowerSql: String = {
