@@ -190,6 +190,65 @@ object Dedup {
        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  private val WeightScale = 1000000L
+  private val WeightedThreshold = 0.3
+
+  /** IDF-WEIGHTED Jaccard near-dup pairs: like [[ngramJaccard]], but each
+    * shingle contributes weight `WeightScale div df` instead of 1, so
+    * agreement on a RARE shingle counts for more than agreement on a
+    * common one — the standard refinement when boilerplate shingles
+    * survive the df cap (they stop dominating the score without being
+    * dropped). Binary-set weighted Jaccard: Σ_shared w / Σ_union w.
+    * Weights are INTEGERS (floor of WeightScale/df): integer sums are
+    * exact and associative under any partitioning, and the final score is
+    * one int/int division — bit-identical on both engines (a Σ(1/df)
+    * double sum would be partial-order-dependent). Same never-all-pairs
+    * shape: candidates from the df-capped inverted-index self-join;
+    * materialized once per session like every pair product. */
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "dedup_weighted_pairs") {
+      val sh = cappedShingleIndex(spark, dir)
+      // df over the capped index (df ≤ DfCap by construction); weights ride
+      // the index rows through one broadcast-size join on the shingle hash
+      val w = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .select(col("h"), expr(s"$WeightScale div df").as("w"))
+      val shw = sh.join(w, Seq("h")).select(col("doc_id"), col("h"), col("w"))
+      val sz = shw.groupBy("doc_id").agg(sum(col("w")).as("tw"))
+      val inter = shw.as("a")
+        .join(shw.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(col("a.w")).as("w_common"), count(lit(1)).as("n_common"))
+      inter
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("w_common"),
+          (col("w_common").cast("double") /
+            (col("sa.tw") + col("sb.tw") - col("w_common"))).as("w_jaccard"))
+        .filter(col("w_jaccard") >= WeightedThreshold)
+    }
+
+  val weightedJaccardSql: String =
+    s"""WITH $shingleIndexSql,
+       |$cappedShingleIndexSql,
+       |wt AS (SELECT h, $WeightScale // COUNT(*) AS w FROM shf GROUP BY h),
+       |shw AS (SELECT doc_id, shf.h, w FROM shf JOIN wt USING (h)),
+       |sz AS (SELECT doc_id, SUM(w) AS tw FROM shw GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                 SUM(a.w) AS w_common, COUNT(*) AS n_common
+       |          FROM shw a JOIN shw b
+       |            ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       n_common,
+       |       CAST(w_common AS BIGINT) AS w_common,
+       |       CAST(w_common AS DOUBLE) / (sa.tw + sb.tw - w_common) AS w_jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(w_common AS DOUBLE) / (sa.tw + sb.tw - w_common) >= $WeightedThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val ContainmentThreshold = 0.5
 
   /** Shingle CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥
@@ -871,7 +930,8 @@ object Dedup {
           .select(col("doc_b").as("id"), col("comp")))
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(eager = false)
-      val labelSum = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+      val sumRow = next.agg(sum(col("comp"))).collect()(0)
+      val labelSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // empty graph
       labels = next // superseded generation's RDD is freed by the ContextCleaner
       converged = labelSum == prevSum
       prevSum = labelSum
@@ -977,6 +1037,8 @@ object Dedup {
     Q("dedup_fingerprint", fingerprint(_, _).orderBy("doc_id"), Some(fingerprintSql)),
     Q("dedup_ngram_jaccard", ngramJaccard(_, _).orderBy("doc_a", "doc_b"),
       Some(ngramJaccardSql)),
+    Q("dedup_weighted_jaccard", weightedJaccard(_, _).orderBy("doc_a", "doc_b"),
+      Some(weightedJaccardSql)),
     Q("dedup_containment", containment(_, _).orderBy("doc_a", "doc_b"),
       Some(containmentSql)),
     Q("dedup_minhash_lsh", minhashLsh(_, _).orderBy("doc_a", "doc_b"),

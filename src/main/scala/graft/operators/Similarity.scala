@@ -761,6 +761,70 @@ object Similarity {
        |FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** SEMANTIC CLUSTERS: connected components of the embedding-cosine
+    * near-dup pair graph, with each surviving vector labeled by its
+    * component's minimum vec_id and the component size — the embedding-
+    * space twin of [[graft.operators.Dedup.components]] (lexical MinHash
+    * edges there, semantic cosine edges here), and the application the
+    * kNN/pair tier exists for: paraphrase clusters that share no shingles
+    * collapse to one representative. Same min-label-propagation fixpoint
+    * (one join per round over the materialized pair table, lazy
+    * localCheckpoint per generation, label-sum convergence probe); the
+    * DuckDB oracle replays it as a recursive transitive closure. The pair
+    * graph is orders of magnitude smaller than the corpus, so at 100 TB
+    * the fixpoint runs on the artifact, never the embeddings. */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "sim_semantic_clusters") {
+      val edges = embeddingCosinePairs(spark, dir)
+        .select(col("vec_a"), col("vec_b"))
+      val sym = edges
+        .unionByName(edges.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+        .repartition(8, col("vec_a"))
+        .localCheckpoint()
+      var labels = sym.groupBy(col("vec_a"))
+        .agg(min(col("vec_b")).as("mn"))
+        .select(col("vec_a").as("id"), least(col("vec_a"), col("mn")).as("comp"))
+        .localCheckpoint()
+      var prevSum = Long.MinValue
+      var converged = false
+      var iters = 0
+      while (!converged && iters < 20) {
+        val next = labels.select(col("id"), col("comp"))
+          .unionByName(labels.join(sym, col("id") === col("vec_a"))
+            .select(col("vec_b").as("id"), col("comp")))
+          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+          .localCheckpoint(eager = false)
+        val row = next.agg(sum(col("comp"))).collect()(0)
+        val s = if (row.isNullAt(0)) 0L else row.getLong(0) // empty graph
+        labels = next
+        converged = s == prevSum
+        prevSum = s
+        iters += 1
+      }
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("comp"))
+        .select(col("id").as("vec_id"), col("comp").as("cluster_root"),
+          col("cluster_size"))
+    }
+
+  val semanticClustersSql: String =
+    s"""WITH RECURSIVE p AS (
+       |$embeddingCosinePairsSql
+       |),
+       |sym AS (SELECT vec_a AS a, vec_b AS b FROM p
+       |        UNION SELECT vec_b, vec_a FROM p),
+       |nodes AS (SELECT DISTINCT a AS id FROM sym),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+       |),
+       |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |sz AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+       |SELECT id AS vec_id, comp.comp AS cluster_root, cluster_size
+       |FROM comp JOIN sz USING (comp)
+       |ORDER BY vec_id""".stripMargin
+
   private val PrIters = 3
   private val PrMass = 1000000L // per-node starting mass, in integer micro-units
 
@@ -1137,6 +1201,8 @@ object Similarity {
     Q("sim_lsh_topk", lshTopK(_, _).orderBy("query_id", "rank"), Some(lshTopKSql)),
     Q("dedup_embedding_cosine", embeddingCosinePairs(_, _).orderBy("vec_a", "vec_b"),
       Some(embeddingCosinePairsSql)),
+    Q("sim_semantic_clusters", semanticClusters(_, _).orderBy("vec_id"),
+      Some(semanticClustersSql)),
     Q("sim_ivf_topk", ivfTopK(_, _).orderBy("query_id", "rank"), Some(ivfTopKSql)),
     Q("sim_ivf_kmeans_topk", ivfKmeansTopK(_, _).orderBy("query_id", "rank"),
       Some(ivfKmeansTopKSql)),

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.TextFns._
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 additions: IDF-weighted Jaccard, semantic clusters, and the
+  * write-once Artifacts contract. */
+class Round5Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("weighted Jaccard matches a from-first-principles recompute") {
+    // rebuild the df-capped weighted index with the same public expressions
+    // the operator uses, then score pairs in plain Scala — an independent
+    // check of the weighting + scoring, not a replay of the join pipeline
+    val idx = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), explode(wordNGrams(col("text"), 3)).as("s"))
+      .select(col("doc_id"), hash60(col("s")).as("h"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dfAll = idx.groupBy(_._2).view.mapValues(_.length).toMap
+    val capped = idx.filter { case (_, h) => dfAll(h) <= 64 }
+    val df = capped.groupBy(_._2).view.mapValues(_.length).toMap
+    val w = df.map { case (h, d) => h -> 1000000L / d }
+    val byDoc = capped.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tw = byDoc.view.mapValues(_.toSeq.map(w).sum).toMap
+    val expected = (for {
+      (a, sa) <- byDoc.toSeq
+      (b, sb) <- byDoc.toSeq
+      if a < b
+      shared = sa.intersect(sb)
+      if shared.nonEmpty
+      wc = shared.toSeq.map(w).sum
+      wj = wc.toDouble / (tw(a) + tw(b) - wc)
+      if wj >= 0.3
+    } yield (a, b) -> (shared.size.toLong, wc, wj)).toMap
+
+    val got = Dedup.weightedJaccard(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == expected.keySet,
+      s"pair sets differ: only-got=${(got.keySet -- expected.keySet).take(3)} " +
+        s"only-exp=${(expected.keySet -- got.keySet).take(3)}")
+    expected.foreach { case (k, v) => assert(got(k) == v, s"score mismatch at $k") }
+  }
+
+  test("semantic clusters equal union-find over the cosine pair graph") {
+    val pairs = Similarity.embeddingCosinePairs(spark, TestSpark.Sf0001)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must exercise a non-trivial graph")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(v => v -> find(v)).toMap
+    val sizes = roots.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = roots.map { case (v, r) => v -> (r, sizes(r)) }
+
+    val got = Similarity.semanticClusters(spark, TestSpark.Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("artifacts are write-once: re-running a consumer adds no builds") {
+    Dedup.weightedJaccard(spark, TestSpark.Sf0001).count()
+    val n = Artifacts.count
+    Dedup.weightedJaccard(spark, TestSpark.Sf0001).count()
+    Similarity.semanticClusters(spark, TestSpark.Sf0001).count()
+    assert(Artifacts.count == n, "repeat invocations must reuse written artifacts")
+  }
+}
