@@ -688,12 +688,16 @@ object Dedup {
       .select(col("doc_id"), col("n_grams"), col("pos"), hash60(col("col")).as("h"))
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, WinnowW - 1)
+    // PERSIST, not an Artifacts table, on purpose: the fingerprint set has
+    // a single consuming query (three references within it), and a memory-
+    // cached relation measured ~30% faster than re-scanning a written
+    // parquet artifact four times — the artifact layer wins only for
+    // CROSS-query products
     val fps = grams
       .withColumn("fp", min(col("h")).over(wWin))
       .filter(col("pos") <= col("n_grams") - WinnowW) // full windows only
       .select(col("doc_id"), col("fp"))
       .distinct()
-      // both self-join sides + the df cap read this
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select(col("fp"))
