@@ -689,10 +689,9 @@ object Dedup {
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, WinnowW - 1)
     // PERSIST, not an Artifacts table, on purpose: the fingerprint set has
-    // a single consuming query (three references within it), and a memory-
-    // cached relation measured ~30% faster than re-scanning a written
-    // parquet artifact four times — the artifact layer wins only for
-    // CROSS-query products
+    // a single consuming query (three references within it) — a written
+    // artifact measured no faster than the memory-cached relation here,
+    // and the artifact layer only pays for itself on CROSS-query products
     val fps = grams
       .withColumn("fp", min(col("h")).over(wWin))
       .filter(col("pos") <= col("n_grams") - WinnowW) // full windows only
