@@ -866,6 +866,66 @@ object Dedup {
        |WHERE levenshtein(a.p_name, b.p_name) <= $EditMax
        |ORDER BY name_a, name_b""".stripMargin
 
+  /** MULTI-KEY-BLOCKED string-edit linkage: the production form of
+    * [[nameEdit]]'s single-prefix blocking. A 4-char-prefix block MISSES
+    * pairs whose edit sits in the first four characters, so production
+    * record linkage unions candidates from several independent blocking
+    * keys; here prefix-block ∪ (length-band × first-char) — a pair
+    * survives if EITHER key collides, and each block stays a bounded
+    * equi-join (never all-pairs). The emitted relation adds which blocks
+    * found each pair, the recall-accounting a linkage rollout reads to
+    * decide if another key is needed (pairs found ONLY by the second key
+    * = exactly the single-key recall gap). Same distinct-names-first
+    * lever: the quadratic step runs on name cardinality. */
+  def nameEditMultiblock(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("pfx", substring(col("p_name"), 1, 4))
+      .withColumn("lb", floor(length(col("p_name")) / 4))
+      .withColumn("fc", substring(col("p_name"), 1, 1))
+    def block(key: Seq[String], tag: String) =
+      names.as("a").join(names.as("b"),
+          key.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+            col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          lit(tag == "prefix").as("by_prefix"),
+          lit(tag == "lenband").as("by_lenband"))
+    block(Seq("pfx"), "prefix")
+      .unionByName(block(Seq("lb", "fc"), "lenband"))
+      .groupBy(col("name_a"), col("name_b"))
+      .agg(max(col("by_prefix")).as("by_prefix"),
+        max(col("by_lenband")).as("by_lenband"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= EditMax)
+      .select(col("name_a"), col("name_b"), col("edit_dist"),
+        col("by_prefix"), col("by_lenband"))
+  }
+
+  val nameEditMultiblockSql: String =
+    s"""WITH n AS (SELECT p_name, COUNT(*) AS n_records FROM part GROUP BY p_name),
+       |k AS (SELECT p_name, substr(p_name, 1, 4) AS pfx,
+       |             CAST(floor(length(p_name) / 4) AS BIGINT) AS lb,
+       |             substr(p_name, 1, 1) AS fc
+       |      FROM n),
+       |cand AS (
+       |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |         true AS by_prefix, false AS by_lenband
+       |  FROM k a JOIN k b ON a.pfx = b.pfx AND a.p_name < b.p_name
+       |  UNION ALL
+       |  SELECT a.p_name, b.p_name, false, true
+       |  FROM k a JOIN k b
+       |    ON a.lb = b.lb AND a.fc = b.fc AND a.p_name < b.p_name),
+       |u AS (SELECT name_a, name_b,
+       |             MAX(by_prefix) AS by_prefix, MAX(by_lenband) AS by_lenband
+       |      FROM cand GROUP BY 1, 2)
+       |SELECT name_a, name_b,
+       |       CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist,
+       |       by_prefix, by_lenband
+       |FROM u
+       |WHERE levenshtein(name_a, name_b) <= $EditMax
+       |ORDER BY name_a, name_b""".stripMargin
+
   /** Connected components of the near-dup pair graph: every doc that
     * appears in a verified MinHash pair, labeled with its component's
     * minimum doc_id — the true cluster-keeper semantics that [[keepSet]]
@@ -1058,6 +1118,9 @@ object Dedup {
     Q("dedup_components", components(_, _).orderBy("doc_id"), Some(componentsSql)),
     Q("dedup_cluster_keep", clusterKeep(_, _).orderBy("doc_id"), Some(clusterKeepSql)),
     Q("dedup_name_edit", nameEdit(_, _).orderBy("name_a", "name_b"), Some(nameEditSql)),
+    Q("dedup_name_edit_multiblock",
+      nameEditMultiblock(_, _).orderBy("name_a", "name_b"),
+      Some(nameEditMultiblockSql)),
     Q("dedup_simhash", simhash(_, _).orderBy("doc_id"), Some(simhashSql)),
     Q("dedup_simhash_pairs", simhashPairs(_, _).orderBy("doc_a", "doc_b"),
       Some(simhashPairsSql)))

@@ -70,6 +70,24 @@ class Round5Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("multi-key blocking finds a superset of the single-prefix pairs") {
+    val single = Dedup.nameEdit(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val multi = Dedup.nameEditMultiblock(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    // every prefix-blocked pair reappears, flagged by_prefix, same distance
+    single.foreach { case (k, d) =>
+      assert(multi.contains(k), s"multiblock lost prefix pair $k")
+      assert(multi(k)._1 == d && multi(k)._2, s"prefix flag/distance wrong at $k")
+    }
+    // pairs found ONLY by the length-band key are the single-key recall gap
+    multi.foreach { case (k, (_, byPfx, byLb)) =>
+      assert(byPfx || byLb)
+      if (!byPfx) assert(!single.contains(k))
+    }
+  }
+
   test("artifacts are write-once: re-running a consumer adds no builds") {
     Dedup.weightedJaccard(spark, TestSpark.Sf0001).count()
     val n = Artifacts.count
