@@ -338,6 +338,31 @@ object Dedup {
     else build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** (doc_id, band, k0..k⌈r/2⌉₋₁) from a signature table: each band's
+    * slice packed pairwise into longs (see [[minhashPipeline]]). */
+  private def bandsOf(sig: DataFrame, numPerms: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numPerms / numBands
+    val nPacks = (rowsPerBand + 1) / 2
+    val bandStructs = (0 until numBands).map { b =>
+      val packs = (0 until nPacks).map { i =>
+        val idx = b * rowsPerBand + 2 * i
+        val v1 = col("sig").getItem(idx)
+        val v2 = if (2 * i + 1 < rowsPerBand) col("sig").getItem(idx + 1) else lit(0L)
+        (v1 * MersenneP + v2).as(s"k$i")
+      }
+      struct(lit(b).as("band") +: packs: _*)
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id") +: col("bs.band").as("band") +:
+        (0 until nPacks).map(i => col(s"bs.k$i")): _*)
+  }
+
+  /** Band equi-join condition between aliases x and y. */
+  private def bandJoinCond(nPacks: Int): Column =
+    (0 until nPacks)
+      .map(i => col(s"x.k$i") === col(s"y.k$i"))
+      .foldLeft(col("x.band") === col("y.band"))(_ && _)
+
   private def minhashPipeline(
       spark: SparkSession,
       dir: String,
@@ -357,22 +382,8 @@ object Dedup {
     // arithmetic, so the DuckDB oracle reproduces the identical candidate
     // set. (SimHash bands were already integer — this closes the gap.)
     val nPacks = (rowsPerBand + 1) / 2
-    val bandStructs = (0 until numBands).map { b =>
-      val packs = (0 until nPacks).map { i =>
-        val idx = b * rowsPerBand + 2 * i
-        val v1 = col("sig").getItem(idx)
-        val v2 = if (2 * i + 1 < rowsPerBand) col("sig").getItem(idx + 1) else lit(0L)
-        (v1 * MersenneP + v2).as(s"k$i")
-      }
-      struct(lit(b).as("band") +: packs: _*)
-    }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id") +: col("bs.band").as("band") +:
-        (0 until nPacks).map(i => col(s"bs.k$i")): _*)
-    val bandEq = (0 until nPacks)
-      .map(i => col(s"x.k$i") === col(s"y.k$i"))
-      .foldLeft(col("x.band") === col("y.band"))(_ && _)
+    val bands = bandsOf(sig, numPerms, numBands)
+    val bandEq = bandJoinCond(nPacks)
     val cand = bands.as("x")
       .join(bands.as("y"), bandEq && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -1094,9 +1105,82 @@ object Dedup {
        |WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.fp = nw.fp)
        |ORDER BY doc_id""".stripMargin
 
+  /** INCREMENTAL MinHash-LSH: today's batch (the deterministic 1/10 hash
+    * slice, same convention as [[incremental]]) near-dup-checked against
+    * the STANDING LSH index — new-batch band rows probe the old corpus's
+    * band table, plus a within-batch self-join; only candidates are
+    * verified with exact Jaccard. This is LSH index MAINTENANCE, the
+    * day-2 operation [[incremental]] performs for exact dedup: the
+    * banding/probe cost scales with the DELTA (new bands × bucket
+    * occupancy), never with corpus², and the old side is the already-
+    * materialized signature artifact. The oracle states the correctness
+    * contract directly: the result equals the FULL pipeline's verified
+    * pairs restricted to pairs touching the new batch — incremental
+    * maintenance finds exactly what a from-scratch rebuild would, at
+    * delta cost. `is_cross` separates new-vs-corpus pairs from
+    * within-batch ones (both engines compute it from the hash split). */
+  def incrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nPacks = (NumPerms / NumBands + 1) / 2
+    val sig = minhashSignatures(spark, dir, NumPerms)
+    val bands = bandsOf(sig, NumPerms, NumBands)
+      .withColumn("nb", pmod(hash60(col("doc_id").cast("string")), lit(10)) === 9)
+    val newB = bands.filter(col("nb"))
+    val oldB = bands.filter(!col("nb"))
+    val cross = newB.as("x")
+      .join(oldB.as("y"), bandJoinCond(nPacks))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        lit(true).as("is_cross"))
+    val within = newB.as("x")
+      .join(newB.as("y"), bandJoinCond(nPacks) && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(false).as("is_cross"))
+    val cand = cross.unionByName(within).distinct()
+    // exact-Jaccard verification, candidates only (the pipeline's tail):
+    // the candidate relation is delta-sized, so at scale AQE broadcasts it
+    // into both index joins and the corpus-sized shingle index streams
+    // without shuffling — verification cost scales with the delta.
+    // (An explicit broadcast-semi pre-reduction of the index measured
+    // SLOWER here: it adds a collect + two extra stages to save shuffles
+    // the broadcast join already avoids.)
+    val sh = shingleIndex(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sh.as("cb"),
+        col("doc_b") === col("cb.doc_id") && col("ca.h") === col("cb.h"))
+      .groupBy(col("doc_a"), col("doc_b"), col("is_cross"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("is_cross"),
+        (col("n_common").cast("double") / (col("za.n") + col("zb.n") - col("n_common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Correctness contract as SQL: full-rebuild pairs restricted to those
+    * touching the new batch, with `is_cross` from the same hash split. */
+  val incrementalLshSql: String =
+    s"""WITH full_pairs AS (
+       |$minhashLshSql
+       |),
+       |nb AS (SELECT doc_id FROM documents
+       |       WHERE ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 = 9)
+       |SELECT doc_a, doc_b,
+       |       (doc_a IN (SELECT doc_id FROM nb))
+       |         <> (doc_b IN (SELECT doc_id FROM nb)) AS is_cross,
+       |       jaccard
+       |FROM full_pairs
+       |WHERE doc_a IN (SELECT doc_id FROM nb)
+       |   OR doc_b IN (SELECT doc_id FROM nb)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", exact(_, _).orderBy("doc_id"), Some(exactSql)),
     Q("dedup_incremental", incremental(_, _).orderBy("doc_id"), Some(incrementalSql)),
+    Q("dedup_incremental_lsh", incrementalLsh(_, _).orderBy("doc_a", "doc_b"),
+      Some(incrementalLshSql)),
     Q("dedup_fingerprint", fingerprint(_, _).orderBy("doc_id"), Some(fingerprintSql)),
     Q("dedup_ngram_jaccard", ngramJaccard(_, _).orderBy("doc_a", "doc_b"),
       Some(ngramJaccardSql)),
