@@ -998,10 +998,17 @@ object Dedup {
     while (!converged && iters < 20) {
       // LAZY checkpoint: the convergence aggregate is the action that
       // materializes this generation's RDD (sc.runJob checkpoints marked
-      // ancestors) — one job per round instead of checkpoint + aggregate
+      // ancestors) — one job per round instead of checkpoint + aggregate.
+      // The pointer-jumping branch (label of one's label) shortcuts long
+      // chains to O(log diameter) rounds — neighbor-only propagation can
+      // exceed the round cap on a deep component (seen on the semantic
+      // pair graph at sf0.1) and emit a pre-fixpoint labeling.
       val next = labels.select(col("id"), col("comp"))
         .unionByName(labels.join(sym, col("id") === col("doc_a"))
           .select(col("doc_b").as("id"), col("comp")))
+        .unionByName(labels.as("l1")
+          .join(labels.as("l2"), col("l1.comp") === col("l2.id"))
+          .select(col("l1.id"), col("l2.comp").as("comp")))
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(eager = false)
       val sumRow = next.agg(sum(col("comp"))).collect()(0)

@@ -789,9 +789,18 @@ object Similarity {
       var converged = false
       var iters = 0
       while (!converged && iters < 20) {
+        // POINTER JUMPING alongside neighbor propagation: each round also
+        // adopts the label OF one's label (comp(comp(id))) — shortcutting
+        // turns O(diameter) convergence into O(log diameter). Plain
+        // neighbor-only propagation exceeded the round cap on this graph
+        // at sf0.1 (a >20-hop near-dup chain) and silently emitted a
+        // pre-fixpoint labeling — caught by the sf0.1 oracle run.
         val next = labels.select(col("id"), col("comp"))
           .unionByName(labels.join(sym, col("id") === col("vec_a"))
             .select(col("vec_b").as("id"), col("comp")))
+          .unionByName(labels.as("l1")
+            .join(labels.as("l2"), col("l1.comp") === col("l2.id"))
+            .select(col("l1.id"), col("l2.comp").as("comp")))
           .groupBy(col("id")).agg(min(col("comp")).as("comp"))
           .localCheckpoint(eager = false)
         val row = next.agg(sum(col("comp"))).collect()(0)

@@ -12,6 +12,53 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  private val OovVocabK = 1000
+
+  /** OUT-OF-VOCABULARY rate per document against the corpus's own
+    * top-[[OovVocabK]] vocabulary — the no-logarithm proxy for language-
+    * model scorability (a doc of mostly rare/garbage tokens scores high;
+    * clean prose scores near the corpus base rate). The classic unigram
+    * cross-entropy needs `ln` (libm differs across engines — banned);
+    * the OOV occurrence fraction ranks documents the same way for the
+    * quality-gating use and is one int/int division. The vocabulary is
+    * deterministic: top K by (count DESC, token ASC) — a total order, so
+    * both engines pick the identical set. At 100 TB: one shuffle on token
+    * (map-side-combined counts), the K-row vocabulary broadcasts into a
+    * semi-join, one shuffle on doc_id — never a corpus×vocab join. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(OovVocabK)
+      .select(col("token"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val inVocab = toks.join(broadcast(vocab), Seq("token"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_in"))
+    perDoc.join(inVocab, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_in"), lit(0L))).as("n_oov"),
+        ((col("n_tokens") - coalesce(col("n_in"), lit(0L))).cast("double") /
+          col("n_tokens")).as("oov_rate"))
+  }
+
+  val oovRateSql: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |                    UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |             FROM documents),
+       |vocab AS (SELECT token FROM (SELECT token, COUNT(*) AS cnt
+       |                             FROM tok GROUP BY token)
+       |          ORDER BY cnt DESC, token LIMIT $OovVocabK),
+       |pd AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
+       |iv AS (SELECT doc_id, COUNT(*) AS n_in FROM tok
+       |       WHERE token IN (SELECT token FROM vocab)
+       |       GROUP BY doc_id)
+       |SELECT pd.doc_id, n_tokens,
+       |       n_tokens - COALESCE(n_in, 0) AS n_oov,
+       |       CAST(n_tokens - COALESCE(n_in, 0) AS DOUBLE) / n_tokens AS oov_rate
+       |FROM pd LEFT JOIN iv ON iv.doc_id = pd.doc_id
+       |ORDER BY pd.doc_id""".stripMargin
+
   /** Token + character counts (whitespace tokenizer). */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -712,6 +759,7 @@ object TextAnalysis {
     Q("text_repetition", repetition(_, _).orderBy("doc_id"), Some(repetitionSql)),
     Q("text_vocab_growth", vocabGrowth(_, _).orderBy("source"), Some(vocabGrowthSql)),
     Q("text_token_counts", tokenCounts(_, _).orderBy("doc_id"), Some(tokenCountsSql)),
+    Q("text_oov_rate", oovRate(_, _).orderBy("doc_id"), Some(oovRateSql)),
     Q("text_regex_tokens", regexTokens(_, _).orderBy("doc_id"), Some(regexTokensSql)),
     Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
     Q("text_bpe_pairs", bpePairs, Some(bpePairsSql)),
