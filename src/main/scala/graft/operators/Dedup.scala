@@ -957,69 +957,11 @@ object Dedup {
     Artifacts.table(spark, dir, "dedup_components")(
       componentsFixpoint(spark, dir))
 
-  private def componentsFixpoint(spark: SparkSession, dir: String): DataFrame = {
-    val edges = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-    // the pair graph is orders of magnitude smaller than the corpus — size
-    // the fixpoint's partitioning to the edge relation, not the corpus
-    // (production would set this ∝ |edges| / target partition size); the
-    // explicit repartition on the probe key also pre-co-locates every
-    // iteration's join
-    val fanout = 8
-    // localCheckpoint TRUNCATES LINEAGE: without it every generation's plan
-    // tree embeds the full MinHash-LSH lineage once more per round, and the
-    // driver re-walks that growing tree each iteration for analysis +
-    // cache lookup — measured at 1-3 s of pure driver CPU per round on a
-    // ~70-edge graph. After truncation the per-round plan is a three-node
-    // tree over in-memory RDDs. This is the same pattern GraphFrames uses
-    // for iterative algorithms; production on a real cluster would use
-    // reliable checkpoint() to survive executor loss.
-    val sym = edges
-      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(fanout, col("doc_a"))
-      .localCheckpoint()
-    // seed labels one propagation step ahead — comp₀ = min(id, neighbors):
-    // the groupBy is on sym's partition key so it needs no exchange, and the
-    // head start saves one full fixpoint round
-    var labels = sym.groupBy(col("doc_a"))
-      .agg(min(col("doc_b")).as("mn"))
-      .select(col("doc_a").as("id"), least(col("doc_a"), col("mn")).as("comp"))
-      .localCheckpoint()
-    var converged = false
-    var iters = 0
-    // convergence signal: every id's label is non-increasing, so the label
-    // SUM strictly decreases until the fixpoint — one aggregate action per
-    // round both materializes the new generation (localCheckpoint is eager)
-    // and tests convergence (a comparison join would be a second job per
-    // round). No explicit repartition between rounds: the label relation is
-    // orders of magnitude smaller than the corpus, so AQE broadcasts it
-    // into the edge join and coalesces the groupBy shuffle — pinning a
-    // partitioning here would force one extra exchange per round.
-    var prevSum = Long.MinValue
-    while (!converged && iters < 20) {
-      // LAZY checkpoint: the convergence aggregate is the action that
-      // materializes this generation's RDD (sc.runJob checkpoints marked
-      // ancestors) — one job per round instead of checkpoint + aggregate.
-      // The pointer-jumping branch (label of one's label) shortcuts long
-      // chains to O(log diameter) rounds — neighbor-only propagation can
-      // exceed the round cap on a deep component (seen on the semantic
-      // pair graph at sf0.1) and emit a pre-fixpoint labeling.
-      val next = labels.select(col("id"), col("comp"))
-        .unionByName(labels.join(sym, col("id") === col("doc_a"))
-          .select(col("doc_b").as("id"), col("comp")))
-        .unionByName(labels.as("l1")
-          .join(labels.as("l2"), col("l1.comp") === col("l2.id"))
-          .select(col("l1.id"), col("l2.comp").as("comp")))
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(eager = false)
-      val sumRow = next.agg(sum(col("comp"))).collect()(0)
-      val labelSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // empty graph
-      labels = next // superseded generation's RDD is freed by the ContextCleaner
-      converged = labelSum == prevSum
-      prevSum = labelSum
-      iters += 1
-    }
-    labels.select(col("id").as("doc_id"), col("comp").as("component_root"))
-  }
+  private def componentsFixpoint(spark: SparkSession, dir: String): DataFrame =
+    Graph.components(spark,
+        minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("comp").as("component_root"))
+
 
   /** Shared recursive-CTE core: transitive closure of the near-dup pair
     * graph as `reach(id, r)`; consumers aggregate MIN(r) per id. */

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by MIN-LABEL PROPAGATION with
+  * POINTER JUMPING — the one fixpoint both dedup tiers (lexical MinHash
+  * pairs, semantic cosine pairs) run over their near-dup graphs.
+  *
+  * Each round every node adopts the minimum of: its label, its neighbors'
+  * labels, and its label's label (the shortcut — pointer jumping). The
+  * shortcut is what makes the round count O(log diameter) instead of
+  * O(diameter): neighbor-only propagation walks one hop per round and
+  * exceeded the round cap on a >20-hop near-dup chain (caught by an
+  * sf0.1 oracle sweep), emitting a pre-fixpoint labeling. The fixpoint is
+  * a pure function of the edge set — deterministic, and reproduced by the
+  * DuckDB oracle as a recursive transitive closure.
+  *
+  * Scale posture: the near-dup graph is orders of magnitude smaller than
+  * the corpus (only docs in a verified pair appear), one join per round,
+  * lazy `localCheckpoint` + the convergence aggregate as the single
+  * materializing action per round (the label SUM is non-increasing and
+  * strictly decreases until the fixpoint). This is the GraphX/GraphFrames
+  * iteration shape; production on a real cluster would use reliable
+  * `checkpoint()` to survive executor loss.
+  */
+object Graph {
+
+  /** Components of the undirected graph given by two long edge columns.
+    * Returns (id, comp) with comp = the component's minimum node id. */
+  def components(spark: SparkSession, edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val Seq(aName, bName) = edges.columns.toSeq.take(2)
+    // the pair graph is much smaller than the corpus — size the fixpoint's
+    // partitioning to the edge relation; the explicit repartition on the
+    // probe key also pre-co-locates every round's join
+    val sym = edges.select(col(aName).as("a"), col(bName).as("b"))
+      .unionByName(edges.select(col(bName).as("a"), col(aName).as("b")))
+      .repartition(8, col("a"))
+      .localCheckpoint()
+    // seed one propagation step ahead: comp₀ = min(id, neighbors) — the
+    // groupBy runs on sym's partition key, no extra exchange
+    var labels = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("mn"))
+      .select(col("a").as("id"), least(col("a"), col("mn")).as("comp"))
+      .localCheckpoint()
+    var prevSum = Long.MinValue
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = labels.select(col("id"), col("comp"))
+        .unionByName(labels.join(sym, col("id") === col("a"))
+          .select(col("b").as("id"), col("comp")))
+        .unionByName(labels.as("l1")
+          .join(labels.as("l2"), col("l1.comp") === col("l2.id"))
+          .select(col("l1.id"), col("l2.comp").as("comp")))
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(eager = false)
+      val row = next.agg(sum(col("comp"))).collect()(0)
+      val s = if (row.isNullAt(0)) 0L else row.getLong(0) // empty graph
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      rounds += 1
+    }
+    labels
+  }
+}

@@ -775,41 +775,8 @@ object Similarity {
     * the fixpoint runs on the artifact, never the embeddings. */
   def semanticClusters(spark: SparkSession, dir: String): DataFrame =
     Artifacts.table(spark, dir, "sim_semantic_clusters") {
-      val edges = embeddingCosinePairs(spark, dir)
-        .select(col("vec_a"), col("vec_b"))
-      val sym = edges
-        .unionByName(edges.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
-        .repartition(8, col("vec_a"))
-        .localCheckpoint()
-      var labels = sym.groupBy(col("vec_a"))
-        .agg(min(col("vec_b")).as("mn"))
-        .select(col("vec_a").as("id"), least(col("vec_a"), col("mn")).as("comp"))
-        .localCheckpoint()
-      var prevSum = Long.MinValue
-      var converged = false
-      var iters = 0
-      while (!converged && iters < 20) {
-        // POINTER JUMPING alongside neighbor propagation: each round also
-        // adopts the label OF one's label (comp(comp(id))) — shortcutting
-        // turns O(diameter) convergence into O(log diameter). Plain
-        // neighbor-only propagation exceeded the round cap on this graph
-        // at sf0.1 (a >20-hop near-dup chain) and silently emitted a
-        // pre-fixpoint labeling — caught by the sf0.1 oracle run.
-        val next = labels.select(col("id"), col("comp"))
-          .unionByName(labels.join(sym, col("id") === col("vec_a"))
-            .select(col("vec_b").as("id"), col("comp")))
-          .unionByName(labels.as("l1")
-            .join(labels.as("l2"), col("l1.comp") === col("l2.id"))
-            .select(col("l1.id"), col("l2.comp").as("comp")))
-          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-          .localCheckpoint(eager = false)
-        val row = next.agg(sum(col("comp"))).collect()(0)
-        val s = if (row.isNullAt(0)) 0L else row.getLong(0) // empty graph
-        labels = next
-        converged = s == prevSum
-        prevSum = s
-        iters += 1
-      }
+      val labels = Graph.components(spark,
+        embeddingCosinePairs(spark, dir).select(col("vec_a"), col("vec_b")))
       val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("comp"))
         .select(col("id").as("vec_id"), col("comp").as("cluster_root"),

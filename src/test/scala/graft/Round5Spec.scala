@@ -88,6 +88,22 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("label propagation converges on a chain deeper than the round cap") {
+    import spark.implicits._
+    // a 60-hop path: neighbor-only propagation needs 60 rounds (> the 20
+    // cap) — pointer jumping must close it in O(log n)
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = operators.Graph.components(spark, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 61)
+    assert(got.values.forall(_ == 0L), "every chain node must reach the minimum")
+    // a second component stays separate
+    val two = chain.unionByName(Seq((1000L, 1001L), (1001L, 1002L)).toDF("a", "b"))
+    val got2 = operators.Graph.components(spark, two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(1002L) == 1000L && got2(59L) == 0L)
+  }
+
   test("artifacts are write-once: re-running a consumer adds no builds") {
     Dedup.weightedJaccard(spark, TestSpark.Sf0001).count()
     val n = Artifacts.count
