@@ -1,0 +1,153 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Long-lived HTTP serving analog of the reference's Flask app
+  * (`main.py:25-177`), over the JDK's built-in `com.sun.net.httpserver` —
+  * no dependency beyond the JVM. Endpoint-for-endpoint:
+  *
+  *   - `GET /` — health + endpoint list (`main.py:25-33`)
+  *   - `POST /trigger-etl` — runs [[Pipeline.run]]; 200 with
+  *     `{status, layers_processed, duration_sec}`, 500 + `suggestion` on a
+  *     failed layer (`main.py:35-74`)
+  *   - `GET /verify-results` — the expected-table inventory with row
+  *     counts, structured instead of captured stdout (`main.py:76-110`)
+  *   - `GET /sample-data` — first rows of each gold relation as JSON
+  *     (`main.py:112-146`)
+  *   - `GET /status` — service metadata (`main.py:148-177`)
+  *
+  * Serving posture: the server holds ONE long-lived SparkSession (the
+  * production pattern for a Spark serving sidecar — session startup is
+  * seconds, requests are milliseconds); handlers run on a single-thread
+  * executor, serializing pipeline runs exactly like the reference's
+  * single Flask worker. State between requests lives in the session
+  * catalog (temp views), as the reference's lives in BigQuery datasets.
+  */
+object Serve {
+
+  /** JSON string escape (same rules as Verify's dump). */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def arr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def handler(f: HttpExchange => (Int, String)): HttpHandler =
+    (ex: HttpExchange) =>
+      try { val (c, b) = f(ex); respond(ex, c, b) }
+      catch { case e: Throwable =>
+        respond(ex, 500, s"""{"status":"error","error":${q(String.valueOf(e.getMessage))}}""")
+      }
+
+  val Endpoints: Seq[String] =
+    Seq("/", "/trigger-etl", "/verify-results", "/sample-data", "/status")
+
+  /** Start serving on `port` (0 = ephemeral; read it back from the return
+    * value). The caller owns both the server and the session. */
+  def start(spark: SparkSession, dir: String, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
+
+    server.createContext("/", handler { ex =>
+      ex.getRequestURI.getPath match {
+        case "/" =>
+          (200, s"""{"status":"healthy","service":"graft-spark-etl","endpoints":${
+            arr(Endpoints.map(q))}}""")
+        case _ => (404, """{"status":"error","error":"not found"}""")
+      }
+    })
+
+    server.createContext("/trigger-etl", handler { ex =>
+      if (ex.getRequestMethod != "POST")
+        (405, """{"status":"error","error":"use POST"}""")
+      else {
+        val report = Pipeline.run(spark, dir)
+        val base =
+          s""""layers_processed":${arr(report.layersProcessed.map(q))},""" +
+            s""""duration_sec":${report.durationSec}"""
+        if (report.status == "success")
+          (200, s"""{"status":"success",$base}""")
+        else {
+          // the reference's 500 + suggestion contract (`main.py:63-74`)
+          val firstErr = report.layers.flatMap(_.statements)
+            .collectFirst { case s if !s.ok => s"${s.name}: ${s.error.getOrElse("")}" }
+            .getOrElse("unknown")
+          (500, s"""{"status":"error",$base,"error":${q(firstErr)},""" +
+            s""""suggestion":"check input path $dir and layer logs"}""")
+        }
+      }
+    })
+
+    server.createContext("/verify-results", handler { _ =>
+      // inventory over the session catalog — requires a prior trigger run,
+      // exactly like the reference's verify against the live datasets
+      val checks = Pipeline.defaultLayers().flatMap(_._2.map(_._1)).map { name =>
+        val present = spark.catalog.tableExists(name)
+        val rows = if (present) spark.table(name).count() else -1L
+        s"""{"table":${q(name)},"present":$present,"rows":$rows}"""
+      }
+      (200, s"""{"status":"success","tables":${arr(checks)}}""")
+    })
+
+    server.createContext("/sample-data", handler { _ =>
+      val golds = Seq("gold_sales_analytics", "gold_product_metrics", "gold_sales_summary")
+      val samples = golds.map { name =>
+        if (!spark.catalog.tableExists(name))
+          s"""{"table":${q(name)},"rows":[]}"""
+        else {
+          // toJSON keeps the engine-side row rendering; take(5) mirrors the
+          // reference's LIMIT 5 sample (`main.py:122-131`)
+          val rows = spark.table(name).toJSON.take(5).toSeq
+          s"""{"table":${q(name)},"rows":${arr(rows)}}"""
+        }
+      }
+      (200, s"""{"status":"success","samples":${arr(samples)}}""")
+    })
+
+    server.createContext("/status", handler { _ =>
+      (200, s"""{"status":"running","service":"graft-spark-etl",""" +
+        s""""spark_version":${q(spark.version)},""" +
+        s""""master":${q(spark.sparkContext.master)},""" +
+        s""""declared_queries":${SparkEntry.declared.size},""" +
+        s""""data_dir":${q(dir)}}""")
+    })
+
+    server.start()
+    server
+  }
+
+  /** Manual entry point: serve until killed.
+    * Usage: runMain graft.Serve [sfDir] [port] */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val port = args.drop(1).headOption.map(_.toInt).getOrElse(8080)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val server = start(spark, dir, port)
+    println(s"serving on port ${server.getAddress.getPort}")
+    Thread.currentThread.join()
+  }
+}
