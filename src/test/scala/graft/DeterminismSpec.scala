@@ -47,4 +47,39 @@ class DeterminismSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("pipeline BUILDS are partition-independent (artifact cache bypassed)") {
+    // Artifact-backed queries read the same written parquet under any
+    // partitioning, so the first test no longer exercises their producer
+    // pipelines. Non-default geometries bypass the artifact cache and run
+    // the full pipelines live — the partition-independence claim is pinned
+    // on those, plus the shared components fixpoint on a synthetic graph.
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    def runs(): Seq[Seq[String]] = {
+      val lsh = operators.Dedup
+        .minhashLsh(spark, TestSpark.Sf0001, numPerms = 16, numBands = 4)
+        .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+      val sim = operators.Dedup
+        .simhashPairs(spark, TestSpark.Sf0001, nBands = 6, bandBits = 10, hammingMax = 5)
+        .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+      val chain = (0L until 40L).map(i => (i * 3, i * 3 + 3)).toDF("a", "b")
+      val comp = operators.Graph.components(spark, chain)
+        .orderBy("id").collect().map(_.toString).toSeq
+      Seq(lsh, sim, comp)
+    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val at32 = runs()
+      spark.catalog.clearCache()
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val at5 = runs()
+      Seq("minhash-lsh 16x4", "simhash 6x10", "components").zipWithIndex.foreach {
+        case (name, i) => assert(at32(i) == at5(i), s"$name differs across partitionings")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      spark.catalog.clearCache()
+    }
+  }
 }
