@@ -198,6 +198,51 @@ object Sampling {
       |FROM by_lang, tot
       |ORDER BY lang""".stripMargin
 
+  /** MIXTURE APPLICATION: materialize the [[mixtureWeights]] plan as a
+    * per-document COPY COUNT — the step that turns a target mixture into
+    * an actual training corpus. A language with `repeat_bp` basis points
+    * gets `repeat_bp div 10000` whole epochs of every document plus one
+    * extra copy for the deterministic hash slice `h < repeat_bp mod 10000`
+    * (h = doc-id hash in [0, 10000)): over-represented languages thin to a
+    * reproducible subset, under-represented ones up-sample by integer
+    * repetition — exactly how LLM data mixtures are realized, with no RNG
+    * anywhere (re-running the build re-draws the identical corpus; an
+    * auditor can test any doc's membership from its id alone). Map-side
+    * per doc after one broadcast join of the per-lang weights. The whole-
+    * epoch part realizes exactly; the fractional epoch is a deterministic
+    * hash slice whose size is binomial around the plan (σ ≤ √n/2) — the
+    * realized per-lang totals match `planned_docs` in expectation. */
+  def mixtureApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = mixtureWeights(spark, dir).select(col("lang"), col("repeat_bp"))
+    Tables.documents(spark, dir)
+      .join(broadcast(w), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        pmod(hash60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(10000))
+          .as("h"),
+        col("repeat_bp"))
+      .select(col("doc_id"), col("lang"),
+        (expr("repeat_bp div 10000") +
+          when(col("h") < expr("repeat_bp % 10000"), 1L).otherwise(0L))
+          .as("n_copies"))
+      .filter(col("n_copies") > 0)
+  }
+
+  val mixtureApplySql: String =
+    s"""WITH by_lang AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+       |               COUNT(*) AS n_langs FROM by_lang),
+       |w AS (SELECT lang, (total_docs * 10000) // (n_langs * n_docs) AS repeat_bp
+       |      FROM by_lang, tot)
+       |SELECT doc_id, d.lang,
+       |       repeat_bp // 10000 +
+       |         (CASE WHEN ${hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000
+       |                    < repeat_bp % 10000 THEN 1 ELSE 0 END) AS n_copies
+       |FROM documents d JOIN w ON w.lang = d.lang
+       |WHERE repeat_bp // 10000 +
+       |        (CASE WHEN ${hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000
+       |                   < repeat_bp % 10000 THEN 1 ELSE 0 END) > 0
+       |ORDER BY doc_id""".stripMargin
+
   private val CurriculumPhases = 4
 
   /** CURRICULUM PHASES: the corpus cut into [[CurriculumPhases]] quality
@@ -249,6 +294,8 @@ object Sampling {
     Q("sample_size_biased", sizeBiased(_, _).orderBy("doc_id"), Some(sizeBiasedSql)),
     Q("sample_mixture_weights", mixtureWeights(_, _).orderBy("lang"),
       Some(mixtureWeightsSql)),
+    Q("sample_mixture_apply", mixtureApply(_, _).orderBy("doc_id"),
+      Some(mixtureApplySql)),
     Q("sample_curriculum", curriculum(_, _).orderBy("phase"),
       Some(curriculumSql)))
 }

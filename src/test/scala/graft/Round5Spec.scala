@@ -104,6 +104,23 @@ class Round5Spec extends AnyFunSuite {
     assert(got2(1002L) == 1000L && got2(59L) == 0L)
   }
 
+  test("mixture application realizes planned per-lang counts within sampling variance") {
+    val planned = operators.Sampling.mixtureWeights(spark, TestSpark.Sf0001)
+      .select(col("lang"), col("planned_docs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val realized = operators.Sampling.mixtureApply(spark, TestSpark.Sf0001)
+      .groupBy(col("lang")).agg(org.apache.spark.sql.functions.sum(col("n_copies")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(realized.keySet == planned.keySet)
+    planned.foreach { case (lang, p) =>
+      // the fractional epoch is a deterministic hash slice: its realized
+      // size is binomial around the plan (σ ≈ √(n·f(1−f)) ≤ √p/2) — allow
+      // a generous multi-σ band; the whole-epoch part is exact
+      assert(math.abs(realized(lang) - p) <= math.max(5.0, 4 * math.sqrt(p.toDouble)),
+        s"$lang: planned $p, realized ${realized(lang)}")
+    }
+  }
+
   test("artifacts are write-once: re-running a consumer adds no builds") {
     Dedup.weightedJaccard(spark, TestSpark.Sf0001).count()
     val n = Artifacts.count
