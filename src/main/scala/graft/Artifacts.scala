@@ -30,8 +30,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Artifacts {
 
-  private lazy val root: java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory("graft-artifacts-")
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-artifacts-")
+    // artifacts are per-JVM scratch: remove them when the process ends so
+    // repeated sessions on one machine don't accumulate temp trees
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters.IteratorHasAsScala
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }))
+    p
+  }
 
   /** (normalized input dir)::(artifact name) -> materialized path. */
   private val built = scala.collection.mutable.HashMap[String, String]()

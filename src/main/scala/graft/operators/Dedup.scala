@@ -940,16 +940,9 @@ object Dedup {
   /** Connected components of the near-dup pair graph: every doc that
     * appears in a verified MinHash pair, labeled with its component's
     * minimum doc_id — the true cluster-keeper semantics that [[keepSet]]
-    * approximates edge-wise. Min-label propagation: each iteration joins
-    * the current labels across the (symmetric) edge set and takes the min —
-    * a pure function of the edge set, so the fixpoint is deterministic and
-    * the DuckDB oracle recomputes it as a recursive transitive closure.
-    *
-    * The driver loop is the one LEGITIMATE driver-side pattern in the
-    * engine: an iterative fixpoint with a distributed join per iteration
-    * and a scalar convergence check (`count`) per round — the same shape
-    * GraphX/GraphFrames use. Iterations are bounded by the component
-    * diameter (near-dup clusters are shallow; the cap is a safety rail).
+    * approximates edge-wise. Delegates to [[Graph.components]] (shared
+    * pointer-jumping min-label propagation — deterministic fixpoint, the
+    * DuckDB oracle recomputes it as a recursive transitive closure).
     */
   def components(spark: SparkSession, dir: String): DataFrame =
     // two consumers (the declared query + the cluster-keeper policy) read
