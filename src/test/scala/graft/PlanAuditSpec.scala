@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_power_users" -> 1, // one-row broadcast total-events scalar
     "events_anomaly_days" -> 1, // one-row broadcast daily-stats scalar
     "sample_mixture_weights" -> 1, // one-row broadcast corpus-total scalar
+    "sample_mixture_apply" -> 1, // inherits mixtureWeights' one-row scalar
     "meta_ref_integrity" -> 3, // one 1-row broadcast fact-total per FK check
     "dedup_lsh_recall" -> 2, // two 1-row count scalars joined to the tp row
     "dedup_impact" -> 1, // 1-row before-aggregate × 1-row after-aggregate
