@@ -57,8 +57,10 @@ object Artifacts {
       "::" + name
     val path = synchronized {
       built.getOrElseUpdate(key, {
-        val p = root.resolve(
-          name + "_" + java.lang.Integer.toHexString(key.hashCode)).toString
+        // a monotonic suffix, not a 32-bit key hash: two distinct keys can
+        // never share a directory (a hash collision would silently serve
+        // one input dir's artifact to another)
+        val p = root.resolve(name + "_" + built.size).toString
         build.write.mode("overwrite").parquet(p)
         p
       })

@@ -28,16 +28,7 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object Serve {
 
-  /** JSON string escape (same rules as Verify's dump). */
-  private def q(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def q(s: String): String = Jsons.quote(s)
 
   private def arr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
 
@@ -63,7 +54,14 @@ object Serve {
     * value). The caller owns both the server and the session. */
   def start(spark: SparkSession, dir: String, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
+    // DAEMON handler thread: HttpServer.stop() does not shut down a
+    // user-supplied executor, and a non-daemon leftover would keep the
+    // JVM alive after the owner stops the server
+    server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-serve")
+      t.setDaemon(true)
+      t
+    })
 
     server.createContext("/", handler { ex =>
       ex.getRequestURI.getPath match {

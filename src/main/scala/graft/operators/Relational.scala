@@ -616,11 +616,17 @@ object Relational {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_sink/" +
       spark.sparkContext.applicationId + "/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + "/lineitem"
-    if (partitionedWritten.putIfAbsent(out, true).isEmpty)
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_quantity"), col("l_returnflag"))
-        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    // record the sink only AFTER the write succeeds — marking first would
+    // poison every later invocation if the first write throws
+    partitionedWritten.synchronized {
+      if (!partitionedWritten.contains(out)) {
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_returnflag"))
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        partitionedWritten.put(out, true)
+      }
+    }
     spark.read.parquet(out)
       .filter(col("l_returnflag") === "R")
       .groupBy(col("l_returnflag"))
@@ -717,17 +723,22 @@ object Relational {
       spark.sparkContext.applicationId + "/" + nonce
     val tblO = s"graft_bkt_orders_$nonce"
     val tblL = s"graft_bkt_lineitem_$nonce"
-    if (bucketedWritten.putIfAbsent(base, true).isEmpty) {
-      Tables.orders(spark, dir)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/orders").saveAsTable(tblO)
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$base/lineitem").saveAsTable(tblL)
+    // mark written only after BOTH writes succeed (a failed first attempt
+    // must retry, not read a half-written layout forever)
+    bucketedWritten.synchronized {
+      if (!bucketedWritten.contains(base)) {
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders").saveAsTable(tblO)
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem").saveAsTable(tblL)
+        bucketedWritten.put(base, true)
+      }
     }
     spark.table(tblO)
       .join(spark.table(tblL), col("o_orderkey") === col("l_orderkey"))

@@ -125,7 +125,7 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
     Artifacts.table(spark, dir, "sim_lsh_topk")(lshTopKBuild(spark, dir))
 
-  private def lshTopKBuild(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshTopKBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
     val bands = srpBands(spark, dir, "sim_srp_bands", NumTables, BitsPerTable)
     val qBands = bands.filter(col("vec_id") < NumQueries)
@@ -540,7 +540,7 @@ object Similarity {
     // kNN-graph table every graph stage reads
     Artifacts.table(spark, dir, "sim_knn_graph")(knnGraphBuild(spark, dir))
 
-  private def knnGraphBuild(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def knnGraphBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
     // both self-join sides read the materialized band table
     val bands = srpBands(spark, dir, "sim_srp_bands", NumTables, BitsPerTable)
@@ -688,7 +688,7 @@ object Similarity {
     // materialized: the declared query and the recall evaluation share it
     Artifacts.table(spark, dir, "sim_pq_topk")(pqTopKBuild(spark, dir))
 
-  private def pqTopKBuild(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqTopKBuild(spark: SparkSession, dir: String): DataFrame = {
     val dims = quantDims(spark, dir)
     val sub = dims.withColumn("s", expr(s"d div $PqSubDims").cast("int"))
     val lab = Tables.embeddings(spark, dir)
@@ -1112,23 +1112,31 @@ object Similarity {
       .agg(sum(col("q1") * col("col")).as("c"))
       .collect()
     val dim = 64
-    val g = Array.ofDim[BigInt](dim, dim)
+    // zero-filled (not null): a dimension pair absent from the aggregate
+    // (empty corpus) is a zero Gram entry
+    val g = Array.fill(dim, dim)(BigInt(0))
     covRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2)))
     var v = Array.fill(dim)(BigInt(PowerScale))
-    for (_ <- 1 to PowerIters) {
+    var live = covRows.nonEmpty
+    for (_ <- 1 to PowerIters if live) {
       // raw = G·v in unbounded integers (the oracle's HUGEINT); renormalize
       // in fixed point by max|raw| — integer division, never a float norm
       val raw = Array.tabulate(dim)(i =>
         (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + g(i)(j) * v(j)))
       val m = raw.map(_.abs).max
-      v = raw.map(r => r.signum * (r.abs * PowerScale / m))
+      if (m == 0) live = false // zero Gram: the iteration is a fixed point
+      else v = raw.map(r => r.signum * (r.abs * PowerScale / m))
     }
     import scala.jdk.CollectionConverters.SeqHasAsJava
     import org.apache.spark.sql.types._
-    val out = (0 until dim).map { d =>
-      val c = v(d).toLong
-      org.apache.spark.sql.Row(d, c, c.toDouble / PowerScale)
-    }
+    // empty corpus -> empty relation (the relational pipeline's behavior),
+    // not 64 rows fabricated from no data
+    val out =
+      if (covRows.isEmpty) Seq.empty[org.apache.spark.sql.Row]
+      else (0 until dim).map { d =>
+        val c = v(d).toLong
+        org.apache.spark.sql.Row(d, c, c.toDouble / PowerScale)
+      }
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](out.asJava),
       StructType(Seq(

@@ -26,8 +26,11 @@ object TextAnalysis {
     * (map-side-combined counts), the K-row vocabulary broadcasts into a
     * semi-join, one shuffle on doc_id — never a corpus×vocab join. */
   def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    // three consumers below (vocab, per-doc totals, in-vocab counts) —
+    // persist so the corpus is tokenized once per execution, not thrice
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(OovVocabK)

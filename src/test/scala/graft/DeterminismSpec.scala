@@ -66,7 +66,16 @@ class DeterminismSpec extends AnyFunSuite {
       val chain = (0L until 40L).map(i => (i * 3, i * 3 + 3)).toDF("a", "b")
       val comp = operators.Graph.components(spark, chain)
         .orderBy("id").collect().map(_.toString).toSeq
-      Seq(lsh, sim, comp)
+      // the ANN producer pipelines (their bases are artifact scans, but
+      // every partition-sensitive stage — band joins, windows, quantized
+      // aggregations, top-k — runs live here)
+      val bf = operators.Similarity.bruteForceTopKBuild(spark, TestSpark.Sf0001)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      val knn = operators.Similarity.knnGraphBuild(spark, TestSpark.Sf0001)
+        .orderBy("vec_id", "rank").collect().map(_.toString).toSeq
+      val pq = operators.Similarity.pqTopKBuild(spark, TestSpark.Sf0001)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      Seq(lsh, sim, comp, bf, knn, pq)
     }
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "32")
@@ -74,9 +83,11 @@ class DeterminismSpec extends AnyFunSuite {
       spark.catalog.clearCache()
       spark.conf.set("spark.sql.shuffle.partitions", "5")
       val at5 = runs()
-      Seq("minhash-lsh 16x4", "simhash 6x10", "components").zipWithIndex.foreach {
-        case (name, i) => assert(at32(i) == at5(i), s"$name differs across partitionings")
-      }
+      Seq("minhash-lsh 16x4", "simhash 6x10", "components",
+        "bruteforce-topk build", "knn-graph build", "pq-topk build")
+        .zipWithIndex.foreach {
+          case (name, i) => assert(at32(i) == at5(i), s"$name differs across partitionings")
+        }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", saved)
       spark.catalog.clearCache()

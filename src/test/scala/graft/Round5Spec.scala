@@ -122,7 +122,11 @@ class Round5Spec extends AnyFunSuite {
   }
 
   test("artifacts are write-once: re-running a consumer adds no builds") {
+    // build BOTH consumers' artifact chains first, THEN sample the count —
+    // sampling before the first semanticClusters run would count its
+    // initial builds as a violation regardless of execution order
     Dedup.weightedJaccard(spark, TestSpark.Sf0001).count()
+    Similarity.semanticClusters(spark, TestSpark.Sf0001).count()
     val n = Artifacts.count
     Dedup.weightedJaccard(spark, TestSpark.Sf0001).count()
     Similarity.semanticClusters(spark, TestSpark.Sf0001).count()

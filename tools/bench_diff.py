@@ -13,6 +13,12 @@ itself, not to cache warm order.
 import json
 import sys
 
+try:  # behave under `| head`: die silently on a closed pipe
+    import signal
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+except (ImportError, AttributeError, ValueError):
+    pass
+
 
 def load(path):
     with open(path) as f:
@@ -39,8 +45,12 @@ def main():
     old_data, old_qs = load(old_path)
     new_data, new_qs = load(new_path)
 
-    print(f"total: {old_data.get('value'):.2f}s ({len(old_qs)} queries) -> "
-          f"{new_data.get('value'):.2f}s ({len(new_qs)} queries)")
+    def total(data, qs):
+        v = data.get("value")
+        return float(v) if v is not None else sum(x or 0.0 for x in qs.values())
+
+    print(f"total: {total(old_data, old_qs):.2f}s ({len(old_qs)} queries) -> "
+          f"{total(new_data, new_qs):.2f}s ({len(new_qs)} queries)")
 
     added = sorted(set(new_qs) - set(old_qs))
     removed = sorted(set(old_qs) - set(new_qs))
@@ -59,7 +69,9 @@ def main():
         o, n = old_qs[q], new_qs[q]
         if o is None or n is None or (o < floor and n < floor):
             continue
-        ratio = n / o if o > 0 else float("inf")
+        # clamp both sides away from zero so ratios stay finite in BOTH
+        # directions (a 0.0 would otherwise divide-by-zero in the report)
+        ratio = max(n, 1e-9) / max(o, 1e-9)
         deltas.append((ratio, q, o, n))
 
     regressions = sorted((d for d in deltas if d[0] >= threshold), reverse=True)
