@@ -84,7 +84,7 @@ object Dedup {
     * and several queries share it — every consumer reads the written table
     * instead of re-running the scan+explode or trusting cache reuse.
     */
-  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     Artifacts.table(spark, dir, "dedup_shingle_index") {
       Tables.documents(spark, dir)
         .select(col("doc_id"), explode(wordNGrams(col("text"), 3)).as("shingle"))

@@ -382,13 +382,10 @@ object TextAnalysis {
     * corpus df per hash (map-side-combinable aggregate), then a per-doc
     * ratio — every step is the same bounded shapes the dedup tier uses. */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(wordNGrams(col("text"), 3)).as("g"))
-      .select(col("doc_id"), hash60(col("g")).as("h"))
-      .distinct()
-      // referenced twice (df counts + the ratio join) — persist so the
-      // scan + explode + MD5 run once (the shingle-index policy)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the distinct (doc, 3-gram-hash) relation IS the dedup tier's
+    // materialized shingle-index artifact — read it instead of rebuilding
+    // the scan + explode + MD5 (both references below then scan parquet)
+    val sh = Dedup.shingleIndex(spark, dir)
     val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     sh.join(df, Seq("h"))
       .groupBy(col("doc_id"))
