@@ -520,6 +520,37 @@ object Similarity {
        |GROUP BY list_id
        |ORDER BY list_id""".stripMargin
 
+  /** K-MEANS CONVERGENCE diagnostic: per-list squared L2 movement between
+    * the label-seeded centroids and the Lloyd-refined table — the number a
+    * production clustering job monitors per iteration to decide when to
+    * stop training (large shift = still moving; ~0 = converged). Exact
+    * integer arithmetic in quantized micro-units (diffs ≤ 2e6, squared
+    * sums over 64 dims ≪ 2⁶³ — no widening needed), so the report is
+    * engine-identical. Both inputs are materialized index artifacts; the
+    * diagnostic is a 64·k-row join, free at any corpus scale. Lists that
+    * lose all members during refinement drop out of the refined table and
+    * hence from the report (both engines drop them identically). */
+  def centroidShift(spark: SparkSession, dir: String): DataFrame = {
+    val seed = seedCentroids(spark, dir, quantDims(spark, dir))
+    val refined = kmeansCentroids(spark, dir)
+    seed.as("s")
+      .join(refined.as("r"),
+        col("s.list_id") === col("r.list_id") && col("s.d") === col("r.d"))
+      .groupBy(col("s.list_id").as("list_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum((col("s.cq") - col("r.cq")) * (col("s.cq") - col("r.cq")))
+          .as("shift_sq"))
+  }
+
+  val centroidShiftSql: String =
+    s"""WITH $kmeansAssignCtesSql
+       |SELECT s.list_id, COUNT(*) AS n_dims,
+       |       CAST(SUM((s.cq - r.cq) * (s.cq - r.cq)) AS BIGINT) AS shift_sq
+       |FROM cent0 s JOIN cent$KmeansIters r
+       |  ON r.list_id = s.list_id AND r.d = s.d
+       |GROUP BY s.list_id
+       |ORDER BY s.list_id""".stripMargin
+
   private val GraphK = 5
 
   /** k-NN GRAPH over the whole corpus: every vector's top-[[GraphK]]
@@ -1197,6 +1228,8 @@ object Similarity {
     Q("sim_pca_power", pcaPower(_, _).orderBy("d"), Some(pcaPowerSql)),
     Q("sim_cluster_purity", clusterPurity(_, _).orderBy("list_id"),
       Some(clusterPuritySql)),
+    Q("sim_centroid_shift", centroidShift(_, _).orderBy("list_id"),
+      Some(centroidShiftSql)),
     Q("sim_neighbor_jaccard", neighborJaccard(_, _).orderBy("vec_a", "vec_b"),
       Some(neighborJaccardSql)))
 }

@@ -445,6 +445,36 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** DECONTAMINATION APPLICATION — the corpus actually released after the
+    * [[contamination]] check: benchmark slice held out, every flagged doc
+    * dropped, everything else kept with its text mass. Mirrors the dedup
+    * tier's keep-set shape (detector → LEFT ANTI application); at scale
+    * the flagged set is tiny and broadcasts, so the release pass is one
+    * corpus scan. The released-corpus relation is what ships — the
+    * detector alone is just a report. */
+  def decontaminateKeep(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = contamination(spark, dir).select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0) // the held-out benchmark slice
+      .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val decontaminateKeepSql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |             FROM documents),
+       |g AS (SELECT doc_id,
+       |             ${hash60Sql("ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]")} AS h
+       |      FROM tok, UNNEST(range(1, greatest(len(ts) - 3, 1))) AS u(i)),
+       |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+       |flagged AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (h)
+       |            WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, lang, n_chars
+       |FROM documents d
+       |WHERE doc_id % 97 <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   private val ShardTokenBudget = 2000L
 
   /** Token-budget sharding: split the corpus (in doc_id order) into
@@ -772,6 +802,8 @@ object TextAnalysis {
       Some(winnowFingerprintSql)),
     Q("text_corpus_stats", corpusStats(_, _).orderBy("lang", "source"),
       Some(corpusStatsSql)),
+    Q("text_decontaminate_keep", decontaminateKeep(_, _).orderBy("doc_id"),
+      Some(decontaminateKeepSql)),
     Q("text_contamination", contamination(_, _).orderBy("doc_id"),
       Some(contaminationSql)),
     Q("text_token_shards", tokenShards(_, _).orderBy("doc_id"),

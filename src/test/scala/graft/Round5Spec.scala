@@ -121,6 +121,28 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("decontaminated corpus = corpus minus benchmark slice minus flagged docs") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val bench = corpus.filter(_ % 97 == 0)
+    val flagged = operators.TextAnalysis.contamination(spark, TestSpark.Sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val kept = operators.TextAnalysis.decontaminateKeep(spark, TestSpark.Sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(flagged).isEmpty, "a flagged doc leaked into the release")
+    assert(kept.intersect(bench).isEmpty, "a benchmark doc leaked into the release")
+    assert(kept ++ flagged ++ bench == corpus, "docs lost outside the two filters")
+  }
+
+  test("centroid shift is a non-negative 64-dim report per surviving list") {
+    val rows = operators.Similarity.centroidShift(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 64, s"list ${r.getInt(0)}: expected 64 dims")
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+
   test("artifacts are write-once: re-running a consumer adds no builds") {
     // build BOTH consumers' artifact chains first, THEN sample the count —
     // sampling before the first semanticClusters run would count its
