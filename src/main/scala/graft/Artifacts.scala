@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 /** Write-once materialized pipeline products ("index artifacts").
   *
@@ -19,18 +21,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * query run twice — reads the materialized table. Reuse is then a property
   * of the filesystem, not of cache-eviction luck; a consumer's plan starts
   * at a parquet scan of the artifact instead of embedding the producer's
-  * lineage. On a real cluster these would be bucketed tables in the
-  * warehouse, written by the index-build stage and read by every serving /
-  * evaluation query (the reference's own medallion layering does exactly
-  * this between bronze→silver→gold; reference `etl_medallion.py:143-199`).
+  * lineage. On a real cluster these are warehouse tables written by the
+  * index-build stage and read by every serving / evaluation query (the
+  * reference's own medallion layering does exactly this between
+  * bronze→silver→gold; reference `etl_medallion.py:143-199`).
   *
-  * The artifact root is a fresh per-JVM temp directory, so artifacts are
-  * always built by this process from the current inputs — no cross-run
+  * The artifact root is `SPARK_GRAFT_ARTIFACTS_DIR` when set — any
+  * Hadoop-FS URI (`file://`, `hdfs://`, `s3a://`, `gs://` with the
+  * connector), resolved through [[graft.sources.Stage.resolve]], owned by
+  * one pipeline run — and otherwise a fresh per-JVM temp directory, so
+  * unconfigured sessions always build from current inputs with no cross-run
   * staleness to reason about.
+  *
+  * Concurrency: builds coordinate through a per-key latch
+  * (`ConcurrentHashMap` of futures) — the first caller of a key builds it
+  * while callers of OTHER keys proceed in parallel, and a second caller of
+  * the SAME key blocks only on that key's future. Nested builds (a build
+  * requesting an upstream artifact, e.g. the df-capped shingle index
+  * building the raw shingle index) are plain re-entrant calls on distinct
+  * keys — no lock is held across a build. A build that fails clears its
+  * latch so a later call can retry. A SELF-dependent key (a build
+  * requesting itself) would deadlock on its own latch — that is a cycle in
+  * the artifact DAG, a bug by construction.
   */
 object Artifacts {
 
-  private lazy val root: java.nio.file.Path = {
+  /** Read per call (not frozen at class init): the JVM property form exists
+    * so a spec can point a fresh artifact at a URI root; deployments use the
+    * env var. */
+  private def configuredRoot: Option[String] =
+    sys.props.get("graft.artifacts.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_ARTIFACTS_DIR"))
+      .map(_.trim).filter(_.nonEmpty)
+
+  private lazy val tempRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft-artifacts-")
     // artifacts are per-JVM scratch: remove them when the process ends so
     // repeated sessions on one machine don't accumulate temp trees
@@ -43,28 +67,70 @@ object Artifacts {
     p
   }
 
-  /** (normalized input dir)::(artifact name) -> materialized path. */
-  private val built = scala.collection.mutable.HashMap[String, String]()
+  /** The active artifact root for this session (qualified URI when
+    * configured; local temp path otherwise). */
+  private[graft] def rootFor(spark: SparkSession): String =
+    configuredRoot.fold(tempRoot.toString)(r => sources.Stage.resolve(spark, r))
+
+  /** (normalized input dir)::(artifact name) -> latch completing with the
+    * materialized path. */
+  private val built = new ConcurrentHashMap[String, CompletableFuture[String]]()
+  private val seq = new AtomicInteger(0)
+  private val builds = new AtomicInteger(0)
+  private val buildNanos = new AtomicLong(0L)
 
   /** The number of artifacts materialized so far (for specs/diagnostics). */
-  def count: Int = synchronized(built.size)
+  def count: Int = builds.get()
 
-  /** Return `name` for input `dir`, building + writing it on first use.
-    * Reentrant: a build may itself request upstream artifacts. */
+  /** Total wall-clock seconds spent materializing artifacts — the
+    * index-build cost a bench total must account for separately from
+    * per-query read cost. */
+  def buildSeconds: Double = buildNanos.get() / 1e9
+
+  /** Cache key: the `file:` scheme (either URI form) and the bare local
+    * path of the SAME directory must coincide — the readers accept both
+    * (StageSpec), and distinct keys would silently rebuild and double-store
+    * every artifact for the session. Non-local URIs key on their qualified
+    * form. */
+  private[graft] def normKey(dir: String, name: String): String = {
+    val stripped = dir.replaceFirst("^file:(//)?", "")
+    val norm =
+      if (stripped.contains("://")) stripped.stripSuffix("/")
+      else java.nio.file.Paths.get(stripped).toAbsolutePath.normalize.toString
+    norm + "::" + name
+  }
+
+  /** Return `name` for input `dir`, building + writing it on first use. */
   def table(spark: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame = {
-    val key = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString +
-      "::" + name
-    val path = synchronized {
-      built.getOrElseUpdate(key, {
+      (build: => DataFrame): DataFrame =
+    spark.read.parquet(materialize(spark, dir, name)(p =>
+      build.write.mode("overwrite").parquet(p)))
+
+  /** The latch-coordinated write-once core: returns the path `name` is
+    * materialized at, running `write(path)` iff this caller is the first
+    * for the key. */
+  private def materialize(spark: SparkSession, dir: String, name: String)
+      (write: String => Unit): String = {
+    val key = normKey(dir, name)
+    val mine = new CompletableFuture[String]()
+    val existing = built.putIfAbsent(key, mine)
+    if (existing != null) existing.get()
+    else
+      try {
         // a monotonic suffix, not a 32-bit key hash: two distinct keys can
         // never share a directory (a hash collision would silently serve
         // one input dir's artifact to another)
-        val p = root.resolve(name + "_" + built.size).toString
-        build.write.mode("overwrite").parquet(p)
+        val p = rootFor(spark) + "/" + name + "_" + seq.getAndIncrement()
+        val t0 = System.nanoTime()
+        write(p)
+        buildNanos.addAndGet(System.nanoTime() - t0)
+        builds.incrementAndGet()
+        mine.complete(p)
         p
-      })
-    }
-    spark.read.parquet(path)
+      } catch { case e: Throwable =>
+        built.remove(key, mine)
+        mine.completeExceptionally(e)
+        throw e
+      }
   }
 }

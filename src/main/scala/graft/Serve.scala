@@ -50,10 +50,16 @@ object Serve {
   val Endpoints: Seq[String] =
     Seq("/", "/trigger-etl", "/verify-results", "/sample-data", "/status")
 
-  /** Start serving on `port` (0 = ephemeral; read it back from the return
-    * value). The caller owns both the server and the session. */
-  def start(spark: SparkSession, dir: String, port: Int): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+  /** Start serving on `bindAddr:port` (0 = ephemeral; read it back from the
+    * return value). The caller owns both the server and the session.
+    * Loopback by default: `POST /trigger-etl` is arbitrary Spark compute and
+    * the data endpoints sample live tables, so exposure beyond the host must
+    * be a deliberate choice (pass an explicit interface address), not the
+    * bind-all default the reference's Flask app ships with. */
+  def start(spark: SparkSession, dir: String, port: Int,
+            bindAddr: String = "127.0.0.1"): HttpServer = {
+    val server = HttpServer.create(
+      new InetSocketAddress(java.net.InetAddress.getByName(bindAddr), port), 0)
     // DAEMON handler thread: HttpServer.stop() does not shut down a
     // user-supplied executor, and a non-daemon leftover would keep the
     // JVM alive after the owner stops the server
@@ -132,10 +138,11 @@ object Serve {
   }
 
   /** Manual entry point: serve until killed.
-    * Usage: runMain graft.Serve [sfDir] [port] */
+    * Usage: runMain graft.Serve [sfDir] [port] [bindAddr] */
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val port = args.drop(1).headOption.map(_.toInt).getOrElse(8080)
+    val bindAddr = args.drop(2).headOption.getOrElse("127.0.0.1")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -144,8 +151,8 @@ object Serve {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = start(spark, dir, port)
-    println(s"serving on port ${server.getAddress.getPort}")
+    val server = start(spark, dir, port, bindAddr)
+    println(s"serving on ${server.getAddress}")
     Thread.currentThread.join()
   }
 }

@@ -26,17 +26,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Parallelism of the fixpoint's edge relation: the session's shuffle
+    * partitioning. Every round's join and aggregate already runs at
+    * `spark.sql.shuffle.partitions`; pinning the checkpointed edge set to a
+    * different (hardcoded) width would cap the whole fixpoint at that width
+    * regardless of cluster size. Deriving it from the session setting keeps
+    * the explicit partition-by-probe-key co-location while letting the same
+    * code run at 32 partitions locally and thousands on a cluster. */
+  private[graft] def fixpointPartitions(spark: SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions
+
+  /** The symmetrized, probe-key-partitioned, checkpointed edge relation the
+    * fixpoint iterates over (exposed for plan/partitioning assertions). */
+  private[graft] def symmetrized(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val Seq(aName, bName) = edges.columns.toSeq.take(2)
+    edges.select(col(aName).as("a"), col(bName).as("b"))
+      .unionByName(edges.select(col(bName).as("a"), col(aName).as("b")))
+      .repartition(fixpointPartitions(spark), col("a"))
+      .localCheckpoint()
+  }
+
   /** Components of the undirected graph given by two long edge columns.
     * Returns (id, comp) with comp = the component's minimum node id. */
   def components(spark: SparkSession, edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val Seq(aName, bName) = edges.columns.toSeq.take(2)
-    // the pair graph is much smaller than the corpus — size the fixpoint's
-    // partitioning to the edge relation; the explicit repartition on the
-    // probe key also pre-co-locates every round's join
-    val sym = edges.select(col(aName).as("a"), col(bName).as("b"))
-      .unionByName(edges.select(col(bName).as("a"), col(aName).as("b")))
-      .repartition(8, col("a"))
-      .localCheckpoint()
+    val sym = symmetrized(spark, edges)
     // seed one propagation step ahead: comp₀ = min(id, neighbors) — the
     // groupBy runs on sym's partition key, no extra exchange
     var labels = sym.groupBy(col("a"))

@@ -1140,13 +1140,17 @@ object Similarity {
       .select(col("q"), posexplode(col("q")))
       .select(col("pos").as("d1"), col("col").as("q1"), posexplode(col("q")))
       .groupBy(col("d1"), col("pos").as("d2"))
-      .agg(sum(col("q1") * col("col")).as("c"))
+      // DECIMAL(38,0), not the products' natural BIGINT: each q1·q2 is up to
+      // ~1e12, so a 64-bit sum wraps silently past ~9M rows while the
+      // oracle's HUGEINT keeps going — the same widening giniProfile /
+      // anomalyDays apply to this overflow pattern
+      .agg(sum((col("q1") * col("col")).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("c"))
       .collect()
     val dim = 64
     // zero-filled (not null): a dimension pair absent from the aggregate
     // (empty corpus) is a zero Gram entry
     val g = Array.fill(dim, dim)(BigInt(0))
-    covRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2)))
+    covRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger))
     var v = Array.fill(dim)(BigInt(PowerScale))
     var live = covRows.nonEmpty
     for (_ <- 1 to PowerIters if live) {
@@ -1193,7 +1197,7 @@ object Similarity {
        |  SELECT vec_id, i - 1 AS d, CAST(floor(v[i] * 1000000) AS BIGINT) AS q
        |  FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
        |cov AS MATERIALIZED (
-       |  SELECT a.d AS d1, b.d AS d2, CAST(SUM(a.q * b.q) AS BIGINT) AS c
+       |  SELECT a.d AS d1, b.d AS d2, SUM(a.q * b.q) AS c
        |  FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2),
        |v0 AS MATERIALIZED (
        |  SELECT DISTINCT d1 AS dd, CAST($PowerScale AS HUGEINT) AS v FROM cov),
