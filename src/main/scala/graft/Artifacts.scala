@@ -103,30 +103,60 @@ object Artifacts {
   /** Return `name` for input `dir`, building + writing it on first use. */
   def table(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame =
-    spark.read.parquet(materialize(spark, dir, name)(p =>
-      build.write.mode("overwrite").parquet(p)))
+    spark.read.parquet(materialize(normKey(dir, name)) { () =>
+      val p = dataPath(spark, name)
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
 
-  /** The latch-coordinated write-once core: returns the path `name` is
-    * materialized at, running `write(path)` iff this caller is the first
-    * for the key. */
-  private def materialize(spark: SparkSession, dir: String, name: String)
-      (write: String => Unit): String = {
-    val key = normKey(dir, name)
+  /** Like [[table]], but materialized as a BUCKETED catalog table on
+    * `bucketCols` — the warehouse form a 100 TB index-build stage writes:
+    * every consumer join/aggregate on the bucket key starts from a
+    * pre-partitioned scan with NO exchange on the artifact side (both
+    * sides, for the self-joins candidate generation is made of). Bucket
+    * count follows the building session's shuffle partitioning — the same
+    * scale dial every other shuffle in the pipeline uses. The data files
+    * live under the artifact root; the bucket spec lives in the session
+    * catalog (shared across sessions of this JVM). Parquet `path` writes
+    * cannot carry a bucket spec — that is why this variant goes through
+    * `saveAsTable`. */
+  def bucketedTable(spark: SparkSession, dir: String, name: String,
+      bucketCols: Seq[String])(build: => DataFrame): DataFrame =
+    spark.table(materialize(normKey(dir, name)) { () =>
+      val p = dataPath(spark, name)
+      val tbl = "graft_art_" + p.substring(p.lastIndexOf('/') + 1)
+      val buckets = spark.sessionState.conf.numShufflePartitions
+      // one shuffle to co-locate each bucket in one task => one file per
+      // bucket, not one per (task × bucket)
+      build.repartition(buckets,
+          bucketCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").option("path", p)
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(tbl)
+      tbl
+    })
+
+  private def dataPath(spark: SparkSession, name: String): String =
+    rootFor(spark) + "/" + name + "_" + seq.getAndIncrement()
+
+  /** The latch-coordinated write-once core: returns the handle (parquet
+    * path or catalog table name) `key` is materialized under, running
+    * `write` iff this caller is the first for the key. The monotonic
+    * [[seq]] suffix in [[dataPath]] — not a 32-bit key hash — means two
+    * distinct keys can never share a directory (a hash collision would
+    * silently serve one input dir's artifact to another). */
+  private def materialize(key: String)(write: () => String): String = {
     val mine = new CompletableFuture[String]()
     val existing = built.putIfAbsent(key, mine)
     if (existing != null) existing.get()
     else
       try {
-        // a monotonic suffix, not a 32-bit key hash: two distinct keys can
-        // never share a directory (a hash collision would silently serve
-        // one input dir's artifact to another)
-        val p = rootFor(spark) + "/" + name + "_" + seq.getAndIncrement()
         val t0 = System.nanoTime()
-        write(p)
+        val h = write()
         buildNanos.addAndGet(System.nanoTime() - t0)
         builds.incrementAndGet()
-        mine.complete(p)
-        p
+        mine.complete(h)
+        h
       } catch { case e: Throwable =>
         built.remove(key, mine)
         mine.completeExceptionally(e)

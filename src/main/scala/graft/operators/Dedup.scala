@@ -84,8 +84,11 @@ object Dedup {
     * and several queries share it — every consumer reads the written table
     * instead of re-running the scan+explode or trusting cache reuse.
     */
-  private[operators] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    Artifacts.table(spark, dir, "dedup_shingle_index") {
+  private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    // bucketed by doc_id: the signature build and both per-doc size
+    // aggregates are groupBy(doc_id) over this table — from a bucketed scan
+    // the hash aggregate runs in one stage with no exchange
+    Artifacts.bucketedTable(spark, dir, "dedup_shingle_index", Seq("doc_id")) {
       Tables.documents(spark, dir)
         .select(col("doc_id"), explode(wordNGrams(col("text"), 3)).as("shingle"))
         .select(col("doc_id"), hash60(col("shingle")).as("h"))
@@ -121,8 +124,12 @@ object Dedup {
     * fallback is a shuffled anti-join — never a window sort. Materialized:
     * consumed by the Jaccard AND containment pipelines (sizes + both
     * self-join sides each). */
-  private def cappedShingleIndex(spark: SparkSession, dir: String): DataFrame =
-    Artifacts.table(spark, dir, "dedup_capped_shingle_index") {
+  private[graft] def cappedShingleIndex(spark: SparkSession, dir: String): DataFrame =
+    // bucketed by h: the candidate-generating self-joins (pair
+    // intersections, weighted Jaccard, containment) equi-join this table
+    // with itself on h — both sides of those joins start pre-partitioned,
+    // zero exchanges below the join (asserted in Round6Spec)
+    Artifacts.bucketedTable(spark, dir, "dedup_capped_shingle_index", Seq("h")) {
       val idx = shingleIndex(spark, dir)
       val hot = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") > DfCap).select(col("h"))
@@ -143,14 +150,19 @@ object Dedup {
     * materialized — the dedup-stage intermediate a production pipeline
     * writes between candidate generation and each scoring policy. */
   private def pairIntersections(spark: SparkSession, dir: String): DataFrame =
-    Artifacts.table(spark, dir, "dedup_pair_intersections") {
-      val sh = cappedShingleIndex(spark, dir)
-      sh.as("a")
-        .join(sh.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-    }
+    Artifacts.table(spark, dir, "dedup_pair_intersections")(
+      pairIntersectionsBuild(spark, dir))
+
+  /** The producer pipeline (Round6Spec pins the zero-exchange-below-join
+    * plan contract the bucketed capped index buys). */
+  private[graft] def pairIntersectionsBuild(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingleIndex(spark, dir)
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
 
   /** Exact n-gram Jaccard near-dup pairs above [[JaccardThreshold]], found
     * through the inverted shingle index (docs never meet unless they share a
@@ -158,8 +170,10 @@ object Dedup {
     * (df ≤ [[DfCap]]). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     // three consumers (the declared query, the LSH-recall evaluator, the
-    // modality-agreement evaluator) read the materialized truth-pair table
-    Artifacts.table(spark, dir, "dedup_jaccard_pairs") {
+    // modality-agreement evaluator) read the materialized truth-pair table;
+    // bucketed by doc_a to co-partition with the minhash-pairs table the
+    // recall evaluation joins it against
+    Artifacts.bucketedTable(spark, dir, "dedup_jaccard_pairs", Seq("doc_a")) {
       val sh = cappedShingleIndex(spark, dir)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = pairIntersections(spark, dir)
@@ -313,8 +327,9 @@ object Dedup {
     if (numPerms == NumPerms && numBands == NumBands)
       // the verified-pairs table is the pipeline's product: the pairs
       // query, keep-set, impact, LSH-recall, and connected components all
-      // read the materialized table — the dedup stage writes it once
-      Artifacts.table(spark, dir, "dedup_minhash_pairs")(
+      // read the materialized table — the dedup stage writes it once,
+      // bucketed by doc_a (the key the evaluation joins probe on)
+      Artifacts.bucketedTable(spark, dir, "dedup_minhash_pairs", Seq("doc_a"))(
         minhashPipeline(spark, dir, numPerms, numBands))
     else minhashPipeline(spark, dir, numPerms, numBands)
 

@@ -199,8 +199,9 @@ object Similarity {
     */
   def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame =
     // the verified-pairs table is the pipeline's product: the declared
-    // query AND the modality-agreement evaluator read the materialized table
-    Artifacts.table(spark, dir, "sim_cosine_pairs")(
+    // query AND the modality-agreement evaluator read the materialized
+    // table, bucketed by vec_a (the evaluators' probe key)
+    Artifacts.bucketedTable(spark, dir, "sim_cosine_pairs", Seq("vec_a"))(
       embeddingCosinePairsBuild(spark, dir))
 
   /** The producer pipeline (plan contract pinned in PlanSpec). */

@@ -39,4 +39,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length < 1500, s"line is ${line.length} chars")
     assert(parseable(line))
   }
+
+  test("artifact build accounting lands in the line and respects the budget") {
+    val results = (1 to 300).map(i =>
+      s"some_rather_long_query_name_$i" -> Some(i * 0.0137))
+    val line = Bench.compactLine(results, "/root/testdata/sf0.1", (27, 12.3456))
+    assert(line.length < 1500, s"line is ${line.length} chars")
+    assert(parseable(line))
+    assert(line.contains("\"artifacts\":{\"n\":27,\"build_sec\":12.346}"))
+  }
 }

@@ -61,6 +61,27 @@ class Round6Spec extends AnyFunSuite {
     } finally sys.props.remove("graft.artifacts.dir")
   }
 
+  test("bucketed capped-index self-join plans with zero exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at test scale the small side broadcasts, masking whether bucketing
+      // removed the shuffles — force the shuffled-join path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sh = operators.Dedup.cappedShingleIndex(spark, TestSpark.Sf0001)
+      val bare = sh.as("a")
+        .join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+      bare.collect()
+      val plan = bare.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(!plan.contains("Exchange"),
+        "both sides of the candidate self-join must start pre-bucketed:\n" +
+          plan.take(1200))
+      assert(plan.contains("SelectedBucketsCount"), "scan must be bucket-aware")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("concurrent requests for one artifact build it exactly once") {
     import spark.implicits._
     val before = Artifacts.count
