@@ -62,6 +62,44 @@ class ServeSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("endpoint payloads match the oracle-green relations they serve") {
+    val server = Serve.start(spark, TestSpark.Sf0001, 0)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      assert(post(base, "/trigger-etl").statusCode() == 200)
+
+      // /verify-results counts must equal the oracle-green row counts:
+      // bronze_<t> is a CTAS of source <t>, whose count meta_row_counts
+      // pins; silver/gold are the declared queries of the same name
+      val verify = get(base, "/verify-results").body()
+      val served = raw"""\{"table":"(\w+)","present":true,"rows":(\d+)\}""".r
+        .findAllMatchIn(verify).map(m => m.group(1) -> m.group(2).toLong).toMap
+      val sourceCounts = SparkEntry.queries("meta_row_counts")(spark, TestSpark.Sf0001)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = Pipeline.defaultLayers().flatMap(_._2.map(_._1)).map {
+        case t if t.startsWith("bronze_") => t -> sourceCounts(t.stripPrefix("bronze_"))
+        case t => t -> SparkEntry.queries(t)(spark, TestSpark.Sf0001).count()
+      }.toMap
+      assert(served == expected,
+        s"only-served=${served.toSet -- expected.toSet} only-expected=${expected.toSet -- served.toSet}")
+
+      // /sample-data rows must be rows OF the gold relations it samples
+      // (first-rows semantics: exactly min(5, |table|) of them, each
+      // byte-identical to a row of the declared oracle-green gold query)
+      val sample = get(base, "/sample-data").body()
+      val tables = raw"""\{"table":"(gold_\w+)","rows":\[(.*?)\]\}""".r
+        .findAllMatchIn(sample).map(m => m.group(1) -> m.group(2)).toMap
+      assert(tables.keySet == Set(
+        "gold_sales_analytics", "gold_product_metrics", "gold_sales_summary"))
+      tables.foreach { case (name, body) =>
+        val rows = body.split(raw"(?<=\}),(?=\{)").filter(_.nonEmpty)
+        val full = SparkEntry.queries(name)(spark, TestSpark.Sf0001).toJSON.collect()
+        assert(rows.length == math.min(5, full.length), s"$name: ${rows.length}")
+        rows.foreach(r => assert(full.contains(r), s"$name: foreign row $r"))
+      }
+    } finally server.stop(0)
+  }
+
   test("a failed layer returns 500 with the reference's suggestion contract") {
     val server = Serve.start(spark, "/nonexistent/path", 0)
     val base = s"http://127.0.0.1:${server.getAddress.getPort}"

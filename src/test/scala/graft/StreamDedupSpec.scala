@@ -28,4 +28,38 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(kept == Set(1L, 3L, 5L), s"got $kept")
     } finally q.stop()
   }
+
+  test("streaming dedup over the real events equals its batch twin") {
+    // PARITY GATE (same standard as StreamBatchParitySpec): the streaming
+    // face must agree with the batch face on the SAME testdata parquet.
+    // Exact dedup's deterministic contract is one representative per key
+    // with full key coverage; WHICH representative survives is arbitrary in
+    // BOTH faces (batch dropDuplicates and streaming state both keep the
+    // first row processed), so the gate asserts key-set equality,
+    // cardinality, and that every surviving row IS a row of the batch
+    // relation — not representative identity, which neither face defines.
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val src = java.nio.file.Files.createTempDirectory("graft-parity-dedup")
+    val all = Tables.events(spark, TestSpark.Sf0001)
+    all.select(col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .withColumn("ts", expr("ts * 1000"))
+      .write.mode("overwrite").parquet(src.toString)
+    val q = EventStream.dedupStream(EventStream.readEvents(spark, src.toString))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_parity")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("dedup_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+
+    val batchKeys = all.select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchRows = all.select("event_id", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    assert(streamed.map(t => (t._2, t._3)) == batchKeys, "key coverage diverges")
+    assert(streamed.size == batchKeys.size, "must keep exactly one row per key")
+    streamed.foreach(t => assert(batchRows.contains(t), s"foreign row $t"))
+  }
 }
