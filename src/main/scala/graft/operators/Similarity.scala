@@ -958,7 +958,7 @@ object Similarity {
        |ORDER BY method, query_id""".stripMargin
   }
 
-  private val CoreK = 3
+  private[graft] val CoreK = 3
   private val CoreRounds = 8
 
   /** k-CORE decomposition (bounded peel) of the MUTUAL-kNN graph: keep only
