@@ -241,7 +241,16 @@ object GenData {
     java.nio.file.Files.createDirectories(out)
     tables(spark, sf).foreach { case (name, df) =>
       val scratch = out.resolve("_" + name)
-      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      // SMALL ROW GROUPS (2 MB, not the 128 MB default): a single-file table
+      // whose one row group spans the whole file reads back as ONE Spark
+      // partition — every downstream scan, explode, and partial aggregate
+      // then runs single-task (observed: a 9-minute spilling one-task hash
+      // aggregate at sf1). Row groups are the intra-file parallelism unit;
+      // 2 MB keeps even the ~8 MB corpus tables multi-split while a 110 MB
+      // lineitem gets ~50.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (2 * 1024 * 1024).toString)
+        .parquet(scratch.toString)
       val part = java.nio.file.Files.list(scratch).iterator()
       val found = Iterator.continually(part)
         .takeWhile(_.hasNext).flatMap(it => Iterator(it.next()))

@@ -19,7 +19,9 @@ ts = t.column("ts")
 if not pa.types.is_timestamp(ts.type):
     t = t.set_column(t.schema.get_field_index("ts"), "ts",
                      ts.cast(pa.timestamp("ns")))
-    pq.write_table(t, path)
+    # keep row groups small: one whole-file row group reads back as a
+    # single Spark partition (see GenData.writeSf)
+    pq.write_table(t, path, row_group_size=131072)
     print(f"rewrote {path}: ts int64 -> timestamp[ns]")
 else:
     print(f"{path}: ts already {ts.type}")
