@@ -959,18 +959,22 @@ object Similarity {
   }
 
   private[graft] val CoreK = 3
-  private val CoreRounds = 8
 
-  /** k-CORE decomposition (bounded peel) of the MUTUAL-kNN graph: keep only
-    * edges where each endpoint ranks the other in its top-k (the symmetric
-    * backbone — one-directional kNN edges are dominated by hubs), then drop
-    * every node with degree < [[CoreK]], recompute degrees on the surviving
-    * subgraph, repeat [[CoreRounds]] times — the standard community-density
-    * filter (nodes outside the 3-core are weakly-embedded points; inside it,
-    * dense regions a curriculum/cluster stage would target). The round count
-    * is part of the operator contract (both engines compute exactly
-    * [[CoreRounds]] peels — the fixpoint on this data, verified in the
-    * spec); each round is two semi-joins + a map-side-combined degree
+  /** k-CORE decomposition (peel to fixpoint) of the MUTUAL-kNN graph: keep
+    * only edges where each endpoint ranks the other in its top-k (the
+    * symmetric backbone — one-directional kNN edges are dominated by hubs),
+    * then drop every node with degree < [[CoreK]], recompute degrees on the
+    * surviving subgraph, and REPEAT UNTIL THE EDGE SET IS STABLE — the
+    * standard community-density filter (nodes outside the 3-core are
+    * weakly-embedded points; inside it, dense regions a curriculum/cluster
+    * stage would target). The peel only ever removes edges, so a
+    * non-converged round strictly shrinks the count and the loop terminates
+    * in at most |E| rounds; in practice O(peel depth) rounds. A FIXED round
+    * cap here was the round-6 wrong-at-scale bug: 8 rounds converged at
+    * sf0.1 but left a pre-fixpoint "core" at sf1 (vertices below k), and a
+    * cap-unrolled oracle agreed with the wrong answer — [[graft.ScaleCheck]]
+    * now asserts the degree-≥-k fixpoint property itself at every new
+    * scale. Each round is two semi-joins + a map-side-combined degree
     * count, and each generation is lineage-truncated the same way
     * [[graft.operators.Dedup.components]] is — the iterative-fixpoint
     * discipline at scale. */
@@ -997,14 +1001,13 @@ object Similarity {
     // The count is an aggregate over the just-checkpointed in-memory RDD,
     // so the convergence probe costs microseconds, not a recompute.
     var prevCount = edges.count()
-    var round = 0
-    var converged = false
+    var converged = prevCount == 0L
     // Per-round degree test as a map-side-combined aggregate + two
     // broadcast semi-joins. (A window-count formulation was measured ~30%
     // SLOWER here: WindowExec sorts each partition by the window key, so
     // two windows cost two sorts per round, while the semi-join's
     // broadcast build is a sub-millisecond collect of the tiny keep set.)
-    while (round < CoreRounds && !converged) {
+    while (!converged) {
       val keep = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= CoreK).select(col("a"))
       edges = edges
@@ -1015,30 +1018,51 @@ object Similarity {
       val c = edges.count()
       converged = c == prevCount
       prevCount = c
-      round += 1
     }
     edges.groupBy(col("a")).agg(count(lit(1)).as("degree_in_core"))
       .select(col("a").as("vec_id"), col("degree_in_core"))
   }
 
   val kcoreSql: String = {
-    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
-    // round references the previous one twice (edges + the keep set over
-    // them) — inlined, e8 expands to 3^8 copies of the kNN pipeline
-    val rounds = (1 to CoreRounds).map { i =>
-      s"""k$i AS MATERIALIZED (SELECT a FROM e${i - 1} GROUP BY a HAVING COUNT(*) >= $CoreK),
-         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
-         |        JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH knn AS (SELECT vec_id, neighbor_id FROM (
+    // CONVERGED recursive formulation — never a fixed round count. Each
+    // recursive iteration sees only the previous round's edge set (the
+    // recursive working table), recomputes the keep set (degree >= k; the
+    // edge set is symmetric, so testing `a` covers `b` via the mirror
+    // edge), and emits the peeled round ONLY while the peel still shrinks
+    // (the EXISTS gate) — at the fixpoint the step emits nothing and
+    // recursion ends, so no UNION ALL livelock. The max-r slice is then
+    // the LAST EMITTED round, which is either the fixpoint itself
+    // (converged: one more peel is the identity) or a set that peels to
+    // empty (the recursion stopped because the next round had no rows) —
+    // both cases collapse to "apply one final peel to the max-r slice",
+    // which also returns the correct EMPTY core. Validated against an
+    // independent reference peel on chain/bridge/clique/empty graphs.
+    // (Recursive working tables are engine-materialized per iteration, so
+    // the plain-CTE 3^rounds inlining blowup of the old unrolled form
+    // cannot occur; `last` is MATERIALIZED because three paths read it.)
+    s"""WITH RECURSIVE knn AS (SELECT vec_id, neighbor_id FROM (
        |$knnGraphSql
        |)),
        |e0 AS MATERIALIZED (SELECT x.vec_id AS a, x.neighbor_id AS b
        |       FROM knn x JOIN knn y
        |         ON x.vec_id = y.neighbor_id AND x.neighbor_id = y.vec_id),
-       |$rounds
+       |peel AS (
+       |  SELECT a, b, 0 AS r FROM e0
+       |  UNION ALL
+       |  SELECT p.a, p.b, p.r + 1
+       |  FROM peel p
+       |  JOIN (SELECT a FROM peel GROUP BY a HAVING COUNT(*) >= $CoreK) ka ON p.a = ka.a
+       |  JOIN (SELECT a FROM peel GROUP BY a HAVING COUNT(*) >= $CoreK) kb ON p.b = kb.a
+       |  WHERE EXISTS (SELECT 1 FROM peel q WHERE q.a NOT IN
+       |    (SELECT a FROM peel GROUP BY a HAVING COUNT(*) >= $CoreK))
+       |),
+       |last AS MATERIALIZED (
+       |  SELECT a, b FROM peel WHERE r = (SELECT MAX(r) FROM peel)),
+       |lkeep AS (SELECT a FROM last GROUP BY a HAVING COUNT(*) >= $CoreK),
+       |core AS (SELECT l.a, l.b FROM last l
+       |         JOIN lkeep x ON l.a = x.a JOIN lkeep y ON l.b = y.a)
        |SELECT a AS vec_id, COUNT(*) AS degree_in_core
-       |FROM e$CoreRounds
+       |FROM core
        |GROUP BY a
        |ORDER BY vec_id""".stripMargin
   }
@@ -1107,10 +1131,11 @@ object Similarity {
   /** TOP PRINCIPAL DIRECTION of the embedding corpus by POWER ITERATION —
     * every arithmetic step exact and engine-independent. The second-moment
     * (uncentered Gram) matrix G[d1][d2] = Σ_vec q_d1·q_d2 accumulates in
-    * integer micro-units (one map-side-combinable pass over the corpus —
-    * the only data-sized step; the 64×64 result is a constant-size
-    * broadcast thereafter). Each of [[PowerIters]] iterations is
-    * raw = G·v in DECIMAL(38,0)/HUGEINT, renormalized in FIXED POINT by
+    * integer micro-units via the two-lane BIGINT sum of [[gramCells]]
+    * (one map-side-combinable pass over the corpus — the only data-sized
+    * step; the 64×64 result is a constant-size broadcast thereafter).
+    * Each of [[PowerIters]] iterations is
+    * raw = G·v in driver BigInt/HUGEINT, renormalized in FIXED POINT by
     * the max component: v' = sign(raw)·(|raw|·2²⁰ ÷ max|raw|) — integer
     * division, never a float norm, because float normalization differs in
     * the last ulp across engines and compounds over iterations (memory:
@@ -1129,6 +1154,34 @@ object Similarity {
     * ten scheduler round-trips (broadcast + checkpoint per generation) to
     * move 64 rows. BigInt arithmetic mirrors the oracle's HUGEINT
     * bit-for-bit (exact products, truncating division on non-negatives). */
+  /** Width of the low lane in the two-lane exact Gram sum. */
+  private[graft] val LaneBits = 20
+
+  /** Exact Gram cells G[d1][d2] = Σ_vec q_d1·q_d2 over a quantized-array
+    * corpus (column `q`: array&lt;long&gt;), with BIGINT-ONLY distributed
+    * arithmetic. Each product p = q1·q2 (|p| ≲ 2⁴⁰ for micro-unit
+    * quantization) is split into hi = p &gt;&gt; 20 (arithmetic shift = floor
+    * division) and lo = p &amp; (2²⁰−1) ∈ [0, 2²⁰), so p = hi·2²⁰ + lo
+    * exactly; the lanes are summed as plain BIGINTs — each lane's |sum|
+    * stays under 2⁶³ out to ~2⁴³ rows, while a single-lane BIGINT sum of
+    * the raw products wraps silently past ~9M rows (GramOverflowSpec pins
+    * this boundary) — and recombined exactly in BigInt on the driver,
+    * matching the oracle's HUGEINT sum bit-for-bit. This replaces a
+    * DECIMAL(38,0) SUM: the correct overflow fix, but it put Decimal
+    * arithmetic on the only data-sized step and cost ~6× (r6 verdict). */
+  private[graft] def gramCells(qarr: DataFrame): Array[(Int, Int, BigInt)] = {
+    val p = col("q1") * col("col")
+    qarr
+      .select(col("q"), posexplode(col("q")))
+      .select(col("pos").as("d1"), col("col").as("q1"), posexplode(col("q")))
+      .groupBy(col("d1"), col("pos").as("d2"))
+      .agg(sum(shiftright(p, LaneBits)).as("hi"),
+        sum(p.bitwiseAND(lit((1L << LaneBits) - 1))).as("lo"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        (BigInt(r.getLong(2)) << LaneBits) + BigInt(r.getLong(3))))
+  }
+
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
     // 64×64 Gram matrix in ONE corpus pass, no join: two stacked generates
     // (outer product per row) feed a map-side-combined hash aggregate, so
@@ -1137,21 +1190,12 @@ object Similarity {
     // co-locate on vec_id before producing the same corpus×4096 stream.
     val qarr = corpus(spark, dir)
       .select(transform(col("v"), x => floor(x * 1000000).cast("long")).as("q"))
-    val covRows = qarr
-      .select(col("q"), posexplode(col("q")))
-      .select(col("pos").as("d1"), col("col").as("q1"), posexplode(col("q")))
-      .groupBy(col("d1"), col("pos").as("d2"))
-      // DECIMAL(38,0), not the products' natural BIGINT: each q1·q2 is up to
-      // ~1e12, so a 64-bit sum wraps silently past ~9M rows while the
-      // oracle's HUGEINT keeps going — the same widening giniProfile /
-      // anomalyDays apply to this overflow pattern
-      .agg(sum((col("q1") * col("col")).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("c"))
-      .collect()
+    val covRows = gramCells(qarr)
     val dim = 64
     // zero-filled (not null): a dimension pair absent from the aggregate
     // (empty corpus) is a zero Gram entry
     val g = Array.fill(dim, dim)(BigInt(0))
-    covRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger))
+    covRows.foreach { case (d1, d2, c) => g(d1)(d2) = c }
     var v = Array.fill(dim)(BigInt(PowerScale))
     var live = covRows.nonEmpty
     for (_ <- 1 to PowerIters if live) {
