@@ -46,6 +46,11 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
   */
 object Artifacts {
 
+  /** Catalog database holding every bucketed artifact table — a dedicated
+    * namespace, so the medallion/default catalog surface stays disjoint
+    * from the index estate by construction. */
+  private[graft] val ArtifactDb = "graft_artifacts"
+
   /** Read per call (not frozen at class init): the JVM property form exists
     * so a spec can point a fresh artifact at a URI root; deployments use the
     * env var. */
@@ -90,12 +95,15 @@ object Artifacts {
   /** Cache key: the `file:` scheme (either URI form) and the bare local
     * path of the SAME directory must coincide — the readers accept both
     * (StageSpec), and distinct keys would silently rebuild and double-store
-    * every artifact for the session. Non-local URIs key on their qualified
-    * form. */
-  private[graft] def normKey(dir: String, name: String): String = {
+    * every artifact for the session. Non-local URIs are qualified through
+    * the Hadoop FS registry ([[sources.Stage.resolve]]) so two spellings of
+    * the same remote dir (`hdfs://nn:8020/p` vs default-port `hdfs://nn/p`,
+    * relative vs absolute against the default FS) share one key. */
+  private[graft] def normKey(spark: SparkSession, dir: String, name: String): String = {
     val stripped = dir.replaceFirst("^file:(//)?", "")
     val norm =
-      if (stripped.contains("://")) stripped.stripSuffix("/")
+      if (stripped.contains("://"))
+        sources.Stage.resolve(spark, stripped).stripSuffix("/")
       else java.nio.file.Paths.get(stripped).toAbsolutePath.normalize.toString
     norm + "::" + name
   }
@@ -103,7 +111,7 @@ object Artifacts {
   /** Return `name` for input `dir`, building + writing it on first use. */
   def table(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame =
-    spark.read.parquet(materialize(normKey(dir, name)) { () =>
+    spark.read.parquet(materialize(normKey(spark, dir, name)) { () =>
       val p = dataPath(spark, name)
       build.write.mode("overwrite").parquet(p)
       p
@@ -122,9 +130,16 @@ object Artifacts {
     * `saveAsTable`. */
   def bucketedTable(spark: SparkSession, dir: String, name: String,
       bucketCols: Seq[String])(build: => DataFrame): DataFrame =
-    spark.table(materialize(normKey(dir, name)) { () =>
+    spark.table(materialize(normKey(spark, dir, name)) { () =>
       val p = dataPath(spark, name)
-      val tbl = "graft_art_" + p.substring(p.lastIndexOf('/') + 1)
+      // artifacts live in their OWN catalog database: catalog-surface
+      // queries (inventory/columns) enumerate the default namespace, so a
+      // growing artifact set can never drift into their output — the
+      // namespace IS the filter (Round7Spec pins non-leakage), and an
+      // operator can inspect the index estate with a plain
+      // `SHOW TABLES IN graft_artifacts`
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $ArtifactDb")
+      val tbl = s"$ArtifactDb.graft_art_" + p.substring(p.lastIndexOf('/') + 1)
       val buckets = spark.sessionState.conf.numShufflePartitions
       // one shuffle to co-locate each bucket in one task => one file per
       // bucket, not one per (task × bucket)
@@ -146,21 +161,35 @@ object Artifacts {
     * distinct keys can never share a directory (a hash collision would
     * silently serve one input dir's artifact to another). */
   private def materialize(key: String)(write: () => String): String = {
-    val mine = new CompletableFuture[String]()
-    val existing = built.putIfAbsent(key, mine)
-    if (existing != null) existing.get()
-    else
-      try {
-        val t0 = System.nanoTime()
-        val h = write()
-        buildNanos.addAndGet(System.nanoTime() - t0)
-        builds.incrementAndGet()
-        mine.complete(h)
-        h
-      } catch { case e: Throwable =>
-        built.remove(key, mine)
-        mine.completeExceptionally(e)
-        throw e
-      }
+    while (true) {
+      val mine = new CompletableFuture[String]()
+      val existing = built.putIfAbsent(key, mine)
+      if (existing == null)
+        try {
+          val t0 = System.nanoTime()
+          val h = write()
+          buildNanos.addAndGet(System.nanoTime() - t0)
+          builds.incrementAndGet()
+          mine.complete(h)
+          return h
+        } catch { case e: Throwable =>
+          // clear BEFORE completing: a waiter that observes the failure
+          // must find the latch already gone so its retry can rebuild
+          built.remove(key, mine)
+          mine.completeExceptionally(e)
+          throw e
+        }
+      else
+        try return existing.get()
+        catch { case _: java.util.concurrent.ExecutionException =>
+          // the first caller failed and cleared its latch — loop back to
+          // putIfAbsent and participate in a fresh build rather than
+          // inheriting a failure that a retry might not reproduce (and
+          // rather than surfacing it wrapped in ExecutionException, which
+          // hides the real type from callers matching on the cause)
+          ()
+        }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -31,12 +31,12 @@ class Round6Spec extends AnyFunSuite {
   test("artifact cache key unifies file: URI forms with the bare local path") {
     // the readers accept either form (StageSpec); distinct keys would
     // silently rebuild and double-store every artifact for the session
-    val bare = Artifacts.normKey("/root/testdata/sf0.001", "x")
-    assert(Artifacts.normKey("file:///root/testdata/sf0.001", "x") == bare)
-    assert(Artifacts.normKey("file:/root/testdata/sf0.001", "x") == bare)
-    assert(Artifacts.normKey("/root/testdata/sf0.001/", "x") == bare)
-    assert(Artifacts.normKey("/root/testdata/sf0.01", "x") != bare)
-    assert(Artifacts.normKey("/root/testdata/sf0.001", "y") != bare)
+    val bare = Artifacts.normKey(spark, "/root/testdata/sf0.001", "x")
+    assert(Artifacts.normKey(spark, "file:///root/testdata/sf0.001", "x") == bare)
+    assert(Artifacts.normKey(spark, "file:/root/testdata/sf0.001", "x") == bare)
+    assert(Artifacts.normKey(spark, "/root/testdata/sf0.001/", "x") == bare)
+    assert(Artifacts.normKey(spark, "/root/testdata/sf0.01", "x") != bare)
+    assert(Artifacts.normKey(spark, "/root/testdata/sf0.001", "y") != bare)
   }
 
   test("artifacts round-trip through a file:// URI root") {
