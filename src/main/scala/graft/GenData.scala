@@ -159,8 +159,18 @@ object GenData {
     * duplicates, 1–3 the near-dup pairs the dedup tier exists to find. */
   def documents(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
-    val isDup = (pmod(h("dup", id), lit(10)) === 0) && (id >= 50)
-    val seed = when(isDup, id - 1 - pmod(h("dbase", id), lit(50))).otherwise(id)
+    def dupAt(i: Column): Column = (pmod(h("dup", i), lit(10)) === 0) && (i >= 50)
+    val isDup = dupAt(id)
+    // the hash-picked base must itself be a NON-dup: a dup base's actual
+    // text came from ITS OWN seed (with its own substitutions), so pairing
+    // with it would be unrelated text — walk down (bounded unroll; each
+    // step clears with p≈0.9, residual ~1e-4) until the base is original;
+    // ids < 50 are never dups, so the walk always terminates in range
+    val base = id - 1 - pmod(h("dbase", id), lit(50))
+    val seed = when(isDup,
+      (1 to 4).foldLeft(base)((c, _) =>
+        when(dupAt(c), greatest(c - 1, lit(0L))).otherwise(c)))
+      .otherwise(id)
     val nw = pmod(h("nw", seed), lit(91)).cast("int") + 10
     val nSubs = when(isDup, pmod(h("nsub", id), lit(4)).cast("int")).otherwise(lit(0))
     // Zipf-ish lexicon: 82% head words from the 31-word vocabulary, 18%
@@ -194,14 +204,26 @@ object GenData {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
-  /** Embeddings: 64-dim unit float vectors around 10 hash-defined label
-    * centroids (0.35 noise) — the cluster structure the ANN tier's recall
-    * and purity evaluations measure against. */
+  /** Embeddings: 64-dim unit float vectors over MANY fine-grained
+    * hash-seeded clusters (~20 members each), labels following clusters
+    * 10-way. Center scale 0.5 vs noise scale 0.55 puts intra-cluster
+    * cosine around 0.45 — a band straddling the 0.35 near-dup threshold —
+    * while independent centers keep inter-cluster cosine near 0, so the
+    * verified cosine-pair graph has a REALISTIC candidate density (average
+    * degree ~ cluster size, not a near-clique). The previous shape — every
+    * vector near one of 10 tight centroids (noise 0.35 on unit-scale
+    * centers) — made ~90% of intra-centroid pairs verify: 19.2M pairs over
+    * 20k vectors at sf1, average degree ~960, which stress-tests the
+    * fixpoint but says nothing about ANN selectivity at scale. Labels
+    * derive from the cluster id, so label-purity / centroid evaluations
+    * stay meaningful (neighbors share a cluster, hence a label). */
   def embeddings(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
-    val label = pmod(h("elab", id), lit(10))
+    val cluster = pmod(h("eclu", id), lit(math.max(1L, n / 20)))
+    val label = pmod(h("elab", cluster), lit(10))
     val raw = transform(sequence(lit(0), lit(63)), d =>
-      (u("ctr", label, d) * 2.0 - 1.0) + (u("nz", id, d) * 2.0 - 1.0) * 0.35)
+      (u("ctr", cluster, d) * 2.0 - 1.0) * 0.5 +
+        (u("nz", id, d) * 2.0 - 1.0) * 0.55)
     val norm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
     ids(spark, n).select(
       id.as("vec_id"),
@@ -251,16 +273,20 @@ object GenData {
       df.coalesce(1).write.mode("overwrite")
         .option("parquet.block.size", (2 * 1024 * 1024).toString)
         .parquet(scratch.toString)
-      val part = java.nio.file.Files.list(scratch).iterator()
-      val found = Iterator.continually(part)
-        .takeWhile(_.hasNext).flatMap(it => Iterator(it.next()))
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file for $name"))
+      import scala.jdk.CollectionConverters.IteratorHasAsScala
+      import scala.util.Using
+      // Using.resource: Files.list/walk streams hold a directory fd until
+      // closed — unclosed, each table written leaked one
+      val found = Using.resource(java.nio.file.Files.list(scratch)) { s =>
+        s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+      }.getOrElse(sys.error(s"no part file for $name"))
       java.nio.file.Files.move(found, out.resolve(name + ".parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // remove the scratch dir (success marker + crc files)
-      import scala.jdk.CollectionConverters.IteratorHasAsScala
-      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverseIterator
+      // remove the scratch dir (success marker + crc files); collect before
+      // the stream closes, deepest-first for the deletes
+      Using.resource(java.nio.file.Files.walk(scratch))(_.iterator().asScala.toSeq)
+        .reverseIterator
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
       println(s"wrote $name")
     }
