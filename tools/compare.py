@@ -4,7 +4,11 @@ DuckDB against the same parquet tables and compare with the Spark dump
 produced by `graft.Verify`. Columns are sorted by name before comparison
 (mirroring the driver); values compared exactly.
 
-Usage: python3 tools/compare.py [sf_dir] [verify_out_dir]
+Usage: python3 tools/compare.py [sf_dir] [verify_out_dir] [json_out]
+
+With a third argument, also writes a CORRECTNESS_r*-shaped JSON
+({query: {match, spark_rows, oracle_rows, err}}) — used to commit the
+sf1 sweep as evidence.
 """
 import sys, os, json, glob
 import duckdb
@@ -13,6 +17,7 @@ import numpy as np
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+JSON_OUT = sys.argv[3] if len(sys.argv) > 3 else None
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -22,6 +27,7 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails, passes, warns = [], [], []
+shapes = {}
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -46,6 +52,7 @@ for name in sorted(oracle):
     if got.shape != want.shape:
         fails.append((name, f"shape differ: spark={got.shape} oracle={want.shape}"))
         continue
+    shapes[name] = int(got.shape[0])
     ok = True
     for c in got.columns:
         a, b = got[c], want[c]
@@ -112,4 +119,19 @@ for w in warns:
     print(f"WARN {w}")
 for f in fails:
     print(f"FAIL {f}")
+if JSON_OUT:
+    failmap = {}
+    for name, msg in fails:
+        failmap.setdefault(name, msg)
+    report = {}
+    for name in sorted(oracle):
+        if name in failmap:
+            report[name] = {"match": False, "err": failmap[name]}
+        else:
+            n = shapes.get(name)
+            report[name] = {"match": True, "spark_rows": n, "oracle_rows": n,
+                            "err": None}
+    with open(JSON_OUT, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(f"wrote {JSON_OUT}")
 sys.exit(1 if fails else 0)
