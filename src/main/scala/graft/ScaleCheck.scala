@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Fixpoint-convergence evidence at a given scale factor.
   *
-  * The iterative operators are ROUND-CAPPED (connected components at 20,
-  * k-core peeling at 8), and the k-core oracle unrolls the SAME cap — so a
-  * dataset needing more rounds than the cap could agree with its oracle
-  * while still being pre-fixpoint (the round-5 bug class: a >20-hop chain
-  * converged at sf0.01 but not sf0.1). The correctness sweep alone
-  * therefore cannot certify convergence for k-core; this main checks the
-  * FIXPOINT PROPERTY itself, independently of round counts:
+  * The iterative operators now run TO CONVERGENCE (components by
+  * pointer-jumping with a label-sum probe, the k-core peel until its edge
+  * count is stable — a fixed 8-round cap there was the round-6
+  * wrong-at-scale bug, with a cap-unrolled oracle agreeing with the
+  * pre-fixpoint answer). An agreement between Spark and an oracle can
+  * still be a SHARED mistake in the loop's exit condition, so this main
+  * checks the FIXPOINT PROPERTY itself, independently of how either
+  * engine iterated:
   *
   *   - components: one more propagation round (neighbor-min + pointer
   *     jump) must be an identity map over the labels.

@@ -333,7 +333,10 @@ object EventTime {
     * (Users tied exactly on a threshold score identically in both engines:
     * interpolated quantiles and `>` are IEEE-exact.) */
   def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val day = datediff(to_date(col("ts")), lit("1970-01-01"))
+    // Checkpointed once: consumed by three threshold sorts + the scoring
+    // join (the twice-referenced-relation persist policy).
     val m = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
@@ -341,27 +344,71 @@ object EventTime {
         max(day).as("last_day"),
         count(lit(1)).as("freq"),
         dec2(sum(dec(col("value")))).as("monetary"))
-    val th = m.agg(
-      expr("percentile(last_day, array(0.2, 0.4, 0.6, 0.8))").as("rq"),
-      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fq"),
-      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mq"))
-    def score(c: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
-      lit(1) + (c > element_at(q, 1)).cast("int") + (c > element_at(q, 2)).cast("int") +
-        (c > element_at(q, 3)).cast("int") + (c > element_at(q, 4)).cast("int")
+      .localCheckpoint()
+    // Quintile thresholds (0.2/0.4/0.6/0.8 = k/5) with the PINNED
+    // interpolation formula (exact integer index + remainder, identical
+    // IEEE op order in both engines) — the engines' built-in interpolated
+    // percentiles round differently on data-dependent inputs, and a
+    // last-ulp threshold difference flips a user's score (round-7 sf1
+    // lesson, see Relational.quantiles). The single-partition sorts run
+    // over the user-cardinality metric relation, not the corpus.
+    def thresholds(metric: String, pre: String): DataFrame = {
+      val ranked = m.select(col(metric).as("v"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val aggs = (1 to 4).flatMap { k =>
+        Seq(
+          max(when(expr(s"rn - 1 = div($k*(n-1), 5)"), col("v"))).as(s"a$k"),
+          max(when(expr(s"rn - 1 = least(div($k*(n-1), 5) + 1, n - 1)"),
+            col("v"))).as(s"b$k"),
+          max(expr(s"pmod($k*(n-1), 5)")).as(s"r$k"))
+      }
+      ranked.agg(aggs.head, aggs.tail: _*)
+        .select((1 to 4).map(k => expr(
+          s"cast(a$k as double) + (cast(r$k as double) / 5.0)" +
+            s" * cast(b$k - a$k as double)").as(s"$pre$k")): _*)
+    }
+    val th = thresholds("last_day", "rq")
+      .crossJoin(thresholds("freq", "fq"))
+      .crossJoin(thresholds("monetary", "mq"))
+    def score(c: org.apache.spark.sql.Column, pre: String) =
+      lit(1) + (c > col(s"${pre}1")).cast("int") + (c > col(s"${pre}2")).cast("int") +
+        (c > col(s"${pre}3")).cast("int") + (c > col(s"${pre}4")).cast("int")
     m.crossJoin(broadcast(th))
       .select(
         col("user_id"), col("last_day"), col("freq"), col("monetary"),
-        score(col("last_day"), col("rq")).as("r_score"),
-        score(col("freq"), col("fq")).as("f_score"),
-        score(col("monetary"), col("mq")).as("m_score"))
+        score(col("last_day"), "rq").as("r_score"),
+        score(col("freq"), "fq").as("f_score"),
+        score(col("monetary"), "mq").as("m_score"))
       .withColumn("rfm",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
   val rfmScoresSql: String = {
-    def scoreSql(c: String, q: String) =
-      s"1 + CAST($c > $q[1] AS INTEGER) + CAST($c > $q[2] AS INTEGER)" +
-        s" + CAST($c > $q[3] AS INTEGER) + CAST($c > $q[4] AS INTEGER)"
+    def thSql(metric: String, pre: String): String = {
+      val aggs = (1 to 4).map { k =>
+        s"MAX(CASE WHEN rn - 1 = ($k*(n-1))//5 THEN v END) AS a$k,\n" +
+          s"         MAX(CASE WHEN rn - 1 = LEAST(($k*(n-1))//5 + 1, n - 1) THEN v END) AS b$k,\n" +
+          s"         MAX(($k*(n-1))%5) AS r$k"
+      }.mkString(",\n         ")
+      val qs = (1 to 4).map { k =>
+        s"CAST(a$k AS DOUBLE) + (CAST(r$k AS DOUBLE) / 5.0)" +
+          s" * CAST(b$k - a$k AS DOUBLE) AS $pre$k"
+      }.mkString(",\n         ")
+      s"""${pre}_r AS (
+         |  SELECT $metric AS v, row_number() OVER (ORDER BY $metric) AS rn,
+         |         COUNT(*) OVER () AS n
+         |  FROM m),
+         |${pre}_g AS (
+         |  SELECT $aggs
+         |  FROM ${pre}_r),
+         |${pre}_th AS (
+         |  SELECT $qs
+         |  FROM ${pre}_g)""".stripMargin
+    }
+    def scoreSql(c: String, pre: String) =
+      s"1 + CAST($c > ${pre}1 AS INTEGER) + CAST($c > ${pre}2 AS INTEGER)" +
+        s" + CAST($c > ${pre}3 AS INTEGER) + CAST($c > ${pre}4 AS INTEGER)"
     s"""WITH m AS (
        |  SELECT user_id,
        |         CAST(MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
@@ -370,11 +417,9 @@ object EventTime {
        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
        |  FROM events WHERE event_type = 'purchase'
        |  GROUP BY user_id),
-       |th AS (
-       |  SELECT quantile_cont(last_day, [0.2, 0.4, 0.6, 0.8]) AS rq,
-       |         quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fq,
-       |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
-       |  FROM m)
+       |${thSql("last_day", "rq")},
+       |${thSql("freq", "fq")},
+       |${thSql("monetary", "mq")}
        |SELECT user_id, last_day, freq, monetary,
        |       ${scoreSql("last_day", "rq")} AS r_score,
        |       ${scoreSql("freq", "fq")} AS f_score,
@@ -382,7 +427,7 @@ object EventTime {
        |       (${scoreSql("last_day", "rq")}) * 100
        |         + (${scoreSql("freq", "fq")}) * 10
        |         + (${scoreSql("monetary", "mq")}) AS rfm
-       |FROM m, th
+       |FROM m, rq_th, fq_th, mq_th
        |ORDER BY user_id""".stripMargin
   }
 
@@ -396,16 +441,37 @@ object EventTime {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("us"), col("event_id"))
+    // Pinned percentile interpolation (exact integer index/remainder,
+    // identical IEEE op order in both engines) — the built-ins' op orders
+    // diverge in the last ulp on data-dependent (a, b, fraction) combos;
+    // see Relational.quantiles for the round-7 sf1 catch.
+    val pw = Window.partitionBy(col("event_type")).orderBy(col("gap_us"))
+    val cw = Window.partitionBy(col("event_type"))
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("us"))
       .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
       .filter(col("gap_us").isNotNull)
+      .select(col("event_type"), col("gap_us"))
+      .withColumn("rn", row_number().over(pw))
+      .withColumn("n", count(lit(1)).over(cw))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"),
-        expr("percentile(gap_us, 0.5)").as("p50_gap_us"),
-        expr("percentile(gap_us, 0.9)").as("p90_gap_us"),
+        max(when(expr("rn - 1 = div(5*(n-1), 10)"), col("gap_us"))).as("a50"),
+        max(when(expr("rn - 1 = least(div(5*(n-1), 10) + 1, n - 1)"),
+          col("gap_us"))).as("b50"),
+        max(expr("pmod(5*(n-1), 10)")).as("r50"),
+        max(when(expr("rn - 1 = div(9*(n-1), 10)"), col("gap_us"))).as("a90"),
+        max(when(expr("rn - 1 = least(div(9*(n-1), 10) + 1, n - 1)"),
+          col("gap_us"))).as("b90"),
+        max(expr("pmod(9*(n-1), 10)")).as("r90"),
         max(col("gap_us")).as("max_gap_us"))
+      .select(col("event_type"), col("n_gaps"),
+        expr("cast(a50 as double) + (cast(r50 as double) / 10.0)" +
+          " * cast(b50 - a50 as double)").as("p50_gap_us"),
+        expr("cast(a90 as double) + (cast(r90 as double) / 10.0)" +
+          " * cast(b90 - a90 as double)").as("p90_gap_us"),
+        col("max_gap_us"))
   }
 
   val interArrivalSql: String =
@@ -415,13 +481,26 @@ object EventTime {
       |g AS (SELECT event_type,
       |             us - LAG(us, 1) OVER (PARTITION BY user_id, event_type
       |                                   ORDER BY us, event_id) AS gap_us
-      |      FROM e)
-      |SELECT event_type, COUNT(*) AS n_gaps,
-      |       quantile_cont(gap_us, 0.5) AS p50_gap_us,
-      |       quantile_cont(gap_us, 0.9) AS p90_gap_us,
-      |       MAX(gap_us) AS max_gap_us
-      |FROM g WHERE gap_us IS NOT NULL
-      |GROUP BY event_type
+      |      FROM e),
+      |r AS (SELECT event_type, gap_us,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+      |             COUNT(*) OVER (PARTITION BY event_type) AS n
+      |      FROM g WHERE gap_us IS NOT NULL),
+      |agg AS (
+      |  SELECT event_type, COUNT(*) AS n_gaps,
+      |         MAX(CASE WHEN rn - 1 = (5*(n-1))//10 THEN gap_us END) AS a50,
+      |         MAX(CASE WHEN rn - 1 = LEAST((5*(n-1))//10 + 1, n - 1) THEN gap_us END) AS b50,
+      |         MAX((5*(n-1))%10) AS r50,
+      |         MAX(CASE WHEN rn - 1 = (9*(n-1))//10 THEN gap_us END) AS a90,
+      |         MAX(CASE WHEN rn - 1 = LEAST((9*(n-1))//10 + 1, n - 1) THEN gap_us END) AS b90,
+      |         MAX((9*(n-1))%10) AS r90,
+      |         MAX(gap_us) AS max_gap_us
+      |  FROM r GROUP BY event_type)
+      |SELECT event_type, n_gaps,
+      |       CAST(a50 AS DOUBLE) + (CAST(r50 AS DOUBLE) / 10.0) * CAST(b50 - a50 AS DOUBLE) AS p50_gap_us,
+      |       CAST(a90 AS DOUBLE) + (CAST(r90 AS DOUBLE) / 10.0) * CAST(b90 - a90 AS DOUBLE) AS p90_gap_us,
+      |       max_gap_us
+      |FROM agg
       |ORDER BY event_type""".stripMargin
 
   /** TIME-TO-CONVERT distribution: per user, the gap between the first
@@ -432,6 +511,7 @@ object EventTime {
     * canonical conversion-latency metric next to [[funnel]]'s stage
     * counts. */
   def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val firsts = Tables.events(spark, dir)
       .filter(col("event_type").isin("view", "purchase"))
       .groupBy(col("user_id"))
@@ -439,16 +519,36 @@ object EventTime {
         min(when(col("event_type") === "view", unix_micros(col("ts")))).as("first_view"),
         min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
           .as("first_purchase"))
-    firsts.agg(
+      .localCheckpoint()
+    val totals = firsts.agg(
       count(lit(1)).as("n_users"),
       count(when(col("first_view").isNotNull &&
-        col("first_purchase") >= col("first_view"), 1)).as("n_converted"),
-      expr("percentile(CASE WHEN first_view IS NOT NULL " +
-        "AND first_purchase >= first_view " +
-        "THEN first_purchase - first_view END, 0.5)").as("p50_gap_us"),
-      expr("percentile(CASE WHEN first_view IS NOT NULL " +
-        "AND first_purchase >= first_view " +
-        "THEN first_purchase - first_view END, 0.9)").as("p90_gap_us"))
+        col("first_purchase") >= col("first_view"), 1)).as("n_converted"))
+    // Pinned percentile interpolation over the (user-cardinality-sized)
+    // converted-gap relation — see Relational.quantiles for why the
+    // engines' built-ins cannot be trusted on the output boundary. The
+    // single-partition window matches the relation's size class.
+    val gaps = firsts
+      .filter(col("first_view").isNotNull &&
+        col("first_purchase") >= col("first_view"))
+      .select((col("first_purchase") - col("first_view")).as("gap_us"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("gap_us"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val pct = gaps.agg(
+        max(when(expr("rn - 1 = div(5*(n-1), 10)"), col("gap_us"))).as("a50"),
+        max(when(expr("rn - 1 = least(div(5*(n-1), 10) + 1, n - 1)"),
+          col("gap_us"))).as("b50"),
+        max(expr("pmod(5*(n-1), 10)")).as("r50"),
+        max(when(expr("rn - 1 = div(9*(n-1), 10)"), col("gap_us"))).as("a90"),
+        max(when(expr("rn - 1 = least(div(9*(n-1), 10) + 1, n - 1)"),
+          col("gap_us"))).as("b90"),
+        max(expr("pmod(9*(n-1), 10)")).as("r90"))
+      .select(
+        expr("cast(a50 as double) + (cast(r50 as double) / 10.0)" +
+          " * cast(b50 - a50 as double)").as("p50_gap_us"),
+        expr("cast(a90 as double) + (cast(r90 as double) / 10.0)" +
+          " * cast(b90 - a90 as double)").as("p90_gap_us"))
+    totals.crossJoin(pct)
   }
 
   val timeToConvertSql: String =
@@ -459,20 +559,32 @@ object EventTime {
       |         MIN(CASE WHEN event_type = 'purchase'
       |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_purchase
       |  FROM events WHERE event_type IN ('view', 'purchase')
-      |  GROUP BY user_id)
-      |SELECT COUNT(*) AS n_users,
-      |       COUNT(CASE WHEN first_view IS NOT NULL
-      |                       AND first_purchase >= first_view THEN 1 END)
-      |         AS n_converted,
-      |       quantile_cont(CASE WHEN first_view IS NOT NULL
-      |                               AND first_purchase >= first_view
-      |                          THEN first_purchase - first_view END, 0.5)
-      |         AS p50_gap_us,
-      |       quantile_cont(CASE WHEN first_view IS NOT NULL
-      |                               AND first_purchase >= first_view
-      |                          THEN first_purchase - first_view END, 0.9)
-      |         AS p90_gap_us
-      |FROM f""".stripMargin
+      |  GROUP BY user_id),
+      |t AS (
+      |  SELECT COUNT(*) AS n_users,
+      |         COUNT(CASE WHEN first_view IS NOT NULL
+      |                         AND first_purchase >= first_view THEN 1 END)
+      |           AS n_converted
+      |  FROM f),
+      |r AS (
+      |  SELECT first_purchase - first_view AS gap_us,
+      |         row_number() OVER (ORDER BY first_purchase - first_view) AS rn,
+      |         COUNT(*) OVER () AS n
+      |  FROM f
+      |  WHERE first_view IS NOT NULL AND first_purchase >= first_view),
+      |p AS (
+      |  SELECT
+      |    MAX(CASE WHEN rn - 1 = (5*(n-1))//10 THEN gap_us END) AS a50,
+      |    MAX(CASE WHEN rn - 1 = LEAST((5*(n-1))//10 + 1, n - 1) THEN gap_us END) AS b50,
+      |    MAX((5*(n-1))%10) AS r50,
+      |    MAX(CASE WHEN rn - 1 = (9*(n-1))//10 THEN gap_us END) AS a90,
+      |    MAX(CASE WHEN rn - 1 = LEAST((9*(n-1))//10 + 1, n - 1) THEN gap_us END) AS b90,
+      |    MAX((9*(n-1))%10) AS r90
+      |  FROM r)
+      |SELECT n_users, n_converted,
+      |       CAST(a50 AS DOUBLE) + (CAST(r50 AS DOUBLE) / 10.0) * CAST(b50 - a50 AS DOUBLE) AS p50_gap_us,
+      |       CAST(a90 AS DOUBLE) + (CAST(r90 AS DOUBLE) / 10.0) * CAST(b90 - a90 AS DOUBLE) AS p90_gap_us
+      |FROM t, p""".stripMargin
 
   /** PATH MINING over sessionized events: the top-10 session-opening
     * paths (first three event types, in order) with their session counts

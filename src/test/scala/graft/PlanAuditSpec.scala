@@ -28,7 +28,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_triangles" -> 2, // inherits knnGraph's broadcast plane projection
     // (1 or 2 visible depending on whether the band table is already cached)
     "sim_pagerank" -> 2, // same knnGraph inheritance as sim_triangles
-    "events_rfm" -> 1, // one-row broadcast quintile-threshold scalar
+    "events_rfm" -> 3, // three one-row broadcast quintile-threshold scalars
+    // (pinned-interpolation thresholds: one per metric, round 7)
+    "events_time_to_convert" -> 1, // one-row totals x one-row pinned-percentile scalar
     "sim_recall_eval" -> 8, // composes bf (×4 references) + lsh planes/bands
     // + ivf/pq probe broadcasts — each inherited BNLJ is allowlisted above
     // in its source query; caching can hide some, so this is the ceiling
