@@ -32,6 +32,15 @@ object TextFns {
   def hash60Sql(sql: String): String =
     s"CAST(('0x' || substr(md5($sql), 1, 15)) AS BIGINT)"
 
+  /** Driver/JVM-side value of [[hash60]] for the same string — lets specs
+    * recompute a sampled hash independently of any Spark plan. */
+  def hash60Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
   /** Word n-gram shingles of a document, computed by the native
     * [[WordNGrams]] expression — one pass, fully codegen'd, so
     * `explode(wordNGrams(text, n))` stays inside whole-stage codegen.

@@ -157,6 +157,46 @@ object Sampling {
   private def bucketSqlK(sql: String, k: Int): String =
     s"${hash60Sql(s"CAST($sql AS VARCHAR)")} % $k"
 
+  private val PriorityK = 8
+
+  /** WEIGHTED FIXED-K sampling without replacement, stratified by language:
+    * each doc draws the deterministic priority hash(doc_id) / weight
+    * (weight = n_chars — integer division, both engines floor on
+    * non-negative operands) and the [[PriorityK]] LOWEST priorities per
+    * stratum win. A doc with twice the weight halves its priority scale, so
+    * inclusion odds are weight-proportional — the classic priority-sampling
+    * scheme, with the hash as the uniform draw so membership is a pure
+    * function of identity (reproducible across runs/engines/partitionings,
+    * unlike RNG reservoir sampling). Complements [[sizeBiased]] (Bernoulli,
+    * expected-size) with the budgeted form: exactly k docs per stratum.
+    * At scale: `WindowGroupLimit` pre-filters each map task to k rows per
+    * stratum before the single shuffle on lang — never a global sort. */
+  def weightedPriority(spark: SparkSession, dir: String): DataFrame = {
+    val pri = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        hash60(col("doc_id").cast("string")).as("h"))
+      .withColumn("priority", expr("h div greatest(n_chars, 1)"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("priority"), col("doc_id"))
+    pri.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PriorityK)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+        col("priority"))
+  }
+
+  val weightedPrioritySql: String =
+    s"""WITH pri AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         ${hash60Sql("CAST(doc_id AS VARCHAR)")}
+       |           // greatest(n_chars, 1) AS priority
+       |  FROM documents)
+       |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars, priority
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |                                   ORDER BY priority, doc_id) AS rk
+       |      FROM pri)
+       |WHERE rk <= $PriorityK
+       |ORDER BY lang, rk""".stripMargin
+
   /** TARGET-MIXTURE resampling weights: for each language stratum, the
     * repeat factor (in basis points) that reweights the corpus to a UNIFORM
     * language mix — the data-mixture lever of a training pipeline (a corpus
@@ -292,6 +332,8 @@ object Sampling {
     Q("sample_domain_cap", domainCap(_, _).orderBy("source", "rk"),
       Some(domainCapSql)),
     Q("sample_size_biased", sizeBiased(_, _).orderBy("doc_id"), Some(sizeBiasedSql)),
+    Q("sample_weighted_priority", weightedPriority(_, _).orderBy("lang", "rk"),
+      Some(weightedPrioritySql)),
     Q("sample_mixture_weights", mixtureWeights(_, _).orderBy("lang"),
       Some(mixtureWeightsSql)),
     Q("sample_mixture_apply", mixtureApply(_, _).orderBy("doc_id"),

@@ -67,6 +67,52 @@ object Similarity {
        |FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** FILTERED vector search: exact top-k restricted to a metadata
+    * predicate — here "same label as the query", the shape every serving
+    * stack needs (search within a category / tenant / language). The
+    * predicate is expressed as a JOIN KEY, not a post-filter: Catalyst
+    * plans a BroadcastHashJoin on `label` with the ≠ as residual, so only
+    * same-label pairs are ever scored — where a score-then-filter plan
+    * would pay the full cross product and then throw most of it away
+    * (and an ANN-then-filter plan loses recall when the filter is
+    * selective: post-filtering k candidates can leave fewer than k
+    * survivors; the predicate must constrain candidate GENERATION).
+    * At 100 TB the same join-key form is label partition-pruning: each
+    * query batch touches only its labels' partitions of the corpus. */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label"), col("v").as("qv"))
+    val pairs = e.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        cosineFast(col("qv"), col("v")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("label"), col("neighbor_id"), col("rank"),
+        col("cos_sim"))
+  }
+
+  val filteredTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e
+       |      WHERE vec_id < $NumQueries),
+       |p AS (SELECT query_id, label, vec_id AS neighbor_id,
+       |             ${cosineSql("qv", "v")} AS cos_sim
+       |      FROM e JOIN q USING (label) WHERE vec_id <> query_id),
+       |r AS (SELECT query_id, label, neighbor_id, cos_sim,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER)
+       |               AS rank
+       |      FROM p)
+       |SELECT query_id, label, neighbor_id, rank, cos_sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   private val NumTables = 8
   private val BitsPerTable = 4
 
@@ -1263,6 +1309,8 @@ object Similarity {
     Q("sim_bruteforce_topk", bruteForceTopK(_, _).orderBy("query_id", "rank"),
       Some(bruteForceTopKSql)),
     Q("sim_lsh_topk", lshTopK(_, _).orderBy("query_id", "rank"), Some(lshTopKSql)),
+    Q("sim_filtered_topk", filteredTopK(_, _).orderBy("query_id", "rank"),
+      Some(filteredTopKSql)),
     Q("dedup_embedding_cosine", embeddingCosinePairs(_, _).orderBy("vec_a", "vec_b"),
       Some(embeddingCosinePairsSql)),
     Q("sim_semantic_clusters", semanticClusters(_, _).orderBy("vec_id"),

@@ -634,6 +634,61 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** BIGRAM LANGUAGE-MODEL quality score per document — the KenLM-style
+    * fluency filter of a training pipeline, in pure integer arithmetic.
+    * The corpus itself is the model: for each distinct bigram (w1,w2),
+    * cond_bp = count(w1,w2)·10000 / count(w1 ·) in basis points (the MLE
+    * conditional probability P(w2|w1), floored — both engines floor on
+    * non-negative operands); a doc's score is the per-occurrence average
+    * of cond_bp. Predictable/templated prose scores high, junk and novel
+    * text low — ranks like the usual mean log-probability, with no `ln`
+    * (libm differs across engines) and no float summation order.
+    *
+    * The scale shape is the point: the MODEL is a two-level aggregation —
+    * bigram counts partial-agg'd off the token stream, then left-context
+    * totals re-aggregated from the *bigram table* (vocabulary-sized, Zipf;
+    * never a second corpus pass). Scoring is one shuffle join of the
+    * per-doc bigram relation against the model on the 60-bit gram hash,
+    * then a doc_id aggregate. At 100 TB: two map-side-combined shuffles
+    * for the model, one for the scoring join — and a min-count cut makes
+    * the model broadcastable when the vocabulary allows. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordNGrams(col("text"), 2)).as("g"))
+      .select(col("doc_id"), hash60(col("g")).as("hb"),
+        // a token never contains whitespace, so the first space splits the
+        // 2-gram back into its left context exactly
+        hash60(element_at(split(col("g"), " "), 1)).as("h1"))
+      // three consumers (bigram counts, the scoring join) — persist so the
+      // scan + explode + MD5 run once (the shingle-index policy)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m12 = grams.groupBy(col("hb"))
+      .agg(min(col("h1")).as("h1"), count(lit(1)).as("c12"))
+    val m1 = m12.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
+    val model = m12.join(m1, "h1")
+      .select(col("hb"), expr("(c12 * 10000) div c1").as("cond_bp"))
+    grams.join(model, "hb")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(cond_bp) div count(1)").as("lm_score_bp"))
+  }
+
+  val bigramLmSql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |             FROM documents),
+       |g AS (SELECT doc_id, ${hash60Sql("ts[i] || ' ' || ts[i+1]")} AS hb,
+       |             ${hash60Sql("ts[i]")} AS h1
+       |      FROM tok, UNNEST(range(1, greatest(len(ts), 1))) AS u(i)),
+       |m12 AS (SELECT hb, MIN(h1) AS h1, COUNT(*) AS c12 FROM g GROUP BY hb),
+       |m1 AS (SELECT h1, SUM(c12) AS c1 FROM m12 GROUP BY h1),
+       |m AS (SELECT hb, (c12 * 10000) // c1 AS cond_bp
+       |      FROM m12 JOIN m1 USING (h1))
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |       CAST(SUM(cond_bp) // COUNT(*) AS BIGINT) AS lm_score_bp
+       |FROM g JOIN m USING (hb)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Character-class profile per document: alpha / digit / whitespace /
     * other counts and the alpha ratio — the cheap garbage detector (binary
     * junk, tables, code) that runs before any tokenization. Map-side regex
@@ -813,6 +868,7 @@ object TextAnalysis {
     Q("text_curation_funnel", curationFunnel, Some(curationFunnelSql)),
     Q("text_char_classes", charClasses(_, _).orderBy("doc_id"), Some(charClassesSql)),
     Q("text_rare_bigrams", rareBigrams(_, _).orderBy("doc_id"), Some(rareBigramsSql)),
+    Q("text_bigram_lm", bigramLm(_, _).orderBy("doc_id"), Some(bigramLmSql)),
     Q("text_lang_confusion", langConfusion(_, _).orderBy("actual_lang", "predicted_lang"),
       Some(langConfusionSql)))
 
