@@ -70,6 +70,25 @@ object EventStream {
         col("c_mktsegment").as("segment"), col("c_nationkey").as("nation_key"))
   }
 
+  /** Streaming heavy hitters: the SAME Space-Saving sketch as the batch
+    * `rel_heavy_hitters`, bound to a stream in complete mode. The sketch's
+    * associative merge is precisely what makes it streaming-safe: each
+    * micro-batch folds its rows into the k-counter state and merges with
+    * the previous state, so memory is k counters TOTAL regardless of
+    * stream length or key cardinality — the fixed-memory "top event types
+    * right now" dashboard feed a 100 TB/day stream needs, where an exact
+    * streaming groupBy-count would grow state with distinct keys. Counts
+    * are exact (err = 0) while distinct keys ≤ k — the parity gate against
+    * the batch exact aggregate. */
+  def heavyHitters(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed: org.apache.spark.sql.Dataset[String] =
+      events.select(col("event_type")).as[String]
+    typed.select(new graft.functions.SpaceSaving(16).toColumn).toDF("hh")
+  }
+
   /** Run the streaming hourly aggregation over a static directory to
     * completion via the in-memory sink; returns the final result rows.
     * (Local harness for specs; production would use a real sink + trigger.)
