@@ -72,8 +72,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val nErrors = results.count(_._2.isEmpty)
+    // per-artifact build seconds, slowest first: makes the build_sec line
+    // item attributable (at sf1 the index-build stage is minutes — the
+    // first question is always WHICH artifact)
+    val artDetail = Artifacts.perBuildSeconds.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","errors":$nErrors,"artifacts":{"n":${artifacts._1},"build_sec":${artifacts._2}}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","errors":$nErrors,"artifacts":{"n":${artifacts._1},"build_sec":${artifacts._2},"per_artifact_sec":$artDetail}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
