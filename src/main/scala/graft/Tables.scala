@@ -67,15 +67,19 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (microseconds) cannot read directly. It is read as a raw nanos long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, SPARK-40819) and converted to a
-    * micros timestamp in [[events]]; sub-microsecond parts are zero in the
-    * testdata, so the conversion is lossless.
+  /** Logical events schema — what every consumer sees after
+    * [[normalizeEventTs]]. The driver data has shipped `ts` under two
+    * physical encodings across regenerations: parquet TIMESTAMP(NANOS)
+    * (read as a raw nanos long via `spark.sql.legacy.parquet.nanosAsLong`,
+    * SPARK-40819) and TIMESTAMP(MICROS, isAdjustedToUTC=false). The footer
+    * is probed once per path ([[eventsReadSchema]]) and the pinned read
+    * schema adapts, so a regeneration never silently corrupts timestamps
+    * again (round-7/8 lesson: assuming NANOS against a MICROS file divided
+    * every timestamp by 1000 and broke all 24 event-time queries).
     */
   val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -114,9 +118,28 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+  /** Footer-probed physical `ts` type per events path. One tiny
+    * footer-read job per path per JVM; cached so the 170-query suite never
+    * repeats it. */
+  private val eventsTsTypes =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  /** The pinned READ schema for an events parquet path/dir: the logical
+    * [[eventsSchema]] with `ts` swapped to whatever the footer actually
+    * stores (nanos INT64 → LongType, micros-ntz → TimestampNTZType, …).
+    * Public so the streaming file source ([[graft.streaming.EventStream]])
+    * can pin the same schema — `readStream` requires one up front. */
+  def eventsReadSchema(spark: SparkSession, path: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+    val ts = eventsTsTypes.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema("ts").dataType)
+    StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = ts) else f))
+  }
+
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    spark.read.schema(eventsReadSchema(spark, path)).parquet(path)
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
@@ -126,17 +149,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  /** Convert the raw nanos-long ts column to a micros TimestampType.
-    * Shared by the batch reader and the streaming source
-    * (`graft.streaming.EventStream`). */
-  def convertEventTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Normalize whatever physical `ts` came off the scan to a micros
+    * TimestampType: raw nanos long → `timestamp_micros(ts div 1000)`;
+    * TIMESTAMP_NTZ → cast (value-preserving because every session pins
+    * `spark.sql.session.timeZone=UTC`, matching the naive-UTC semantics
+    * the DuckDB oracle applies). Shared by the batch reader and the
+    * streaming source (`graft.streaming.EventStream`). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val ts = df.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => col("ts")
+      case _ => col("ts").cast(TimestampType)
+    }
+    df.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
   def events(spark: SparkSession, dir: String): DataFrame =
-    convertEventTs(eventsRaw(spark, dir))
+    normalizeEventTs(eventsRaw(spark, dir))
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 }

@@ -20,14 +20,12 @@ object EventStream {
 
   /** File-source stream of the events table (same pinned schema + ts
     * conversion as the batch reader). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.convertEventTs(
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.normalizeEventTs(
       spark.readStream
-        .schema(Tables.eventsSchema)
+        .schema(Tables.eventsReadSchema(spark, dir))
         .option("maxFilesPerTrigger", "1")
         .parquet(dir))
-  }
 
   /** Streaming tumbling-hour aggregation — the exact batch transform with a
     * watermark bounding late data and state size. Append-mode-capable. */
