@@ -116,6 +116,57 @@ object Similarity {
   private val NumTables = 8
   private val BitsPerTable = 4
 
+  /** SCALE-ADAPTIVE SRP geometry. A fixed bits-per-band fixes the BUCKET
+    * COUNT, so bucket size — and the band self-join's candidate count,
+    * Σ|bucket|² — grows quadratically with corpus size; the round-9 sf3
+    * ScaleCheck run spilled ~75 GB of shuffle and died on exactly this.
+    * Standard LSH parameter selection instead: bits is the smallest b in
+    * [4, [[MaxBits]]] with n ≤ 256·2^b (bucket size targets ~256, keeping
+    * band-join candidates ~O(256·n) per table), and the pair family's
+    * table count steps 4→8 once bits grows, buying back the per-band
+    * recall each extra bit halves ((1−θ/π)^bits per table). Corpora at
+    * the driver SFs (≤4096 vectors) keep today's floor geometry. Plane
+    * identity is pinned by [[PlaneStride]]: plane (t, j) has the same
+    * coefficients at every scale, so growing n only ADDS planes. The
+    * oracle selects the identical geometry through the same integer
+    * thresholds on its own COUNT(*) — an exact integer decision on both
+    * engines, never a float boundary. */
+  private[operators] val MaxBits = 16
+  private[operators] val PlaneStride = 16
+  private[operators] def bandBits(n: Long): Int = {
+    var b = 4
+    while (b < MaxBits && n > (256L << b)) b += 1
+    b
+  }
+  private def bandBitsSqlCase(c: String): String =
+    (4 until MaxBits).map(b => s"WHEN $c <= ${256L << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $MaxBits END")
+
+  /** The 8-table × 16-bit plane catalog as SQL VALUES rows; each oracle
+    * filters to its runtime-chosen (tbls, bits) slice. */
+  private lazy val planeValuesSql: String = (for {
+    t <- 0 until NumTables
+    j <- 0 until MaxBits
+  } yield {
+    val coefs = (0 until 64).map(d => s"${planeCoef(t * PlaneStride + j, d)}.0")
+      .mkString("[", ", ", "]")
+    s"($t, $j, ${coefs}::DOUBLE[])"
+  }).mkString(",\n       ")
+
+  /** Shared adaptive-geometry CTE block (nn/prm/planes/bands) for every
+    * SRP oracle; expects an `e(vec_id, v)` CTE upstream. `tablesExpr` is
+    * a SQL expression over the exact count `c`. */
+  private def bandsCteSql(tablesExpr: String): String =
+    s"""nn AS (SELECT COUNT(*) AS c FROM e),
+       |prm AS (SELECT ${bandBitsSqlCase("c")} AS bits, $tablesExpr AS tbls FROM nn),
+       |planes(tbl, j, coefs) AS (VALUES
+       |       $planeValuesSql),
+       |bands AS (SELECT vec_id, tbl,
+       |                 SUM(CASE WHEN list_dot_product(v, coefs) > 0
+       |                          THEN (1 << j) ELSE 0 END) AS bkey
+       |          FROM e, planes, prm WHERE tbl < prm.tbls AND j < prm.bits
+       |          GROUP BY 1, 2)""".stripMargin
+
   /** Deterministic ±1 hyperplane matrix: coef(plane, dim) from a splitmix-
     * style integer mix — reproducible in plain SQL, no RNG state. */
   private[operators] def planeCoef(plane: Int, d: Int): Int = {
@@ -138,7 +189,7 @@ object Similarity {
     val rows = for {
       t <- 0 until tables
       j <- 0 until bits
-    } yield R(t, j, (0 until 64).map(d => planeCoef(t * bits + j, d).toDouble))
+    } yield R(t, j, (0 until 64).map(d => planeCoef(t * PlaneStride + j, d).toDouble))
     spark.createDataFrame(
       new java.util.ArrayList[R](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       StructType(Seq(
@@ -173,7 +224,8 @@ object Similarity {
 
   private[graft] def lshTopKBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
-    val bands = srpBands(spark, dir, "sim_srp_bands", NumTables, BitsPerTable)
+    val bands = srpBands(spark, dir, "sim_srp_bands", NumTables,
+      bandBits(e.count()))
     val qBands = bands.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"), col("bkey").as("qkey"))
     val cand = bands.join(broadcast(qBands),
@@ -193,21 +245,8 @@ object Similarity {
   }
 
   val lshTopKSql: String = {
-    val planeValues = (for {
-      t <- 0 until NumTables
-      j <- 0 until BitsPerTable
-    } yield {
-      val coefs = (0 until 64).map(d => s"${planeCoef(t * BitsPerTable + j, d)}.0")
-        .mkString("[", ", ", "]")
-      s"($t, $j, ${coefs}::DOUBLE[])"
-    }).mkString(",\n       ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |planes(tbl, j, coefs) AS (VALUES
-       |       $planeValues),
-       |bands AS (SELECT vec_id, tbl,
-       |                 SUM(CASE WHEN list_dot_product(v, coefs) > 0
-       |                          THEN (1 << j) ELSE 0 END) AS bkey
-       |          FROM e, planes GROUP BY 1, 2),
+       |${bandsCteSql(s"$NumTables")},
        |qb AS (SELECT vec_id AS query_id, tbl AS qtbl, bkey AS qkey
        |       FROM bands WHERE vec_id < $NumQueries),
        |cand AS (SELECT DISTINCT query_id, b.vec_id AS neighbor_id
@@ -253,7 +292,9 @@ object Similarity {
   /** The producer pipeline (plan contract pinned in PlanSpec). */
   private[graft] def embeddingCosinePairsBuild(spark: SparkSession, dir: String): DataFrame = {
       val e = corpus(spark, dir)
-      val bands = srpBands(spark, dir, "sim_srp_bands_pair", PairTables, PairBits)
+      val bits = bandBits(e.count())
+      val bands = srpBands(spark, dir, "sim_srp_bands_pair",
+        if (bits == 4) PairTables else NumTables, bits)
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
@@ -269,21 +310,8 @@ object Similarity {
     }
 
   val embeddingCosinePairsSql: String = {
-    val planeValues = (for {
-      t <- 0 until PairTables
-      j <- 0 until PairBits
-    } yield {
-      val coefs = (0 until 64).map(d => s"${planeCoef(t * PairBits + j, d)}.0")
-        .mkString("[", ", ", "]")
-      s"($t, $j, ${coefs}::DOUBLE[])"
-    }).mkString(",\n       ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |planes(tbl, j, coefs) AS (VALUES
-       |       $planeValues),
-       |bands AS (SELECT vec_id, tbl,
-       |                 SUM(CASE WHEN list_dot_product(v, coefs) > 0
-       |                          THEN (1 << j) ELSE 0 END) AS bkey
-       |          FROM e, planes GROUP BY 1, 2),
+       |${bandsCteSql(s"CASE WHEN c <= ${256L << 4} THEN $PairTables ELSE $NumTables END")},
        |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        |         FROM bands x JOIN bands y
        |           ON x.tbl = y.tbl AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
@@ -621,7 +649,8 @@ object Similarity {
   private[graft] def knnGraphBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
     // both self-join sides read the materialized band table
-    val bands = srpBands(spark, dir, "sim_srp_bands", NumTables, BitsPerTable)
+    val bands = srpBands(spark, dir, "sim_srp_bands", NumTables,
+      bandBits(e.count()))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
@@ -643,21 +672,8 @@ object Similarity {
   }
 
   val knnGraphSql: String = {
-    val planeValues = (for {
-      t <- 0 until NumTables
-      j <- 0 until BitsPerTable
-    } yield {
-      val coefs = (0 until 64).map(d => s"${planeCoef(t * BitsPerTable + j, d)}.0")
-        .mkString("[", ", ", "]")
-      s"($t, $j, ${coefs}::DOUBLE[])"
-    }).mkString(",\n       ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |planes(tbl, j, coefs) AS (VALUES
-       |       $planeValues),
-       |bands AS (SELECT vec_id, tbl,
-       |                 SUM(CASE WHEN list_dot_product(v, coefs) > 0
-       |                          THEN (1 << j) ELSE 0 END) AS bkey
-       |          FROM e, planes GROUP BY 1, 2),
+       |${bandsCteSql(s"$NumTables")},
        |cand AS (SELECT DISTINCT x.vec_id, y.vec_id AS neighbor_id
        |         FROM bands x JOIN bands y
        |           ON x.tbl = y.tbl AND x.bkey = y.bkey AND x.vec_id <> y.vec_id),
