@@ -67,9 +67,19 @@ object TextFns {
       .otherwise(array().cast(ArrayType(StringType)))
 
   /** DuckDB rendering of [[shingles]] for n=3 over a token-array column. */
-  def shingles3Sql(toksSql: String): String =
-    s"[$toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2] " +
-      s"for i in range(1, greatest(len($toksSql) - 1, 1))]"
+  def shingles3Sql(toksSql: String): String = shinglesNSql(toksSql, 3)
+
+  /** DuckDB rendering of [[shingles]] for any n over a token-array column:
+    * a list comprehension emitting the space-joined n-gram at each start
+    * index (empty when the document has fewer than n tokens — the range
+    * upper bound collapses to 1). */
+  def shinglesNSql(toksSql: String, n: Int): String = {
+    val joined = (0 until n).map {
+      case 0 => s"$toksSql[i]"
+      case k => s"$toksSql[i+$k]"
+    }.mkString(" || ' ' || ")
+    s"[$joined for i in range(1, greatest(len($toksSql) - ${n - 2}, 1))]"
+  }
 
   /** Character n-gram substrings (for winnowing-style fingerprints).
     * Composed-builtins reference implementation of [[charNGrams]]. */

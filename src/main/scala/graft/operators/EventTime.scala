@@ -960,8 +960,67 @@ object EventTime {
       |FROM c, t
       |ORDER BY decile""".stripMargin
 
+  /** DAY-OVER-DAY distribution DRIFT of the event-type mix: for each
+    * observed day, a chi-square-style statistic against the previous
+    * observed day — Σ over types of (c−p)²·10000 div (c+p+1), summed as
+    * exact integers (the +1 regularizes types absent on both days; every
+    * operand is non-negative, so truncate-vs-floor division agrees across
+    * engines). The monitoring primitive of a continuously-ingested event
+    * pipeline: a schema change, bot flood, or broken SDK shows up as a
+    * drift spike days before it shows up in revenue. The day×type grid is
+    * completed (absent counts = 0) so a type VANISHING contributes its
+    * full mass rather than silently skipping a lag step. At 100 TB: one
+    * map-side-combined count to day×type cardinality (thousands of rows);
+    * the grid completion and lag run on that tiny relation, never on raw
+    * events. */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+        col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = counts.select(col("day")).distinct()
+      .crossJoin(counts.select(col("event_type")).distinct())
+    val full = grid.join(counts, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    full.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .select(col("day"),
+        expr("((n - prev_n) * (n - prev_n) * 10000) div (n + prev_n + 1)")
+          .as("contrib"))
+      .groupBy(col("day"))
+      .agg(sum(col("contrib")).as("drift_score"))
+  }
+
+  val driftSql: String =
+    """WITH counts AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |         event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (SELECT d.day, t.event_type
+      |         FROM (SELECT DISTINCT day FROM counts) d,
+      |              (SELECT DISTINCT event_type FROM counts) t),
+      |full_g AS (SELECT g.day, g.event_type, COALESCE(n, 0) AS n
+      |           FROM grid g LEFT JOIN counts c
+      |             ON c.day = g.day AND c.event_type = g.event_type),
+      |lagd AS (SELECT day, n,
+      |                LAG(n) OVER (PARTITION BY event_type ORDER BY day)
+      |                  AS prev_n
+      |         FROM full_g)
+      |SELECT CAST(day AS INTEGER) AS day,
+      |       CAST(SUM(((n - prev_n) * (n - prev_n) * 10000) // (n + prev_n + 1))
+      |         AS BIGINT) AS drift_score
+      |FROM lagd
+      |WHERE prev_n IS NOT NULL
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_power_users", powerUsers(_, _).orderBy("decile"), Some(powerUsersSql)),
+    Q("events_drift", drift(_, _).orderBy("day"), Some(driftSql)),
     Q("events_ohlc", ohlc(_, _).orderBy("hour_epoch", "event_type"), Some(ohlcSql)),
     Q("events_anomaly_days", anomalyDays(_, _).orderBy("day"), Some(anomalyDaysSql)),
     Q("events_rfm", rfmScores(_, _).orderBy("user_id"), Some(rfmScoresSql)),

@@ -322,6 +322,97 @@ object Sampling {
        |GROUP BY phase
        |ORDER BY phase""".stripMargin
 
+  private val BudgetDenom = 4 // token budget = 1/4 of the corpus
+
+  /** WATER-FILLING token-budget allocation across source domains: given a
+    * global token budget (total/[[BudgetDenom]]), find the unique integer
+    * cap C such that allocating min(tokens, C) to every source exhausts the
+    * budget — small sources keep everything, dominant crawl domains are
+    * clipped at the shared water level. This is the budgeted generalization
+    * of [[domainCap]] (docs → tokens, fixed cap → solved cap) and the
+    * standard mixture-rebalancing step of a corpus build. The cap is found
+    * in closed form, no iteration: sources sorted ascending by size, and for
+    * each rank the candidate level `(budget − prefix_below) div n_remaining`
+    * is valid iff it lands in that rank's segment — exactly one row
+    * qualifies (usage is strictly increasing in C). All integer arithmetic;
+    * candidate levels can go negative on invalid rows, where truncate-vs-
+    * floor division differs between engines, but every negative candidate
+    * fails its segment test in both engines, so none reaches the output.
+    * At scale: one map-side-combined aggregate to domain cardinality, then
+    * a single window pass + one aggregate on a relation of #domains rows
+    * (thousands at web scale — driver-safe, single-partition window is fine
+    * and the warehouse form would range-partition it), and one broadcast of
+    * the solved 1-row cap back onto the domain relation. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("n_tokens"))
+      // two consumers (the cap solve and the final join) — persist so the
+      // corpus tokenization runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one window pass computes rank, prefix, AND the whole-relation totals
+    // (empty-frame windows) — no scalar crossJoins, no extra jobs
+    val w = Window.orderBy(col("n_tokens"), col("source"))
+    val whole = Window.partitionBy()
+    val capOne = perSource
+      .select(col("n_tokens"),
+        row_number().over(w).as("rk"),
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("prefix"),
+        coalesce(lag(col("n_tokens"), 1).over(w), lit(0L)).as("prev_t"),
+        count(lit(1)).over(whole).as("n_src"),
+        sum(col("n_tokens")).over(whole).as("total_tokens"))
+      .withColumn("cand",
+        expr(s"((total_tokens div $BudgetDenom) - (prefix - n_tokens))" +
+          " div (n_src - rk + 1)"))
+      // budget >= total leaves no valid segment: nothing is capped — the
+      // fallback level is the largest source, which allocates fully
+      .agg(coalesce(
+        max(when(col("cand") >= col("prev_t") && col("cand") < col("n_tokens"),
+          col("cand"))),
+        max(col("n_tokens"))).as("cap"))
+    perSource.crossJoin(broadcast(capOne))
+      .select(col("source"), col("n_tokens"),
+        least(col("n_tokens"), col("cap")).as("alloc_tokens"),
+        when(col("n_tokens") > col("cap"), 1L).otherwise(0L).as("capped"),
+        col("cap"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH per_src AS (
+       |  SELECT source,
+       |         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents GROUP BY source),
+       |ranked AS (
+       |  SELECT n_tokens,
+       |         ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rk,
+       |         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+       |         COALESCE(LAG(n_tokens) OVER (ORDER BY n_tokens, source), 0)
+       |           AS prev_t,
+       |         COUNT(*) OVER () AS n_src,
+       |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+       |  FROM per_src),
+       |cand AS (
+       |  SELECT n_tokens, prev_t,
+       |         ((total_tokens // $BudgetDenom) - (prefix - n_tokens))
+       |           // (n_src - rk + 1) AS cand
+       |  FROM ranked),
+       |cap_one AS (
+       |  SELECT COALESCE(
+       |           MAX(CASE WHEN cand >= prev_t AND cand < n_tokens
+       |                    THEN cand END),
+       |           MAX(n_tokens)) AS cap
+       |  FROM cand)
+       |SELECT source, n_tokens,
+       |       LEAST(n_tokens, cap) AS alloc_tokens,
+       |       CAST(CASE WHEN n_tokens > cap THEN 1 ELSE 0 END AS BIGINT)
+       |         AS capped,
+       |       cap
+       |FROM per_src, cap_one
+       |ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
     Q("sample_kfold_balance", kfoldBalance(_, _).orderBy("fold", "lang"),
@@ -339,5 +430,7 @@ object Sampling {
     Q("sample_mixture_apply", mixtureApply(_, _).orderBy("doc_id"),
       Some(mixtureApplySql)),
     Q("sample_curriculum", curriculum(_, _).orderBy("phase"),
-      Some(curriculumSql)))
+      Some(curriculumSql)),
+    Q("sample_token_budget", tokenBudget(_, _).orderBy("source"),
+      Some(tokenBudgetSql)))
 }

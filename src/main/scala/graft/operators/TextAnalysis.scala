@@ -840,8 +840,62 @@ object TextAnalysis {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  private val SpanN = 5
+
+  /** DUPLICATED-SPAN coverage per document: the fraction (basis points) of a
+    * doc's distinct word [[SpanN]]-grams that also occur in at least one
+    * OTHER document — the span-level exact-substring-duplication signal a
+    * training corpus is filtered on (long shared spans mark boilerplate,
+    * mirrored articles, and licensing banners that survive document-level
+    * dedup). Spans are keyed by their xxhash64, never the span text: at
+    * 100 TB the shuffle carries 8-byte keys. The hash NEVER reaches the
+    * output (only per-doc counts do), so the oracle does not need to
+    * reproduce it — it groups the raw gram strings and lands on identical
+    * counts; that is what frees this operator to use the fast native hash
+    * instead of the MD5-derived [[hash60]]. Per-doc distinctness is an
+    * `array_distinct` BEFORE the explode — map-side, no corpus-wide
+    * distinct shuffle. Plan shape is the inverted-index family — a
+    * map-side-combined document-frequency aggregate over the hash, and one
+    * join back keyed on the hash; no self-join, no pair enumeration, so a
+    * stop-span shared by a million docs costs one aggregate row, not 10¹²
+    * pairs. Docs shorter than [[SpanN]] tokens have no spans and drop out
+    * (both engines agree).
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(wordNGrams(col("text"), SpanN))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      // two consumers (the df aggregate and the join-back side) — persist
+      // so the scan + n-gram explode + hash run once per execution
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docFreq = spans.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    spans.join(docFreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("n_docs") >= 2, 1)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        expr("(dup_spans * 10000) div n_spans").as("dup_bp"))
+  }
+
+  val dupSpansSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |  FROM documents),
+       |spans AS (SELECT DISTINCT doc_id, s.g
+       |          FROM tok, UNNEST(${shinglesNSql("ts", SpanN)}) AS s(g)),
+       |df AS (SELECT g, COUNT(*) AS n_docs FROM spans GROUP BY g)
+       |SELECT doc_id, COUNT(*) AS n_spans,
+       |       COUNT(CASE WHEN n_docs >= 2 THEN 1 END) AS dup_spans,
+       |       (COUNT(CASE WHEN n_docs >= 2 THEN 1 END) * 10000) // COUNT(*)
+       |         AS dup_bp
+       |FROM spans JOIN df USING (g)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_repetition", repetition(_, _).orderBy("doc_id"), Some(repetitionSql)),
+    Q("text_dup_spans", dupSpans(_, _).orderBy("doc_id"), Some(dupSpansSql)),
     Q("text_vocab_growth", vocabGrowth(_, _).orderBy("source"), Some(vocabGrowthSql)),
     Q("text_token_counts", tokenCounts(_, _).orderBy("doc_id"), Some(tokenCountsSql)),
     Q("text_oov_rate", oovRate(_, _).orderBy("doc_id"), Some(oovRateSql)),

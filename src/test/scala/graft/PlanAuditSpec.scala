@@ -44,8 +44,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "meta_ref_integrity" -> 3, // one 1-row broadcast fact-total per FK check
     "dedup_lsh_recall" -> 2, // two 1-row count scalars joined to the tp row
     "dedup_impact" -> 1, // 1-row before-aggregate × 1-row after-aggregate
-    "dedup_modality_agreement" -> 4) // two 1-row count scalars + the
+    "dedup_modality_agreement" -> 4, // two 1-row count scalars + the
     // embedding-pair side's broadcast plane projections
+    "sample_token_budget" -> 1, // the solved 1-row cap broadcast over the
+    // domain-sized relation (totals fold into the single window pass)
+    "events_drift" -> 1) // observed-days × observed-types grid completion
+    // (both sides are distinct-aggregates of the day×type count relation)
 
   test("no declared query plans a cartesian product; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
