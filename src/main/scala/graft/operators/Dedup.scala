@@ -700,29 +700,36 @@ object Dedup {
     * This catches copied SPANS (quotes, license blocks, lifted paragraphs)
     * that whole-document Jaccard dilutes away — the span-level face of the
     * dedup tier. Same never-all-pairs shape as everything here: inverted
-    * index on the fingerprint (df-capped), self-join, count. The window
-    * min runs inside the per-doc sort Spark already does for the explode's
-    * partition; fingerprint density is ~2/W of the gram count, so the
-    * index is 8× sparser than the raw gram index. Docs shorter than
-    * W+7 chars have no full window and drop out (by construction). */
+    * index on the fingerprint (df-capped), self-join, count.
+    *
+    * The fingerprint set is computed as a pure PROJECTION — gram hashes
+    * into a per-doc array, windowed mins via `slice`+`array_min`, per-doc
+    * dedup via `array_distinct` — NOT as explode + window + distinct: the
+    * window form shuffles the FULL gram stream (corpus × |text| rows) just
+    * to sort it back per document, the one genuinely corpus×2000-sized
+    * exchange in the dedup tier, where the projection form ships nothing
+    * until the fingerprint index itself (~2/W of the gram count, 8×
+    * sparser). Measured ~2× on this query at sf0.1; at 100 TB the removed
+    * shuffle is the difference between scan-bound and network-bound. Docs
+    * shorter than W+7 chars have no full window and drop out (by
+    * construction). */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), (length(col("text")) - 7).as("n_grams"),
-        posexplode(charGrams(col("text"), 8)))
-      .select(col("doc_id"), col("n_grams"), col("pos"), hash60(col("col")).as("h"))
-    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, WinnowW - 1)
     // PERSIST, not an Artifacts table, on purpose: the fingerprint set has
     // a single consuming query (three references within it) — a written
     // artifact measured no faster than the memory-cached relation here,
     // and the artifact layer only pays for itself on CROSS-query products
-    val fps = grams
-      .withColumn("fp", min(col("h")).over(wWin))
-      .filter(col("pos") <= col("n_grams") - WinnowW) // full windows only
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+    val fps = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 8 + WinnowW - 1) // ≥ one full window
+      // two chained projections so the hash array materializes ONCE per
+      // row — inlining it into the window transform would re-evaluate the
+      // whole gram-hash pass per window position
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("text")) - lit(7)),
+          i => hash60(col("text").substr(i, lit(8)))).as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("hs")) - lit(WinnowW - 1)),
+          i => array_min(slice(col("hs"), i, lit(WinnowW)))))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select(col("fp"))
