@@ -1187,6 +1187,65 @@ object Similarity {
        |JOIN deg db ON db.a = eb
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** DEGREE ASSORTATIVITY of the mutual-kNN graph (Newman's r): the
+    * Pearson correlation of endpoint degrees over the directed edge list
+    * (each symmetric edge counted in both directions — the standard
+    * convention, which also symmetrizes the x/y roles). Positive r means
+    * hubs link to hubs (a core-periphery embedding space); negative means
+    * hubs link to leaves (star-like neighborhoods, the signature of
+    * hub-domination ANN pathologies that mutual-kNN filtering is supposed
+    * to remove — this operator is the audit that it did). Same
+    * exact-sufficient-statistics discipline as `rel_corr_exact`: integer
+    * Σx/Σy/Σx²/Σy²/Σxy (degrees are bounded by the kNN k, so the sums fit
+    * BIGINT out to 10¹² edges), ONE double expression at the end, rounded
+    * to 6 dp. At 100 TB: two broadcast-size joins of the degree table onto
+    * the edge list and a map-side-combined aggregate — never touches the
+    * corpus. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val sym = mutualEdges(spark, dir)
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val agg = sym
+      .join(deg.select(col("a"), col("deg").as("dx")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("deg").as("dy")), Seq("b"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+    val nD = col("n_edges").cast("double")
+    def d(c: String) = col(c).cast("double")
+    agg.select(col("n_edges"),
+      round((nD * d("sxy") - d("sx") * d("sy")) /
+        sqrt((nD * d("sxx") - d("sx") * d("sx")) *
+          (nD * d("syy") - d("sy") * d("sy"))), 6).as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH knn AS (SELECT vec_id, neighbor_id FROM (
+       |$knnGraphSql
+       |)),
+       |sym AS (SELECT x.vec_id AS a, x.neighbor_id AS b
+       |        FROM knn x JOIN knn y
+       |          ON x.vec_id = y.neighbor_id AND x.neighbor_id = y.vec_id),
+       |deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+       |j AS (SELECT dx.deg AS x, dy.deg AS y
+       |      FROM sym e JOIN deg dx ON e.a = dx.a JOIN deg dy ON e.b = dy.a),
+       |agg AS (SELECT COUNT(*) AS n_edges,
+       |               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |               CAST(SUM(x*x) AS BIGINT) AS sxx,
+       |               CAST(SUM(y*y) AS BIGINT) AS syy,
+       |               CAST(SUM(x*y) AS BIGINT) AS sxy
+       |        FROM j)
+       |SELECT n_edges,
+       |       ROUND((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |         / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |              * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       |         AS assortativity
+       |FROM agg""".stripMargin
+
   private val PowerIters = 5
   private val PowerScale = 1048576L // 2^20: the fixed-point unit for v
 
@@ -1344,5 +1403,6 @@ object Similarity {
     Q("sim_centroid_shift", centroidShift(_, _).orderBy("list_id"),
       Some(centroidShiftSql)),
     Q("sim_neighbor_jaccard", neighborJaccard(_, _).orderBy("vec_a", "vec_b"),
-      Some(neighborJaccardSql)))
+      Some(neighborJaccardSql)),
+    Q("sim_assortativity", assortativity(_, _), Some(assortativitySql)))
 }

@@ -142,4 +142,16 @@ class SimilaritySpec extends AnyFunSuite {
       assert(deg >= 3L, s"node $id survived the bounded peel with degree $deg < k")
     }
   }
+
+  test("assortativity: a valid Pearson r, and n_edges matches an independent mutual count") {
+    val row = Similarity.assortativity(spark, TestSpark.Sf0001).head()
+    val (n, r) = (row.getLong(0), row.getDouble(1))
+    assert(!r.isNaN && r >= -1.0 && r <= 1.0, s"r=$r out of Pearson range")
+    // independent mutual-edge count from the kNN relation itself
+    val knn = Similarity.knnGraph(spark, TestSpark.Sf0001).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val mutual = knn.count { case (a, b) => knn.contains((b, a)) }
+    assert(n == mutual.toLong, s"n_edges=$n, independent mutual count=$mutual")
+    assert(n % 2 == 0, "a symmetric directed edge list has even cardinality")
+  }
 }
