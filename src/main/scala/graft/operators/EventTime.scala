@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time processing: tumbling-window aggregation over the events table.
@@ -211,6 +212,54 @@ object EventTime {
        |FROM wk JOIN c USING (user_id)
        |GROUP BY 1, 2
        |ORDER BY cohort_wk, week_offset""".stripMargin
+
+  private val DayUs = 86400000000L // 24 * 3600 * 1e6
+
+  /** USER-LIFETIME SURVIVAL CURVE — the Kaplan-Meier-shaped complement of
+    * [[retention]]: retention asks "of the users who arrived in week w, how
+    * many came back at offset k"; survival asks "what fraction of ALL users
+    * are still active k days after their first event". Lifetime = days
+    * between a user's first and last event (both observed — no censoring in
+    * a closed window); S(k) = |users with lifetime ≥ k| / |users|, emitted
+    * at each observed lifetime value via a descending cumulative count.
+    * Plan: one map-side-combined min/max aggregate per user (the only
+    * data-sized shuffle), then windows over the tiny distinct-lifetime
+    * relation; the fraction is int/int division, exact in both engines.
+    * At 100 TB the per-user aggregate partial-combines on user_id and the
+    * survival curve itself is at most a few thousand rows. */
+  def survival(spark: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(expr(s"(max(unix_micros(ts)) - min(unix_micros(ts))) div $DayUs")
+        .as("lifetime_days"))
+      .groupBy(col("lifetime_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val wDesc = Window.orderBy(col("lifetime_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    life.select(col("lifetime_days"), col("n_users"),
+        sum(col("n_users")).over(wDesc).as("n_surviving"),
+        sum(col("n_users")).over(Window.partitionBy()).as("n_total"))
+      .select(col("lifetime_days"), col("n_users"), col("n_surviving"),
+        (col("n_surviving").cast("double") / col("n_total")).as("survival"))
+  }
+
+  val survivalSql: String =
+    s"""WITH life AS (
+       |  SELECT user_id,
+       |         (MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+       |          - MIN(epoch_us(CAST(ts AS TIMESTAMP)))) // $DayUs
+       |           AS lifetime_days
+       |  FROM events GROUP BY user_id),
+       |d AS (SELECT lifetime_days, COUNT(*) AS n_users
+       |      FROM life GROUP BY lifetime_days)
+       |SELECT lifetime_days, n_users,
+       |       CAST(SUM(n_users) OVER (ORDER BY lifetime_days DESC
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_surviving,
+       |       CAST(SUM(n_users) OVER (ORDER BY lifetime_days DESC
+       |         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |         / CAST(SUM(n_users) OVER () AS DOUBLE) AS survival
+       |FROM d
+       |ORDER BY lifetime_days""".stripMargin
 
   /** Multi-touch attribution over the click→purchase interval join: per
     * purchase, the FIRST and LAST click of the preceding hour plus the
@@ -1050,5 +1099,7 @@ object EventTime {
     Q("events_sessions", sessions(_, _).orderBy("user_id", "session_idx"),
       Some(sessionsSql)),
     Q("events_click_attribution", attribution(_, _).orderBy("click_id", "purchase_id"),
-      Some(attributionSql)))
+      Some(attributionSql)),
+    Q("events_survival", survival(_, _).orderBy("lifetime_days"),
+      Some(survivalSql)))
 }

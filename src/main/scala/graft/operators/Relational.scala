@@ -1202,6 +1202,45 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the warehouse pattern that keeps a
+    * gold rollup current without re-scanning history: the standing aggregate
+    * (here the orders with `o_orderkey % 8 != 0`, standing in for
+    * yesterday's materialized state) is merged with the partial aggregate of
+    * the newly-arrived delta batch (`% 8 == 0`) by summing counts/sums and
+    * max-ing maxes — every measure chosen is associative and commutative, so
+    * state ⊎ delta equals the full recompute EXACTLY (decimal sums, not
+    * float). The oracle IS that full recompute over all of orders: the
+    * correctness gate certifies the merge law, not just the numbers. At
+    * 100 TB this is the difference between scanning a day and scanning a
+    * decade — the standing aggregate is O(groups), the delta scan is
+    * O(day), and the merge shuffles only group keys. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def partial(predicateHolds: Boolean): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(if (predicateHolds) col("o_orderkey") % 8 === 0
+                else col("o_orderkey") % 8 =!= 0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("sum_price"),
+          max(dec(col("o_totalprice"))).as("max_price"))
+    partial(predicateHolds = false).unionAll(partial(predicateHolds = true))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        dec2(sum(col("sum_price"))).as("total_price"),
+        dec2(max(col("max_price"))).as("max_price"))
+  }
+
+  val incrementalAggSql: String =
+    """SELECT o_orderstatus,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS total_price,
+      |       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS max_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Exact median + deterministic mode per brand. Spark's `mode()` (and
     * DuckDB's) break frequency ties arbitrarily — a silent cross-engine
     * divergence — so the mode is computed as arg-max over (count, −value):
@@ -1497,6 +1536,8 @@ object Relational {
     Q("rel_zone_maps", zoneMaps(_, _).orderBy("zone"), Some(zoneMapsSql)),
     Q("rel_merge_upsert", mergeUpsert(_, _).orderBy("c_custkey"),
       Some(mergeUpsertSql)),
+    Q("rel_incremental_agg", incrementalAgg(_, _).orderBy("o_orderstatus"),
+      Some(incrementalAggSql)),
     Q("meta_skew_report", skewReport(_, _).orderBy("key_col"), Some(skewReportSql)),
     Q("meta_table_stats", tableStats(_, _).orderBy("column_name"),
       Some(tableStatsSql)),

@@ -413,6 +413,79 @@ object Sampling {
        |FROM per_src, cap_one
        |ORDER BY source""".stripMargin
 
+  private val PackCapacity = 2048L // tokens per packed training sequence
+  private val PackShards = 8L // parallel packing writers
+
+  /** SEQUENCE PACKING audit — the concat-and-chunk packing step every LLM
+    * pre-training pipeline runs between curation and tokenized shards:
+    * documents are concatenated in a deterministic order and the token
+    * stream is cut into fixed-[[PackCapacity]] training sequences, so a
+    * document whose tokens straddle a cut boundary is split across two
+    * sequences. Packing is embarrassingly parallel across [[PackShards]]
+    * hash-assigned writer shards (shard membership is a pure function of
+    * doc_id — reproducible on any cluster, like every sample here); within
+    * a shard the running token total is one window pass in ingestion
+    * order, exactly the order a shard writer would stream. Output is the
+    * per-shard packing manifest: documents, tokens, full sequences
+    * produced, boundary-straddling docs (the cross-document attention
+    * contamination count), and the tail fill of the last partial sequence.
+    * All integer arithmetic on non-negative operands (truncating vs
+    * flooring division agree), so the oracle replays it exactly. At
+    * 100 TB: shard count scales with writer parallelism, the shuffle is
+    * one hash exchange on shard, and each shard's window is a linear
+    * streaming pass — the same plan a thousand-writer tokenizer runs. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(hash60(concat(lit("pack:"), col("doc_id").cast("string"))),
+          lit(PackShards)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        (sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - col("n_tokens")).as("cum_before"))
+      .select(col("shard"), col("n_tokens"),
+        expr(s"cum_before div $PackCapacity").as("first_seq"),
+        expr(s"(cum_before + n_tokens - 1) div $PackCapacity").as("last_seq"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("last_seq")) + 1L).as("n_seqs"),
+        sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
+          .as("straddling_docs"),
+        (sum(col("n_tokens")) - max(col("last_seq")) * PackCapacity)
+          .as("tail_fill"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         ${hash60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards
+       |           AS shard,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT shard, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum_before
+       |  FROM d),
+       |s AS (
+       |  SELECT shard, n_tokens,
+       |         cum_before // $PackCapacity AS first_seq,
+       |         (cum_before + n_tokens - 1) // $PackCapacity AS last_seq
+       |  FROM c)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       MAX(last_seq) + 1 AS n_seqs,
+       |       CAST(SUM(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS straddling_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) - MAX(last_seq) * $PackCapacity
+       |         AS tail_fill
+       |FROM s
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
     Q("sample_kfold_balance", kfoldBalance(_, _).orderBy("fold", "lang"),
@@ -432,5 +505,7 @@ object Sampling {
     Q("sample_curriculum", curriculum(_, _).orderBy("phase"),
       Some(curriculumSql)),
     Q("sample_token_budget", tokenBudget(_, _).orderBy("source"),
-      Some(tokenBudgetSql)))
+      Some(tokenBudgetSql)),
+    Q("sample_pack_sequences", packSequences(_, _).orderBy("shard"),
+      Some(packSequencesSql)))
 }

@@ -782,32 +782,48 @@ object Similarity {
     // materialized: the declared query and the recall evaluation share it
     Artifacts.table(spark, dir, "sim_pq_topk")(pqTopKBuild(spark, dir))
 
-  private[graft] def pqTopKBuild(spark: SparkSession, dir: String): DataFrame = {
-    val dims = quantDims(spark, dir)
-    val sub = dims.withColumn("s", expr(s"d div $PqSubDims").cast("int"))
-    val lab = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), pmod(col("label"), lit(PqCodes)).as("code"))
-    // the sub-codebook is the PQ index artifact: encode AND the query
-    // distance table both read it
-    val subCent = Artifacts.table(spark, dir, "sim_pq_subcent") {
-      sub.join(broadcast(lab), "vec_id")
+  /** Subspace-split quantized dims: (vec_id, s, d, q). */
+  private def pqSub(spark: SparkSession, dir: String): DataFrame =
+    quantDims(spark, dir).withColumn("s", expr(s"d div $PqSubDims").cast("int"))
+
+  /** The PQ sub-codebook artifact — encode AND the query distance table
+    * read it (and so does the IVF+PQ composite). */
+  private def pqSubCent(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "sim_pq_subcent") {
+      val lab = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), pmod(col("label"), lit(PqCodes)).as("code"))
+      pqSub(spark, dir).join(broadcast(lab), "vec_id")
         .groupBy(col("s"), col("code"), col("d"))
         .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
     }
-    val enc = sub.join(broadcast(subCent), Seq("s", "d"))
-      .groupBy(col("vec_id"), col("s"), col("code"))
-      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
-    val wEnc = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("code"))
-    val codes = enc.withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("code"))
-    val dtable = sub.filter(col("vec_id") < NumQueries)
-      .join(broadcast(subCent), Seq("s", "d"))
+
+  /** Per-vector PQ code words (vec_id, s, code) — the 8-byte compressed
+    * corpus. Materialized: [[pqTopKBuild]] and [[ivfPqTopKBuild]] both
+    * scan codes, never the original vectors. */
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "sim_pq_codes") {
+      val enc = pqSub(spark, dir)
+        .join(broadcast(pqSubCent(spark, dir)), Seq("s", "d"))
+        .groupBy(col("vec_id"), col("s"), col("code"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+      val wEnc = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("code"))
+      enc.withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("code"))
+    }
+
+  /** Query ADC distance table: (query_id, qs, qcode, pd2) — queries × 64
+    * longs, always broadcast. */
+  private def pqDistTable(spark: SparkSession, dir: String): DataFrame =
+    pqSub(spark, dir).filter(col("vec_id") < NumQueries)
+      .join(broadcast(pqSubCent(spark, dir)), Seq("s", "d"))
       .groupBy(col("vec_id").as("query_id"), col("s").as("qs"), col("code").as("qcode"))
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("pd2"))
+
+  private[graft] def pqTopKBuild(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2"), col("neighbor_id"))
-    codes.join(broadcast(dtable),
+    pqCodes(spark, dir).join(broadcast(pqDistTable(spark, dir)),
         col("s") === col("qs") && col("code") === col("qcode") &&
           col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -823,11 +839,29 @@ object Similarity {
        |dims AS (SELECT vec_id, i - 1 AS d,
        |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
        |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
-       |sub AS (SELECT vec_id, CAST(d // $PqSubDims AS INTEGER) AS s, d, q FROM dims),
-       |lab AS (SELECT vec_id, CAST(label % $PqCodes AS INTEGER) AS code FROM embeddings),
+       |$pqCtesSql,
+       |adc AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |               CAST(SUM(pd2) AS BIGINT) AS approx_d2
+       |        FROM codes c JOIN dtable t
+       |          ON c.s = t.s AND c.code = t.code AND c.vec_id <> t.query_id
+       |        GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, approx_d2,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY approx_d2, neighbor_id) AS INTEGER)
+       |               AS rank
+       |      FROM adc)
+       |SELECT query_id, neighbor_id, rank, approx_d2
+       |FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The shared PQ CTE chain (expects `dims` in scope): codebook, per-
+    * vector code words, query ADC distance table. */
+  private def pqCtesSql: String =
+    s"""sub AS (SELECT vec_id, CAST(d // $PqSubDims AS INTEGER) AS s, d, q FROM dims),
+       |plab AS (SELECT vec_id, CAST(label % $PqCodes AS INTEGER) AS code FROM embeddings),
        |subcent AS (SELECT s, code, d,
        |                   CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
-       |            FROM sub JOIN lab USING (vec_id)
+       |            FROM sub JOIN plab USING (vec_id)
        |            GROUP BY 1, 2, 3),
        |enc AS (SELECT vec_id, s, code, SUM((q - cq) * (q - cq)) AS d2
        |        FROM sub JOIN subcent USING (s, d)
@@ -840,11 +874,84 @@ object Similarity {
        |dtable AS (SELECT vec_id AS query_id, s, code, SUM((q - cq) * (q - cq)) AS pd2
        |           FROM sub JOIN subcent USING (s, d)
        |           WHERE vec_id < $NumQueries
-       |           GROUP BY 1, 2, 3),
-       |adc AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |           GROUP BY 1, 2, 3)""".stripMargin
+
+  /** IVF+PQ — the two ANN faces composed the way a production index
+    * actually runs at 100 TB: the IVF coarse quantizer prunes WHICH
+    * vectors each query scores (probe the [[IvfProbes]] nearest lists —
+    * candidates are probes/k of the corpus), and PQ's ADC shrinks WHAT is
+    * scored (8 table lookups per candidate along its stored code word,
+    * never the 64 original dims). Contrast [[ivfTopK]] (exact re-rank
+    * inside the lists — reads the full vectors of every candidate) and
+    * [[pqTopK]] (ADC over the WHOLE corpus — no pruning): this composite
+    * touches only candidate code words, which is why FAISS-style engines
+    * deploy IVF-PQ and not either half alone. All integer micro-unit
+    * arithmetic, so the oracle replays every stage bit-for-bit; both index
+    * artifacts (coarse centroids, sub-codebook+codes) are the materialized
+    * tables the standalone queries already share. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "sim_ivfpq_topk")(ivfPqTopKBuild(spark, dir))
+
+  private[graft] def ivfPqTopKBuild(spark: SparkSession, dir: String): DataFrame = {
+    val dims = quantDims(spark, dir)
+    val dist = centDist(dims, seedCentroids(spark, dir, dims))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
+    val assign = dist.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("list_id"))
+    val probes = dist.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("list_id").as("probe_list"))
+    val cand = assign.join(broadcast(probes),
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2"), col("neighbor_id"))
+    cand
+      .join(pqCodes(spark, dir), col("neighbor_id") === col("vec_id"))
+      .join(broadcast(pqDistTable(spark, dir).withColumnRenamed("query_id", "dq")),
+        col("query_id") === col("dq") && col("s") === col("qs") &&
+          col("code") === col("qcode"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pd2")).as("approx_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("approx_d2"))
+  }
+
+  val ivfPqTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT vec_id, i - 1 AS d,
+       |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+       |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+       |cent AS (SELECT emb.label AS list_id, d,
+       |                CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |         FROM dims JOIN embeddings emb USING (vec_id)
+       |         GROUP BY 1, 2),
+       |cdist AS (SELECT vec_id, list_id, SUM((q - cq) * (q - cq)) AS cd2
+       |          FROM dims JOIN cent USING (d)
+       |          GROUP BY 1, 2),
+       |assign AS (SELECT vec_id, list_id FROM (
+       |             SELECT vec_id, list_id,
+       |                    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                       ORDER BY cd2, list_id) AS rn
+       |             FROM cdist) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, list_id AS probe_list FROM (
+       |             SELECT vec_id, list_id,
+       |                    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                       ORDER BY cd2, list_id) AS rn
+       |             FROM cdist WHERE vec_id < $NumQueries) WHERE rn <= $IvfProbes),
+       |cand AS (SELECT query_id, a.vec_id AS neighbor_id
+       |         FROM assign a JOIN probes p
+       |           ON a.list_id = p.probe_list AND a.vec_id <> p.query_id),
+       |$pqCtesSql,
+       |adc AS (SELECT cand.query_id, cand.neighbor_id,
        |               CAST(SUM(pd2) AS BIGINT) AS approx_d2
-       |        FROM codes c JOIN dtable t
-       |          ON c.s = t.s AND c.code = t.code AND c.vec_id <> t.query_id
+       |        FROM cand
+       |        JOIN codes c ON c.vec_id = cand.neighbor_id
+       |        JOIN dtable t ON t.query_id = cand.query_id
+       |                     AND t.s = c.s AND t.code = c.code
        |        GROUP BY 1, 2),
        |r AS (SELECT query_id, neighbor_id, approx_d2,
        |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1394,6 +1501,8 @@ object Similarity {
     Q("sim_ivf_kmeans_topk", ivfKmeansTopK(_, _).orderBy("query_id", "rank"),
       Some(ivfKmeansTopKSql)),
     Q("sim_pq_topk", pqTopK(_, _).orderBy("query_id", "rank"), Some(pqTopKSql)),
+    Q("sim_ivfpq_topk", ivfPqTopK(_, _).orderBy("query_id", "rank"),
+      Some(ivfPqTopKSql)),
     Q("sim_recall_eval", recallEval(_, _).orderBy("method", "query_id"),
       Some(recallEvalSql)),
     Q("sim_kcore", kcore(_, _).orderBy("vec_id"), Some(kcoreSql)),

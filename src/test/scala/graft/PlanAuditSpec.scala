@@ -20,6 +20,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_lsh_topk" -> 2, // plane table + query-band broadcast
     "sim_ivf_topk" -> 1, // broadcast probes (≠ condition)
     "sim_ivf_kmeans_topk" -> 1,
+    "sim_ivfpq_topk" -> 1, // same broadcast-probes candidate join as IVF
     "dedup_embedding_cosine" -> 2, // plane table per self-join side
     "sim_knn_graph" -> 2, // plane table per self-join side
     "sample_size_biased" -> 1, // one-row broadcast corpus-max scalar
