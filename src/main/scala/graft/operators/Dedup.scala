@@ -1036,6 +1036,90 @@ object Dedup {
        |WHERE comp.component_root IS NULL OR comp.component_root = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** DEDUP CASCADE — the staged funnel a production corpus build actually
+    * runs, cheapest stage first so each later (more expensive) stage sees a
+    * smaller corpus: (1) EXACT hash dedup collapses byte-identical copies,
+    * (2) MinHash-LSH near-dup clusters keep one representative per lexical
+    * component, (3) embedding-cosine clusters collapse paraphrases that
+    * share no shingles. Stages compose: each keeps the minimum SURVIVING
+    * doc of its group (a group whose canonical doc was removed upstream
+    * promotes its next member — the subtlety that makes the cascade a real
+    * composition, not three independent filters). Output is the per-stage
+    * funnel: docs in, removed, out. Plan: each doc is tagged with the
+    * highest stage it survives (three left joins against the stage keep
+    * sets — two of which are the already-materialized component/cluster
+    * artifacts), then ONE map-side-combined aggregate + a 3-row stack
+    * projection; no scalar cross-joins, no BNLJ. At 100 TB the funnel is
+    * the dedup dashboard: corpus-sized scans only in stage tags, cluster
+    * relations orders of magnitude smaller. */
+  def cascade(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // each stage's keep set is referenced twice (the next stage's input and
+    // the final per-doc tag join) — persist so the chain runs once
+    val s1 = docs.groupBy(md5(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = components(spark, dir) // doc_id → component_root (artifact)
+    val s1c = s1.join(comp, Seq("doc_id"), "left")
+    val keepLex = s1c.filter(col("component_root").isNotNull)
+      .groupBy(col("component_root")).agg(min(col("doc_id")).as("keep_id"))
+    val s2 = s1c.join(keepLex, Seq("component_root"), "left")
+      .filter(col("component_root").isNull || col("doc_id") === col("keep_id"))
+      .select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sem = Similarity.semanticClusters(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster_root"))
+    val s2c = s2.join(sem, Seq("doc_id"), "left")
+    val keepSem = s2c.filter(col("cluster_root").isNotNull)
+      .groupBy(col("cluster_root")).agg(min(col("doc_id")).as("keep_id"))
+    val s3 = s2c.join(keepSem, Seq("cluster_root"), "left")
+      .filter(col("cluster_root").isNull || col("doc_id") === col("keep_id"))
+      .select(col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(s1.withColumn("in1", lit(1)), Seq("doc_id"), "left")
+      .join(s2.withColumn("in2", lit(1)), Seq("doc_id"), "left")
+      .join(s3.withColumn("in3", lit(1)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n0"), count(col("in1")).as("n1"),
+        count(col("in2")).as("n2"), count(col("in3")).as("n3"))
+      .selectExpr(
+        """stack(3,
+          |  '1_exact',    n0, n1,
+          |  '2_minhash',  n1, n2,
+          |  '3_semantic', n2, n3) AS (stage, docs_in, docs_out)""".stripMargin)
+      .select(col("stage"), col("docs_in"),
+        (col("docs_in") - col("docs_out")).as("docs_removed"), col("docs_out"))
+  }
+
+  val cascadeSql: String =
+    s"""WITH RECURSIVE $componentsCoreSql,
+       |comp AS (SELECT id AS doc_id, MIN(r) AS component_root
+       |         FROM reach GROUP BY id),
+       |s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |s1c AS (SELECT s1.doc_id, comp.component_root
+       |        FROM s1 LEFT JOIN comp USING (doc_id)),
+       |keep_lex AS (SELECT component_root, MIN(doc_id) AS keep_id
+       |             FROM s1c WHERE component_root IS NOT NULL GROUP BY 1),
+       |s2 AS (SELECT doc_id FROM s1c LEFT JOIN keep_lex USING (component_root)
+       |       WHERE component_root IS NULL OR doc_id = keep_id),
+       |sem AS (SELECT vec_id AS doc_id, cluster_root FROM (
+       |${graft.operators.Similarity.semanticClustersSql}
+       |)),
+       |s2c AS (SELECT s2.doc_id, sem.cluster_root
+       |        FROM s2 LEFT JOIN sem USING (doc_id)),
+       |keep_sem AS (SELECT cluster_root, MIN(doc_id) AS keep_id
+       |             FROM s2c WHERE cluster_root IS NOT NULL GROUP BY 1),
+       |s3 AS (SELECT doc_id FROM s2c LEFT JOIN keep_sem USING (cluster_root)
+       |       WHERE cluster_root IS NULL OR doc_id = keep_id),
+       |c AS (SELECT (SELECT COUNT(*) FROM documents) AS n0,
+       |             (SELECT COUNT(*) FROM s1) AS n1,
+       |             (SELECT COUNT(*) FROM s2) AS n2,
+       |             (SELECT COUNT(*) FROM s3) AS n3)
+       |SELECT stage, docs_in, docs_in - docs_out AS docs_removed, docs_out
+       |FROM (SELECT '1_exact' AS stage, n0 AS docs_in, n1 AS docs_out FROM c
+       |      UNION ALL SELECT '2_minhash', n1, n2 FROM c
+       |      UNION ALL SELECT '3_semantic', n2, n3 FROM c)
+       |ORDER BY stage""".stripMargin
+
   /** INCREMENTAL ingestion dedup: the "new batch" (a deterministic 1/10
     * hash slice of the corpus, standing in for today's crawl) is deduped
     * (a) within itself — min doc_id per normalized fingerprint — and
@@ -1164,6 +1248,7 @@ object Dedup {
       Some(winnowPairsSql)),
     Q("dedup_impact", impact(_, _).orderBy("n_docs"), Some(impactSql)),
     Q("dedup_components", components(_, _).orderBy("doc_id"), Some(componentsSql)),
+    Q("dedup_cascade", cascade(_, _).orderBy("stage"), Some(cascadeSql)),
     Q("dedup_cluster_keep", clusterKeep(_, _).orderBy("doc_id"), Some(clusterKeepSql)),
     Q("dedup_name_edit", nameEdit(_, _).orderBy("name_a", "name_b"), Some(nameEditSql)),
     Q("dedup_name_edit_multiblock",

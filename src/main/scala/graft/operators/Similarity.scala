@@ -1002,6 +1002,87 @@ object Similarity {
        |FROM comp JOIN sz USING (comp)
        |ORDER BY vec_id""".stripMargin
 
+  /** MODULARITY of the semantic clustering, measured on the kNN graph —
+    * the community-quality score (Newman's Q, per-community contributions)
+    * that tells a curation pipeline whether its near-dup clusters are real
+    * structure or banding noise: Q_c = e_in/m − (deg_c/2m)², summed over
+    * communities, approaches 0 for random assignment and grows when edges
+    * concentrate inside clusters. Communities are the [[semanticClusters]]
+    * labels (singletons for unclustered nodes); edges are the undirected
+    * [[knnGraph]]. Emitted per community so the output is deterministic
+    * (no float total ordering issues): every term is a single int/int
+    * division or an exact IEEE product of two such quotients — both
+    * engines produce bit-identical doubles. Plan: degree = one aggregate
+    * over the edge artifact, e_in = two broadcast-size joins back to the
+    * community relation; everything downstream of the materialized graph
+    * is community-bounded, never corpus-bounded. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val und = knnGraph(spark, dir)
+      .select(least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    val sem = semanticClusters(spark, dir)
+      .select(col("vec_id"), col("cluster_root"))
+    val assign = deg.join(sem, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_root"), col("vec_id")).as("community"),
+        col("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perComm = assign.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val ein = und
+      .join(assign.select(col("vec_id").as("a"), col("community").as("ca")), Seq("a"))
+      .join(assign.select(col("vec_id").as("b"), col("community").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    perComm.join(ein, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        sum(col("deg_sum")).over(Window.partitionBy()).as("total_deg"))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("deg_sum"),
+        col("total_deg"),
+        ((col("e_in") * 2).cast("double") / col("total_deg") -
+          (col("deg_sum").cast("double") / col("total_deg")) *
+            (col("deg_sum").cast("double") / col("total_deg")))
+          .as("modularity"))
+  }
+
+  val modularitySql: String =
+    s"""WITH und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |                    greatest(vec_id, neighbor_id) AS b
+       |             FROM ($knnGraphSql)),
+       |deg AS (SELECT vec_id, COUNT(*) AS deg FROM (
+       |          SELECT a AS vec_id FROM und
+       |          UNION ALL SELECT b FROM und)
+       |        GROUP BY vec_id),
+       |sem AS (SELECT vec_id, cluster_root FROM ($semanticClustersSql)),
+       |assign AS (SELECT deg.vec_id,
+       |                  COALESCE(cluster_root, deg.vec_id) AS community,
+       |                  deg
+       |           FROM deg LEFT JOIN sem USING (vec_id)),
+       |pc AS (SELECT community, COUNT(*) AS n_nodes,
+       |              CAST(SUM(deg) AS BIGINT) AS deg_sum
+       |       FROM assign GROUP BY community),
+       |ein AS (SELECT ca.community, COUNT(*) AS e_in
+       |        FROM und
+       |        JOIN assign ca ON und.a = ca.vec_id
+       |        JOIN assign cb ON und.b = cb.vec_id
+       |                      AND ca.community = cb.community
+       |        GROUP BY ca.community),
+       |t AS (SELECT pc.community, n_nodes, deg_sum,
+       |             COALESCE(e_in, 0) AS e_in,
+       |             CAST(SUM(deg_sum) OVER () AS BIGINT) AS total_deg
+       |      FROM pc LEFT JOIN ein USING (community))
+       |SELECT community, n_nodes, e_in, deg_sum, total_deg,
+       |       CAST(e_in * 2 AS DOUBLE) / total_deg
+       |         - (CAST(deg_sum AS DOUBLE) / total_deg)
+       |           * (CAST(deg_sum AS DOUBLE) / total_deg) AS modularity
+       |FROM t
+       |ORDER BY community""".stripMargin
+
   private val PrIters = 3
   private val PrMass = 1000000L // per-node starting mass, in integer micro-units
 
@@ -1495,6 +1576,8 @@ object Similarity {
       Some(filteredTopKSql)),
     Q("dedup_embedding_cosine", embeddingCosinePairs(_, _).orderBy("vec_a", "vec_b"),
       Some(embeddingCosinePairsSql)),
+    Q("sim_modularity", modularity(_, _).orderBy("community"),
+      Some(modularitySql)),
     Q("sim_semantic_clusters", semanticClusters(_, _).orderBy("vec_id"),
       Some(semanticClustersSql)),
     Q("sim_ivf_topk", ivfTopK(_, _).orderBy("query_id", "rank"), Some(ivfTopKSql)),

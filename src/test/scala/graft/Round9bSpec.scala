@@ -74,6 +74,44 @@ class Round9bSpec extends AnyFunSuite {
     }
   }
 
+  test("cascade: the funnel chains and starts from the whole corpus") {
+    import graft.operators.Dedup
+    val rows = Dedup.cascade(spark, dir).orderBy("stage").collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("1_exact", "2_minhash", "3_semantic"))
+    val n0 = Tables.documents(spark, dir).count()
+    assert(rows.head.getAs[Long]("docs_in") === n0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_removed") >= 0)
+      assert(r.getAs[Long]("docs_in") - r.getAs[Long]("docs_removed") ===
+        r.getAs[Long]("docs_out"))
+    }
+    // each stage's survivors feed the next stage
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("docs_out") === b.getAs[Long]("docs_in"))
+      case _ =>
+    }
+  }
+
+  test("modularity: degree accounting closes and Q terms are bounded") {
+    import graft.operators.Similarity
+    val rows = Similarity.modularity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalDeg = rows.head.getAs[Long]("total_deg")
+    assert(rows.forall(_.getAs[Long]("total_deg") === totalDeg))
+    assert(rows.map(_.getAs[Long]("deg_sum")).sum === totalDeg,
+      "community degree sums must partition the graph's 2m endpoint count")
+    assert(rows.map(_.getAs[Long]("e_in")).sum * 2 <= totalDeg,
+      "intra-community edges cannot exceed the graph's edge count")
+    rows.foreach { r =>
+      val q = r.getAs[Double]("modularity")
+      assert(q >= -1.0 && q <= 1.0)
+    }
+    // clustered communities exist (the corpus has near-dup structure)
+    assert(rows.exists(_.getAs[Long]("n_nodes") > 1))
+  }
+
   test("ivfpq: ADC distances agree with whole-corpus PQ on shared pairs") {
     import graft.operators.Similarity
     val ivfpq = Similarity.ivfPqTopK(spark, dir)
