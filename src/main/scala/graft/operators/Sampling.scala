@@ -413,6 +413,50 @@ object Sampling {
        |FROM per_src, cap_one
        |ORDER BY source""".stripMargin
 
+  /** LEAKAGE-SAFE train/val/test split — [[splitAssign]] hardened against
+    * near-duplicate contamination: hashing each DOC into a split lets two
+    * near-identical documents straddle train and test, silently inflating
+    * eval scores (the classic benchmark-leakage failure). Here membership
+    * hashes the near-dup GROUP (the doc's MinHash component root from
+    * [[graft.operators.Dedup.components]]; its own id when unclustered),
+    * so an entire near-dup cluster lands in ONE split by construction.
+    * Plan: the component relation is orders of magnitude smaller than the
+    * corpus (only docs in verified pairs), so at 100 TB this is one corpus
+    * scan + a broadcast join + a map-side hash — the same cost as the
+    * naive split, with the contamination class eliminated. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val comp = graft.operators.Dedup.components(spark, dir)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_root"), col("doc_id")).as("group_id"),
+        when(col("component_root").isNotNull, 1L).otherwise(0L).as("grouped"))
+      .select(col("doc_id"), col("group_id"), col("grouped"),
+        when(pmod(hash60(concat(lit("leak:"), col("group_id").cast("string"))),
+          lit(100)) < 80, "train")
+          .when(pmod(hash60(concat(lit("leak:"), col("group_id").cast("string"))),
+            lit(100)) < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
+  val leakageSafeSplitSql: String =
+    s"""WITH comp AS (SELECT doc_id, component_root FROM (
+       |${graft.operators.Dedup.componentsSql}
+       |)),
+       |d AS (SELECT d.doc_id,
+       |             COALESCE(component_root, d.doc_id) AS group_id,
+       |             CAST(CASE WHEN component_root IS NULL THEN 0 ELSE 1 END
+       |               AS BIGINT) AS grouped
+       |      FROM documents d LEFT JOIN comp USING (doc_id))
+       |SELECT doc_id, group_id, grouped,
+       |       CASE WHEN ${hash60Sql("'leak:' || CAST(group_id AS VARCHAR)")} % 100 < 80
+       |              THEN 'train'
+       |            WHEN ${hash60Sql("'leak:' || CAST(group_id AS VARCHAR)")} % 100 < 90
+       |              THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
+
   private val PackCapacity = 2048L // tokens per packed training sequence
   private val PackShards = 8L // parallel packing writers
 
@@ -507,5 +551,7 @@ object Sampling {
     Q("sample_token_budget", tokenBudget(_, _).orderBy("source"),
       Some(tokenBudgetSql)),
     Q("sample_pack_sequences", packSequences(_, _).orderBy("shard"),
-      Some(packSequencesSql)))
+      Some(packSequencesSql)),
+    Q("sample_leakage_safe_split", leakageSafeSplit(_, _).orderBy("doc_id"),
+      Some(leakageSafeSplitSql)))
 }

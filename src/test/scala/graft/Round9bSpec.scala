@@ -112,6 +112,26 @@ class Round9bSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n_nodes") > 1))
   }
 
+  test("leakage-safe split: no verified near-dup pair straddles splits") {
+    import graft.operators.{Dedup, Sampling}
+    val split = Sampling.leakageSafeSplit(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    assert(pairs.count() > 0, "corpus must contain verified near-dup pairs")
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), Seq("doc_a"))
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddling === 0L,
+      "cluster-keyed hashing must put every near-dup pair in one split")
+    // all three splits actually materialize
+    val splits = split.select(col("split")).distinct().collect().map(_.getString(0))
+    assert(splits.toSet === Set("train", "val", "test"))
+  }
+
   test("ivfpq: ADC distances agree with whole-corpus PQ on shared pairs") {
     import graft.operators.Similarity
     val ivfpq = Similarity.ivfPqTopK(spark, dir)
