@@ -1174,6 +1174,7 @@ object Similarity {
           (coalesce(col("h"), lit(0L)).cast("double") / K).as("recall_at_k"))
     }
     one("ivf", ivfTopK(spark, dir))
+      .unionByName(one("ivfpq", ivfPqTopK(spark, dir)))
       .unionByName(one("lsh", lshTopK(spark, dir)))
       .unionByName(one("pq", pqTopK(spark, dir)))
   }
@@ -1199,8 +1200,13 @@ object Similarity {
        |)),
        |pqq AS (SELECT query_id, neighbor_id FROM (
        |$pqTopKSql
+       |)),
+       |ivfpqq AS (SELECT query_id, neighbor_id FROM (
+       |$ivfPqTopKSql
        |))
        |${block("ivf", "ivfq")}
+       |UNION ALL
+       |${block("ivfpq", "ivfpqq")}
        |UNION ALL
        |${block("lsh", "lshq")}
        |UNION ALL
