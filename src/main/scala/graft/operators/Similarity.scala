@@ -894,12 +894,12 @@ object Similarity {
 
   private[graft] def ivfPqTopKBuild(spark: SparkSession, dir: String): DataFrame = {
     val dims = quantDims(spark, dir)
-    val dist = centDist(dims, seedCentroids(spark, dir, dims))
+    val assign = seedAssign(spark, dir)
+    // probe selection only needs the QUERY batch's centroid distances
+    val qDist = centDist(dims.filter(col("vec_id") < NumQueries),
+      seedCentroids(spark, dir, dims))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
-    val assign = dist.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("list_id"))
-    val probes = dist.filter(col("vec_id") < NumQueries)
+    val probes = qDist
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("list_id").as("probe_list"))
@@ -1001,6 +1001,68 @@ object Similarity {
        |SELECT id AS vec_id, comp.comp AS cluster_root, cluster_size
        |FROM comp JOIN sz USING (comp)
        |ORDER BY vec_id""".stripMargin
+
+  /** The seed-centroid list assignment — IVF index metadata, materialized:
+    * the IVF+PQ composite and the list-skew report both read it (the
+    * standalone IVF search keeps its own copy inside its result artifact).
+    * At 100 TB this IS the index's list column. */
+  private def seedAssign(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "sim_ivf_assign") {
+      val dims = quantDims(spark, dir)
+      val dist = centDist(dims, seedCentroids(spark, dir, dims))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
+      dist.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("list_id"))
+    }
+
+  /** IVF LIST-SKEW report — the operational balance metric for an
+    * inverted-file index: probe cost at scale is governed by the HOTTEST
+    * lists (a query probing a list with 10× the mean pays 10× the scan),
+    * so production ANN deployments watch exactly this table and re-train
+    * centroids when load_ratio drifts. One assignment scan (the same
+    * nearest-centroid window the IVF search runs) + a list-cardinality
+    * aggregate + empty-frame windows for the totals; fractions are
+    * int/int, exact in both engines. At 100 TB the assignment is the
+    * already-materialized list column of the index table, so this is a
+    * k-row aggregate over index metadata. */
+  def ivfListSkew(spark: SparkSession, dir: String): DataFrame = {
+    val whole = Window.partitionBy()
+    seedAssign(spark, dir).groupBy(col("list_id")).agg(count(lit(1)).as("n_vectors"))
+      .select(col("list_id"), col("n_vectors"),
+        sum(col("n_vectors")).over(whole).as("n_total"),
+        count(lit(1)).over(whole).as("n_lists"))
+      .select(col("list_id"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_total")).as("frac"),
+        ((col("n_vectors") * col("n_lists")).cast("double") / col("n_total"))
+          .as("load_ratio"))
+  }
+
+  val ivfListSkewSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT vec_id, i - 1 AS d,
+       |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+       |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+       |cent AS (SELECT emb.label AS list_id, d,
+       |                CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |         FROM dims JOIN embeddings emb USING (vec_id)
+       |         GROUP BY 1, 2),
+       |cdist AS (SELECT vec_id, list_id, SUM((q - cq) * (q - cq)) AS cd2
+       |          FROM dims JOIN cent USING (d)
+       |          GROUP BY 1, 2),
+       |assign AS (SELECT vec_id, list_id FROM (
+       |             SELECT vec_id, list_id,
+       |                    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                       ORDER BY cd2, list_id) AS rn
+       |             FROM cdist) WHERE rn = 1),
+       |lists AS (SELECT list_id, COUNT(*) AS n_vectors FROM assign GROUP BY 1)
+       |SELECT list_id, n_vectors,
+       |       CAST(n_vectors AS DOUBLE) / CAST(SUM(n_vectors) OVER () AS BIGINT)
+       |         AS frac,
+       |       CAST(n_vectors * COUNT(*) OVER () AS DOUBLE)
+       |         / CAST(SUM(n_vectors) OVER () AS BIGINT) AS load_ratio
+       |FROM lists
+       |ORDER BY list_id""".stripMargin
 
   /** MODULARITY of the semantic clustering, measured on the kNN graph —
     * the community-quality score (Newman's Q, per-community contributions)
@@ -1584,6 +1646,8 @@ object Similarity {
       Some(embeddingCosinePairsSql)),
     Q("sim_modularity", modularity(_, _).orderBy("community"),
       Some(modularitySql)),
+    Q("sim_ivf_list_skew", ivfListSkew(_, _).orderBy("list_id"),
+      Some(ivfListSkewSql)),
     Q("sim_semantic_clusters", semanticClusters(_, _).orderBy("vec_id"),
       Some(semanticClustersSql)),
     Q("sim_ivf_topk", ivfTopK(_, _).orderBy("query_id", "rank"), Some(ivfTopKSql)),

@@ -120,7 +120,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("recall_eval reproduces the set-arithmetic recall for every method") {
     val eval = Similarity.recallEval(spark, TestSpark.Sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(eval.keys.map(_._1).toSet == Set("ivf", "lsh", "pq"))
+    assert(eval.keys.map(_._1).toSet == Set("ivf", "ivfpq", "lsh", "pq"))
     // cross-check one method against an independent set computation
     val bruteByQ = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
     val lshSet = Similarity.lshTopK(spark, TestSpark.Sf0001).collect()
