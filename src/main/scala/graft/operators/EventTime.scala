@@ -1067,6 +1067,100 @@ object EventTime {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** Watermark-sizing profile: per event_type, how far behind the running
+    * event-time high-water mark do events arrive? Arrival order is
+    * `event_id` (the monotone ingestion id); lateness of an event is the
+    * running max of event-time over everything ingested before it, minus its
+    * own event-time. The p50/p95/p99 of the late-event lateness distribution
+    * is exactly the number a Structured Streaming deployment plugs into
+    * `withWatermark` — p99 bounds dropped-late-data at 1%.
+    *
+    * Plan: one window pass per type for the running max (per-type streams
+    * carry per-source watermarks; at 100 TB the running max becomes the
+    * standard two-pass prefix-max — per-partition max, then offsets — the
+    * same shape as `mm_shard_manifest`'s prefix sum), then the pinned
+    * integer-index percentile interpolation over late events only (see
+    * [[interArrival]] for why the built-in percentile is not cross-engine
+    * stable).
+    */
+  def latenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    val runW = Window.partitionBy(col("event_type"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pw = Window.partitionBy(col("event_type")).orderBy(col("late_us"))
+    val cw = Window.partitionBy(col("event_type"))
+    val lateness = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("hwm_us", max(col("us")).over(runW))
+      .withColumn("late_us",
+        when(col("hwm_us").isNull || col("hwm_us") <= col("us"), lit(0L))
+          .otherwise(col("hwm_us") - col("us")))
+    val totals = lateness.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"))
+    val pcts = lateness.filter(col("late_us") > 0)
+      .select(col("event_type"), col("late_us"))
+      .withColumn("rn", row_number().over(pw))
+      .withColumn("n", count(lit(1)).over(cw))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(expr("rn - 1 = div(50*(n-1), 100)"), col("late_us"))).as("a50"),
+        max(when(expr("rn - 1 = least(div(50*(n-1), 100) + 1, n - 1)"),
+          col("late_us"))).as("b50"),
+        max(expr("pmod(50*(n-1), 100)")).as("r50"),
+        max(when(expr("rn - 1 = div(99*(n-1), 100)"), col("late_us"))).as("a99"),
+        max(when(expr("rn - 1 = least(div(99*(n-1), 100) + 1, n - 1)"),
+          col("late_us"))).as("b99"),
+        max(expr("pmod(99*(n-1), 100)")).as("r99"),
+        max(col("late_us")).as("max_late_us"))
+    totals.join(pcts, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        (col("n_late").cast("double") / col("n_events")).as("late_frac"),
+        expr("cast(a50 as double) + (cast(r50 as double) / 100.0)" +
+          " * cast(b50 - a50 as double)").as("p50_late_us"),
+        expr("cast(a99 as double) + (cast(r99 as double) / 100.0)" +
+          " * cast(b99 - a99 as double)").as("p99_late_us"),
+        col("max_late_us"))
+  }
+
+  val latenessProfileSql: String =
+    """WITH e AS (SELECT event_type, event_id,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events),
+      |lat AS (SELECT event_type, us,
+      |               MAX(us) OVER (PARTITION BY event_type ORDER BY event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                      AND 1 PRECEDING) AS hwm_us
+      |        FROM e),
+      |l2 AS (SELECT event_type,
+      |              CASE WHEN hwm_us IS NULL OR hwm_us <= us THEN 0
+      |                   ELSE hwm_us - us END AS late_us
+      |       FROM lat),
+      |totals AS (SELECT event_type, COUNT(*) AS n_events,
+      |                  SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late
+      |           FROM l2 GROUP BY event_type),
+      |r AS (SELECT event_type, late_us,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY late_us) AS rn,
+      |             COUNT(*) OVER (PARTITION BY event_type) AS n
+      |      FROM l2 WHERE late_us > 0),
+      |pcts AS (
+      |  SELECT event_type,
+      |         MAX(CASE WHEN rn - 1 = (50*(n-1))//100 THEN late_us END) AS a50,
+      |         MAX(CASE WHEN rn - 1 = LEAST((50*(n-1))//100 + 1, n - 1) THEN late_us END) AS b50,
+      |         MAX((50*(n-1))%100) AS r50,
+      |         MAX(CASE WHEN rn - 1 = (99*(n-1))//100 THEN late_us END) AS a99,
+      |         MAX(CASE WHEN rn - 1 = LEAST((99*(n-1))//100 + 1, n - 1) THEN late_us END) AS b99,
+      |         MAX((99*(n-1))%100) AS r99,
+      |         MAX(late_us) AS max_late_us
+      |  FROM r GROUP BY event_type)
+      |SELECT t.event_type, t.n_events, CAST(t.n_late AS BIGINT) AS n_late,
+      |       CAST(t.n_late AS DOUBLE) / t.n_events AS late_frac,
+      |       CAST(a50 AS DOUBLE) + (CAST(r50 AS DOUBLE) / 100.0) * CAST(b50 - a50 AS DOUBLE) AS p50_late_us,
+      |       CAST(a99 AS DOUBLE) + (CAST(r99 AS DOUBLE) / 100.0) * CAST(b99 - a99 AS DOUBLE) AS p99_late_us,
+      |       max_late_us
+      |FROM totals t LEFT JOIN pcts p USING (event_type)
+      |ORDER BY t.event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_power_users", powerUsers(_, _).orderBy("decile"), Some(powerUsersSql)),
     Q("events_drift", drift(_, _).orderBy("day"), Some(driftSql)),
@@ -1101,5 +1195,7 @@ object EventTime {
     Q("events_click_attribution", attribution(_, _).orderBy("click_id", "purchase_id"),
       Some(attributionSql)),
     Q("events_survival", survival(_, _).orderBy("lifetime_days"),
-      Some(survivalSql)))
+      Some(survivalSql)),
+    Q("events_lateness_profile", latenessProfile(_, _).orderBy("event_type"),
+      Some(latenessProfileSql)))
 }

@@ -530,6 +530,75 @@ object Sampling {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  /** Shards per training epoch in [[epochShuffle]]. */
+  private val EpochShards = 8
+
+  /** Deterministic per-epoch global shuffle: the order a data loader reads
+    * the corpus in epoch `e`. Seeding the shard hash with the epoch number
+    * re-permutes the corpus every epoch with zero state — any worker can
+    * recompute any epoch's order from (epoch, doc_id) alone, which is the
+    * only shuffle design that survives preemption on a 1000-executor
+    * cluster (no stored permutation to lose or re-ship).
+    *
+    * Shard = epoch-seeded hash mod S (map-side, embarrassingly parallel —
+    * never a global row_number, which would serialize 100 TB through one
+    * partition); within-shard read order = sort by the same hash (per-shard
+    * parallel sort). Output is the per-(epoch, shard) manifest: doc/lang
+    * counts and char mass (balance evidence), the first/last doc in shuffle
+    * order (pins the actual permutation head/tail in the oracle), and
+    * `n_stay_next` — how many of the shard's docs land in the SAME shard
+    * next epoch (decorrelation evidence: expectation is n_docs/S).
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    val cw = Window.partitionBy(col("epoch"), col("shard"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(array(lit(0), lit(1))).as("epoch"))
+      .select(col("epoch"), col("doc_id"), col("lang"), col("n_chars"),
+        hash60(concat(lit("epoch:"), col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))).as("h"),
+        hash60(concat(lit("epoch:"), (col("epoch") + 1).cast("string"), lit(":"),
+          col("doc_id").cast("string"))).as("h_next"))
+      .withColumn("shard", pmod(col("h"), lit(EpochShards)))
+      .withColumn("shard_next", pmod(col("h_next"), lit(EpochShards)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("shard") === col("shard_next"), 1L).otherwise(0L))
+          .as("n_stay_next"),
+        max(when(col("rn") === 1, col("doc_id"))).as("first_doc"),
+        max(when(col("rn") === col("cnt"), col("doc_id"))).as("last_doc"))
+  }
+
+  val epochShuffleSql: String =
+    s"""WITH d AS (
+       |  SELECT e.epoch, doc_id, lang, n_chars,
+       |         ${hash60Sql("'epoch:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS h,
+       |         ${hash60Sql("'epoch:' || CAST(e.epoch + 1 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS h_next
+       |  FROM documents CROSS JOIN (VALUES (0), (1)) AS e(epoch)),
+       |s AS (
+       |  SELECT epoch, doc_id, lang, n_chars,
+       |         h % $EpochShards AS shard, h_next % $EpochShards AS shard_next,
+       |         row_number() OVER (PARTITION BY epoch, h % $EpochShards
+       |                            ORDER BY h, doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY epoch, h % $EpochShards) AS cnt
+       |  FROM d)
+       |SELECT epoch, CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(SUM(CASE WHEN shard = shard_next THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_stay_next,
+       |       MAX(CASE WHEN rn = 1 THEN doc_id END) AS first_doc,
+       |       MAX(CASE WHEN rn = cnt THEN doc_id END) AS last_doc
+       |FROM s
+       |GROUP BY epoch, shard
+       |ORDER BY epoch, shard""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
     Q("sample_kfold_balance", kfoldBalance(_, _).orderBy("fold", "lang"),
@@ -553,5 +622,7 @@ object Sampling {
     Q("sample_pack_sequences", packSequences(_, _).orderBy("shard"),
       Some(packSequencesSql)),
     Q("sample_leakage_safe_split", leakageSafeSplit(_, _).orderBy("doc_id"),
-      Some(leakageSafeSplitSql)))
+      Some(leakageSafeSplitSql)),
+    Q("sample_epoch_shuffle", epochShuffle(_, _).orderBy("epoch", "shard"),
+      Some(epochShuffleSql)))
 }
