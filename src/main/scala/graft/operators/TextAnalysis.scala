@@ -652,7 +652,12 @@ object TextAnalysis {
     * then a doc_id aggregate. At 100 TB: two map-side-combined shuffles
     * for the model, one for the scoring join — and a min-count cut makes
     * the model broadcastable when the vocabulary allows. */
-  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    // two declared consumers (the per-doc scores themselves and the CCNet
+    // bucket query below) → materialized once per (JVM, input dir)
+    graft.Artifacts.table(spark, dir, "text_lm_scores")(bigramLmBuild(spark, dir))
+
+  private[graft] def bigramLmBuild(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(wordNGrams(col("text"), 2)).as("g"))
       .select(col("doc_id"), hash60(col("g")).as("hb"),
@@ -672,6 +677,68 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(cond_bp) div count(1)").as("lm_score_bp"))
   }
+
+  /** CCNet-style head/middle/tail bucketing: within each language, rank
+    * documents by the bigram-LM fluency score ([[bigramLm]], read from its
+    * artifact) and cut into terciles — `head` = most fluent third, the
+    * slice CCNet keeps outright; `tail` = the third a pipeline drops or
+    * re-scores. Per-language terciles matter because LM scores are not
+    * comparable across languages (different corpus mass ⇒ different
+    * conditional-probability floors).
+    *
+    * Plan shape: the per-doc score relation is doc-count-sized (not
+    * token-count-sized) and already materialized; one broadcast-joined lang
+    * lookup, one per-lang window rank, one 6-row aggregate. At 100 TB the
+    * window is a per-lang range partition — no global order. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lm_score_bp").desc, col("doc_id"))
+    bigramLm(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+        col("n_chars")), "doc_id")
+      .withColumn("bucket",
+        when(ntile(3).over(w) === 1, lit("head"))
+          .when(ntile(3).over(w) === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("sum(lm_score_bp) div count(1)").as("avg_score_bp"),
+        min(col("lm_score_bp")).as("min_score_bp"),
+        max(col("lm_score_bp")).as("max_score_bp"))
+  }
+
+  val perplexityBucketsSql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |             FROM documents),
+       |g AS (SELECT doc_id, ${hash60Sql("ts[i] || ' ' || ts[i+1]")} AS hb,
+       |             ${hash60Sql("ts[i]")} AS h1
+       |      FROM tok, UNNEST(range(1, greatest(len(ts), 1))) AS u(i)),
+       |m12 AS (SELECT hb, MIN(h1) AS h1, COUNT(*) AS c12 FROM g GROUP BY hb),
+       |m1 AS (SELECT h1, SUM(c12) AS c1 FROM m12 GROUP BY h1),
+       |m AS (SELECT hb, (c12 * 10000) // c1 AS cond_bp
+       |      FROM m12 JOIN m1 USING (h1)),
+       |scores AS (SELECT doc_id, CAST(SUM(cond_bp) // COUNT(*) AS BIGINT)
+       |                    AS lm_score_bp
+       |           FROM g JOIN m USING (hb)
+       |           GROUP BY doc_id),
+       |ranked AS (
+       |  SELECT d.lang, d.n_chars, s.lm_score_bp, s.doc_id,
+       |         ntile(3) OVER (PARTITION BY d.lang
+       |                        ORDER BY s.lm_score_bp DESC, s.doc_id) AS t
+       |  FROM scores s JOIN documents d USING (doc_id))
+       |SELECT lang,
+       |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |              ELSE 'tail' END AS bucket,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(SUM(lm_score_bp) // COUNT(*) AS BIGINT) AS avg_score_bp,
+       |       MIN(lm_score_bp) AS min_score_bp,
+       |       MAX(lm_score_bp) AS max_score_bp
+       |FROM ranked
+       |GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin
 
   val bigramLmSql: String =
     s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
@@ -924,6 +991,8 @@ object TextAnalysis {
     Q("text_rare_bigrams", rareBigrams(_, _).orderBy("doc_id"), Some(rareBigramsSql)),
     Q("text_bigram_lm", bigramLm(_, _).orderBy("doc_id"), Some(bigramLmSql)),
     Q("text_lang_confusion", langConfusion(_, _).orderBy("actual_lang", "predicted_lang"),
-      Some(langConfusionSql)))
+      Some(langConfusionSql)),
+    Q("text_perplexity_buckets", perplexityBuckets(_, _).orderBy("lang", "bucket"),
+      Some(perplexityBucketsSql)))
 
 }
