@@ -1224,6 +1224,66 @@ object Dedup {
        |   OR doc_b IN (SELECT doc_id FROM nb)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Tokens per sub-document segment in [[paragraphDedup]]. */
+  private val SegTokens = 20
+
+  /** SUB-DOCUMENT (paragraph-level) dedup — the CCNet/Dolma line-dedup
+    * stage: boilerplate repeats across documents that are not themselves
+    * duplicates (headers, navigation, license blurbs), so dedup must run on
+    * segments and the surviving document is REASSEMBLED from its kept
+    * segments. Segments here are fixed 20-token windows (this corpus has no
+    * newline structure; a real corpus splits on paragraph breaks — same
+    * plan, different splitter). Keep-first is global corpus order
+    * (doc_id, seg_idx).
+    *
+    * Scale shape: one pass tokenizes and slices segments map-side (array
+    * projections, no explode-then-window over the token stream); the only
+    * shuffle is the segment-hash exchange for the keep-first window — the
+    * text itself never shuffles twice, and the per-doc reassembly aggregate
+    * rides the same exchange back on doc_id. Grouping uses native
+    * `xxhash64` (the hash never reaches the output; the oracle groups the
+    * raw segment strings — equal groupings, not equal hashes). */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks)-1) div $SegTokens)," +
+          s" i -> array_join(slice(toks, i*$SegTokens+1, $SegTokens), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("h", xxhash64(col("seg")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") === 1, length(col("seg")).cast("long"))
+          .otherwise(0L)).as("chars_kept"))
+      .withColumn("removed_frac",
+        (col("n_segs") - col("n_kept")).cast("double") / col("n_segs"))
+  }
+
+  val paragraphDedupSql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |             FROM documents),
+       |seg AS (SELECT doc_id, i AS seg_idx,
+       |               array_to_string(list_slice(ts, i*$SegTokens+1,
+       |                                          i*$SegTokens+$SegTokens), ' ') AS seg
+       |        FROM tok, UNNEST(range(0, (len(ts)-1)//$SegTokens + 1)) AS u(i)),
+       |r AS (SELECT doc_id, seg,
+       |             row_number() OVER (PARTITION BY seg
+       |                                ORDER BY doc_id, seg_idx) AS rn
+       |      FROM seg)
+       |SELECT doc_id, COUNT(*) AS n_segs,
+       |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN rn = 1 THEN len(seg) ELSE 0 END) AS BIGINT)
+       |         AS chars_kept,
+       |       CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / COUNT(*) AS removed_frac
+       |FROM r
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", exact(_, _).orderBy("doc_id"), Some(exactSql)),
     Q("dedup_incremental", incremental(_, _).orderBy("doc_id"), Some(incrementalSql)),
@@ -1256,5 +1316,7 @@ object Dedup {
       Some(nameEditMultiblockSql)),
     Q("dedup_simhash", simhash(_, _).orderBy("doc_id"), Some(simhashSql)),
     Q("dedup_simhash_pairs", simhashPairs(_, _).orderBy("doc_a", "doc_b"),
-      Some(simhashPairsSql)))
+      Some(simhashPairsSql)),
+    Q("dedup_paragraph", paragraphDedup(_, _).orderBy("doc_id"),
+      Some(paragraphDedupSql)))
 }
