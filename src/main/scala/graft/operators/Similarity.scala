@@ -1276,6 +1276,73 @@ object Similarity {
        |ORDER BY method, query_id""".stripMargin
   }
 
+  /** Truncation dims evaluated by [[dimTruncation]]. */
+  private val TruncDims = Seq(8, 16, 32, 64)
+
+  /** MATRYOSHKA-style dimension-truncation eval: exact cosine top-k using
+    * only the FIRST d dimensions of each embedding, scored as recall@k
+    * against the full-dimension ground truth ([[bruteForceTopK]]'s
+    * artifact). The curve over d ∈ {8,16,32,64} is the decision input for
+    * serving truncated vectors: if recall@10 at d=16 is already ~1, the
+    * vector store can shrink 4× (MRL-trained embedding families are built
+    * for exactly this cut).
+    *
+    * Plan shape: the dims axis EXPLODES ON THE BROADCAST QUERY SIDE (10
+    * queries × 4 dims), never on the corpus — one corpus scan scores all
+    * four truncations in a single codegen'd projection; per-(dim, query)
+    * top-k is a window over the bounded pair stream, and the ground-truth
+    * semi-join reads the materialized artifact. At 100 TB: still one scan,
+    * 4× the flops, zero extra shuffles. */
+  def dimTruncation(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .withColumn("dim", explode(array(TruncDims.map(lit(_)): _*)))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("dim"), col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineFast(slice(col("qv"), lit(1), col("dim")),
+          slice(col("v"), lit(1), col("dim"))).as("cos_sim"))
+    val w = Window.partitionBy(col("dim"), col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val approx = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+    val bf = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("dim"), col("query_id")).agg(count(lit(1)).as("hits"))
+    q.select(col("dim"), col("query_id"))
+      .join(hits, Seq("dim", "query_id"), "left")
+      .select(col("dim"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / K).as("recall_at_k"))
+  }
+
+  val dimTruncationSql: String = {
+    val dimsValues = TruncDims.map(d => s"($d)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, d.dim
+       |      FROM e, (VALUES $dimsValues) AS d(dim)
+       |      WHERE vec_id < $NumQueries),
+       |p AS (SELECT dim, query_id, vec_id AS neighbor_id,
+       |             ${cosineSql("list_slice(qv, 1, dim)", "list_slice(v, 1, dim)")}
+       |               AS cos_sim
+       |      FROM e, q WHERE vec_id <> query_id),
+       |r AS (SELECT dim, query_id, neighbor_id,
+       |             ROW_NUMBER() OVER (PARTITION BY dim, query_id
+       |                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |      FROM p),
+       |a AS (SELECT dim, query_id, neighbor_id FROM r WHERE rank <= $K),
+       |bf AS (SELECT query_id, neighbor_id FROM (
+       |$bruteForceTopKSql
+       |)),
+       |h AS (SELECT dim, query_id, COUNT(*) AS hits
+       |      FROM a JOIN bf USING (query_id, neighbor_id)
+       |      GROUP BY 1, 2)
+       |SELECT q.dim, q.query_id, COALESCE(h.hits, 0) AS hits,
+       |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / $K AS recall_at_k
+       |FROM q LEFT JOIN h ON h.dim = q.dim AND h.query_id = q.query_id
+       |ORDER BY q.dim, q.query_id""".stripMargin
+  }
+
   private[graft] val CoreK = 3
 
   /** k-CORE decomposition (peel to fixpoint) of the MUTUAL-kNN graph: keep
@@ -1666,5 +1733,7 @@ object Similarity {
       Some(centroidShiftSql)),
     Q("sim_neighbor_jaccard", neighborJaccard(_, _).orderBy("vec_a", "vec_b"),
       Some(neighborJaccardSql)),
-    Q("sim_assortativity", assortativity(_, _), Some(assortativitySql)))
+    Q("sim_assortativity", assortativity(_, _), Some(assortativitySql)),
+    Q("sim_dim_truncation", dimTruncation(_, _).orderBy("dim", "query_id"),
+      Some(dimTruncationSql)))
 }
