@@ -1453,6 +1453,85 @@ object Relational {
        |FROM z GROUP BY zone
        |ORDER BY zone""".stripMargin
 
+  /** 20-bit key-normalization scale for [[zorderSkipping]]. */
+  private val ZNorm = (1L << 20) - 1
+  /** Probe band: a 1/16-width slice of normalized key space at midpoint. */
+  private val ZProbeLo = 1L << 19
+  private val ZProbeHi = (1L << 19) + (1L << 16) - 1
+
+  /** Z-ORDER vs LINEAR data-layout skipping report — the decision evidence
+    * for `OPTIMIZE ... ZORDER BY (a, b)`. Both keys are min/max-normalized
+    * to a 20-bit scale (exact integer math; both engines floor on
+    * non-negative operands), then every row is assigned a bucket (= a file
+    * of the layout) two ways: by the Morton interleave
+    * ([[graft.functions.ZValue]], high 8 bits of z) and by the leading key
+    * alone (plain `ORDER BY a`). Per (layout, bucket): the (a, b) rectangle
+    * the bucket spans and whether a mid-range probe band on EACH key could
+    * skip it via min/max footer stats. The payoff reads directly off the
+    * output: z-order buckets are small rectangles — most skip the b-probe —
+    * while every linear bucket spans b's full width, so a b-filtered scan
+    * reads 100% of the table. [[graft.sources.Layout.zorderWrite]] is the
+    * writer that produces this layout physically (file-level pruning
+    * spec-proven in ZOrderSpec); this query is its catalog-facing
+    * effectiveness audit, one scan + one exchange at any scale.
+    */
+  def zorderSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_custkey").cast("long").as("a"), day.as("b"))
+    val stats = base.agg(min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+      min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+    base.crossJoin(broadcast(stats))
+      .select(
+        expr(s"((a - a_min) * $ZNorm) div greatest(a_max - a_min, 1)").as("na"),
+        expr(s"((b - b_min) * $ZNorm) div greatest(b_max - b_min, 1)").as("nb"))
+      .withColumn("z", graft.sources.Layout.zvalue(col("na"), col("nb")))
+      .select(col("na"), col("nb"), explode(array(
+        struct(lit("zorder").as("layout"),
+          expr("z div 4294967296").as("bucket")),
+        struct(lit("linear").as("layout"),
+          expr("na div 4096").as("bucket")))).as("lb"))
+      .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+        col("na"), col("nb"))
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("na")).as("a_lo"), max(col("na")).as("a_hi"),
+        min(col("nb")).as("b_lo"), max(col("nb")).as("b_hi"))
+      .withColumn("scan_a",
+        !(col("a_hi") < ZProbeLo || col("a_lo") > ZProbeHi))
+      .withColumn("scan_b",
+        !(col("b_hi") < ZProbeLo || col("b_lo") > ZProbeHi))
+  }
+
+  val zorderSkippingSql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS a,
+       |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |              AS BIGINT) AS b
+       |  FROM orders),
+       |stats AS (SELECT MIN(a) AS a_min, MAX(a) AS a_max,
+       |                 MIN(b) AS b_min, MAX(b) AS b_max FROM base),
+       |n AS (SELECT ((a - a_min) * $ZNorm) // GREATEST(a_max - a_min, 1) AS na,
+       |             ((b - b_min) * $ZNorm) // GREATEST(b_max - b_min, 1) AS nb
+       |      FROM base, stats),
+       |nid AS (SELECT row_number() OVER () AS rid, na, nb FROM n),
+       |zc AS (SELECT rid, na, nb,
+       |              CAST(SUM((((na >> i) & 1) << (2*i))
+       |                     + (((nb >> i) & 1) << (2*i + 1))) AS BIGINT) AS z
+       |       FROM nid, UNNEST(range(0, 20)) AS u(i)
+       |       GROUP BY rid, na, nb),
+       |lays AS (
+       |  SELECT 'zorder' AS layout, z // 4294967296 AS bucket, na, nb FROM zc
+       |  UNION ALL
+       |  SELECT 'linear' AS layout, na // 4096 AS bucket, na, nb FROM zc)
+       |SELECT layout, bucket, COUNT(*) AS n_rows,
+       |       MIN(na) AS a_lo, MAX(na) AS a_hi,
+       |       MIN(nb) AS b_lo, MAX(nb) AS b_hi,
+       |       NOT (MAX(na) < $ZProbeLo OR MIN(na) > $ZProbeHi) AS scan_a,
+       |       NOT (MAX(nb) < $ZProbeLo OR MIN(nb) > $ZProbeHi) AS scan_b
+       |FROM lays GROUP BY layout, bucket
+       |ORDER BY layout, bucket""".stripMargin
+
   /** Join-key SKEW DIAGNOSTICS: the distribution of per-key row counts for
     * a prospective join/aggregation key — the report an engineer (or an
     * advisor rule) reads before deciding between a plain shuffle join, a
@@ -1534,6 +1613,8 @@ object Relational {
     Q("rel_zscore_outliers", zscoreOutliers(_, _).orderBy("event_type"),
       Some(zscoreOutliersSql)),
     Q("rel_zone_maps", zoneMaps(_, _).orderBy("zone"), Some(zoneMapsSql)),
+    Q("rel_zorder_skipping", zorderSkipping(_, _).orderBy("layout", "bucket"),
+      Some(zorderSkippingSql)),
     Q("rel_merge_upsert", mergeUpsert(_, _).orderBy("c_custkey"),
       Some(mergeUpsertSql)),
     Q("rel_incremental_agg", incrementalAgg(_, _).orderBy("o_orderstatus"),
