@@ -1013,8 +1013,78 @@ object Similarity {
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
       dist.withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("list_id"))
+        // d2 (exact integer distance to the OWN centroid) rides along: the
+        // SemDeDup keep-policy ranks within-list vectors by it
+        .select(col("vec_id"), col("list_id"), col("d2"))
     }
+
+  /** Cosine threshold for [[semDedup]] (the near-dup plane of this corpus —
+    * same value as the SRP-banded pair detector's PairTau). */
+  private val SemTau = 0.35
+
+  /** SemDeDup — SEMANTIC deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): k-means-cluster the embedding space, then inside each
+    * cluster remove every vector whose cosine similarity to a HIGHER-RANKED
+    * cluster member exceeds τ, ranking members farthest-from-centroid
+    * first (the paper's keep-low-centroid-similarity policy — it retains
+    * the cluster's diverse rim rather than its redundant core). The
+    * per-vector verdict is the triangular formulation production curators
+    * use: keep(x) ⇔ max cos(x, y) over all y ranked before x is < τ —
+    * deterministic regardless of duplicate-chain shape.
+    *
+    * Scale shape: candidate pairs are CLUSTER-BOUNDED (the |C|² term is
+    * controlled by the cluster count, which grows with the corpus — the
+    * paper runs 50k clusters for LAION-440M), so the pair join is an
+    * equi-join on list_id, never corpus all-pairs; ranking reads the
+    * integer centroid distance already materialized in the IVF assignment
+    * artifact ([[seedAssign]]), so the whole operator costs one
+    * cluster-key self-join + one max-aggregate. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("list_id")).orderBy(col("d2").desc, col("vec_id"))
+    val r = corpus(spark, dir)
+      .join(seedAssign(spark, dir), "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prior = r.as("x").join(r.as("y"),
+        col("x.list_id") === col("y.list_id") && col("x.rn") < col("y.rn"))
+      .select(col("y.vec_id").as("vec_id"),
+        cosineFast(col("x.v"), col("y.v")).as("c"))
+      .groupBy(col("vec_id")).agg(max(col("c")).as("max_prior_cos"))
+    r.join(prior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"), col("rn"), col("max_prior_cos"),
+        (col("max_prior_cos").isNull || col("max_prior_cos") < SemTau).as("keep"))
+  }
+
+  val semDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT vec_id, i - 1 AS d,
+       |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+       |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+       |cent AS (SELECT emb.label AS list_id, d,
+       |                CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |         FROM dims JOIN embeddings emb USING (vec_id)
+       |         GROUP BY 1, 2),
+       |cdist AS (SELECT vec_id, list_id, SUM((q - cq) * (q - cq)) AS cd2
+       |          FROM dims JOIN cent USING (d)
+       |          GROUP BY 1, 2),
+       |assign AS (SELECT vec_id, list_id, cd2 FROM (
+       |             SELECT vec_id, list_id, cd2,
+       |                    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                       ORDER BY cd2, list_id) AS arn
+       |             FROM cdist) WHERE arn = 1),
+       |r AS (SELECT a.vec_id, a.list_id, e.v,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY a.list_id
+       |                                     ORDER BY a.cd2 DESC, a.vec_id)
+       |                  AS INTEGER) AS rn
+       |      FROM assign a JOIN e USING (vec_id)),
+       |prior AS (SELECT y.vec_id,
+       |                 MAX(${cosineSql("x.v", "y.v")}) AS max_prior_cos
+       |          FROM r x JOIN r y ON x.list_id = y.list_id AND x.rn < y.rn
+       |          GROUP BY y.vec_id)
+       |SELECT r.vec_id, r.list_id, r.rn, p.max_prior_cos,
+       |       (p.max_prior_cos IS NULL OR p.max_prior_cos < $SemTau) AS keep
+       |FROM r LEFT JOIN prior p ON p.vec_id = r.vec_id
+       |ORDER BY r.vec_id""".stripMargin
 
   /** IVF LIST-SKEW report — the operational balance metric for an
     * inverted-file index: probe cost at scale is governed by the HOTTEST
@@ -1735,5 +1805,6 @@ object Similarity {
       Some(neighborJaccardSql)),
     Q("sim_assortativity", assortativity(_, _), Some(assortativitySql)),
     Q("sim_dim_truncation", dimTruncation(_, _).orderBy("dim", "query_id"),
-      Some(dimTruncationSql)))
+      Some(dimTruncationSql)),
+    Q("dedup_semdedup", semDedup(_, _).orderBy("vec_id"), Some(semDedupSql)))
 }

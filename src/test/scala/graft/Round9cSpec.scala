@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 continuation: watermark lateness profile, epoch shuffle,
+  * CCNet perplexity terciles, paragraph dedup, Matryoshka truncation, and
+  * the z-order skipping audit. Each test asserts the operator's defining
+  * law against an independent recomputation, not just shape.
+  */
+class Round9cSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  test("lateness_profile: ordered percentiles, counts bounded by totals") {
+    import graft.operators.EventTime
+    val rows = EventTime.latenessProfile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val late = r.getAs[Long]("n_late")
+      assert(late >= 0 && late <= n)
+      val frac = r.getAs[Double]("late_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (late > 0) {
+        val p50 = r.getAs[Double]("p50_late_us")
+        val p99 = r.getAs[Double]("p99_late_us")
+        val mx = r.getAs[Long]("max_late_us")
+        assert(p50 > 0 && p50 <= p99 && p99 <= mx.toDouble,
+          s"${r.getAs[String]("event_type")}: p50=$p50 p99=$p99 max=$mx")
+      }
+    }
+    // totals must cover the whole events table exactly once
+    val total = Tables.events(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === total)
+  }
+
+  test("epoch_shuffle: partition of the corpus, decorrelated across epochs") {
+    import graft.operators.Sampling
+    val rows = Sampling.epochShuffle(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    for (epoch <- Seq(0, 1)) {
+      val er = rows.filter(_.getAs[Int]("epoch") == epoch)
+      assert(er.map(_.getAs[Long]("n_docs")).sum === nDocs,
+        s"epoch $epoch shards must partition the corpus")
+      er.foreach { r =>
+        assert(r.getAs[Long]("n_stay_next") <= r.getAs[Long]("n_docs"))
+        assert(r.getAs[Long]("first_doc") >= 0 && r.getAs[Long]("last_doc") >= 0)
+      }
+      // re-permutation: docs staying in the same shard next epoch should be
+      // near 1/8, certainly nowhere near all of them
+      val stay = er.map(_.getAs[Long]("n_stay_next")).sum
+      assert(stay < nDocs / 2, s"epoch $epoch: $stay of $nDocs stayed put")
+    }
+    // the shuffle head is the argmin of the epoch-seeded hash — recompute
+    // one shard's first_doc driver-side from raw doc_ids
+    import graft.functions.TextFns.hash60Long
+    val ids = Tables.documents(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0))
+    val shard0 = ids.filter(id => math.floorMod(hash60Long(s"epoch:0:$id"), 8L) == 0L)
+    val expectFirst = shard0.minBy(id => (hash60Long(s"epoch:0:$id"), id))
+    val got = rows.find(r => r.getAs[Int]("epoch") == 0 && r.getAs[Long]("shard") == 0L)
+    assert(got.get.getAs[Long]("first_doc") === expectFirst)
+  }
+
+  test("perplexity_buckets: per-lang terciles balanced and exhaustive") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.perplexityBuckets(spark, dir).collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang"))
+    val docsPerLang = Tables.documents(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[String]("bucket")).toSet ===
+        Set("head", "middle", "tail"))
+      assert(rs.map(_.getAs[Long]("n_docs")).sum === docsPerLang(lang))
+      val sizes = rs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$lang terciles must differ by <=1")
+      // ranking is score-desc: every head score >= every middle score >=
+      // every tail score
+      def b(name: String) = rs.find(_.getAs[String]("bucket") == name).get
+      assert(b("head").getAs[Long]("min_score_bp") >=
+        b("middle").getAs[Long]("max_score_bp"))
+      assert(b("middle").getAs[Long]("min_score_bp") >=
+        b("tail").getAs[Long]("max_score_bp"))
+      rs.foreach { r =>
+        val avg = r.getAs[Long]("avg_score_bp")
+        assert(avg >= r.getAs[Long]("min_score_bp") &&
+          avg <= r.getAs[Long]("max_score_bp"))
+      }
+    }
+  }
+
+  test("paragraph dedup: kept segments equal the distinct-segment count") {
+    import graft.operators.Dedup
+    val rows = Dedup.paragraphDedup(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_segs")).sum > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") >= 0 &&
+        r.getAs[Long]("n_kept") <= r.getAs[Long]("n_segs"))
+      val frac = r.getAs[Double]("removed_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // every distinct segment survives exactly once, corpus-wide
+    import graft.functions.TextFns.tokens
+    val distinctSegs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        "transform(sequence(0, (size(toks)-1) div 20)," +
+          " i -> array_join(slice(toks, i*20+1, 20), ' '))")).as("seg"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_kept")).sum === distinctSegs)
+  }
+
+  test("dim truncation: full-width slice is exact (recall 1.0), curve bounded") {
+    import graft.operators.Similarity
+    val rows = Similarity.dimTruncation(spark, dir).collect()
+    assert(rows.length === 40)
+    rows.filter(_.getAs[Int]("dim") == 64).foreach { r =>
+      assert(r.getAs[Double]("recall_at_k") === 1.0,
+        s"d=64 IS the full dimension; query ${r.getAs[Long]("query_id")}")
+    }
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("hits") === math.round(rec * 10))
+    }
+  }
+
+  test("semdedup: rim-first ranking, verdict consistent with prior-max") {
+    import graft.operators.Similarity
+    val rows = Similarity.semDedup(spark, dir).collect()
+    assert(rows.length === Tables.embeddings(spark, dir).count())
+    val perList = rows.groupBy(_.getAs[Int]("list_id"))
+    perList.foreach { case (list, rs) =>
+      // ranks are 1..n within the list
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to rs.length))
+      // the top-ranked (farthest-from-centroid) vector has no prior: kept
+      val first = rs.find(_.getAs[Int]("rn") == 1).get
+      assert(first.isNullAt(first.fieldIndex("max_prior_cos")))
+      assert(first.getAs[Boolean]("keep"), s"list $list rank-1 must survive")
+    }
+    rows.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      if (r.isNullAt(r.fieldIndex("max_prior_cos"))) assert(keep)
+      else assert(keep === (r.getAs[Double]("max_prior_cos") < 0.35))
+    }
+    // the policy must actually fire both ways on this corpus
+    assert(rows.exists(!_.getAs[Boolean]("keep")), "no duplicates removed")
+    assert(rows.count(_.getAs[Boolean]("keep")) > rows.length / 2,
+      "most of the corpus should survive at tau=0.35")
+  }
+
+  test("zorder skipping: rectangles prune the b-probe; linear cannot") {
+    import graft.operators.Relational
+    val rows = Relational.zorderSkipping(spark, dir).collect()
+    val (zb, lin) = rows.partition(_.getAs[String]("layout") == "zorder")
+    assert(zb.nonEmpty && lin.nonEmpty)
+    val nOrders = Tables.orders(spark, dir).count()
+    assert(zb.map(_.getAs[Long]("n_rows")).sum === nOrders)
+    assert(lin.map(_.getAs[Long]("n_rows")).sum === nOrders)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_lo") <= r.getAs[Long]("a_hi"))
+      assert(r.getAs[Long]("b_lo") <= r.getAs[Long]("b_hi"))
+    }
+    // linear buckets span (nearly) b's full width -> the b probe scans most
+    // of the table; z-order rectangles skip the bulk of it. (At sf0.001 a
+    // ~6-row linear bucket can coincidentally miss the band, so the law is
+    // proportional, not forall.)
+    def scannedB(rs: Array[org.apache.spark.sql.Row]) =
+      rs.filter(_.getAs[Boolean]("scan_b")).map(_.getAs[Long]("n_rows")).sum
+    assert(scannedB(lin) > (nOrders * 4) / 5,
+      s"linear should scan most rows for the b probe: ${scannedB(lin)}/$nOrders")
+    assert(scannedB(zb) * 2 < scannedB(lin),
+      s"zorder scanned ${scannedB(zb)} of $nOrders; linear ${scannedB(lin)}")
+  }
+}
