@@ -1532,6 +1532,38 @@ object Relational {
        |FROM lays GROUP BY layout, bucket
        |ORDER BY layout, bucket""".stripMargin
 
+  /** Anonymity threshold for [[kAnonymity]]. */
+  private val AnonK = 5
+
+  /** K-ANONYMITY audit — the data-governance gate a corpus passes before
+    * release: group the population by its quasi-identifier tuple
+    * (nation × market segment × account-balance band) and flag every
+    * equivalence class smaller than k=[[AnonK]] — rows in those classes
+    * are re-identifiable and must be suppressed or generalized. The
+    * balance band is floor(bal/1000): identical IEEE division + floor in
+    * both engines (never CAST(double*100 AS BIGINT) — Spark truncates,
+    * DuckDB rounds). One map-side-combined aggregate over the population
+    * + a broadcast dim join; the audit output is
+    * equivalence-class-cardinality-sized at any corpus scale. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .groupBy(col("n_name"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("is_anonymous", col("n_rows") >= AnonK)
+
+  val kAnonymitySql: String =
+    s"""SELECT n_name, c_mktsegment,
+       |       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |       COUNT(*) AS n_rows,
+       |       COUNT(*) >= $AnonK AS is_anonymous
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1, 2, 3
+       |ORDER BY n_name, c_mktsegment, bal_band""".stripMargin
+
   /** Join-key SKEW DIAGNOSTICS: the distribution of per-key row counts for
     * a prospective join/aggregation key — the report an engineer (or an
     * advisor rule) reads before deciding between a plain shuffle join, a
@@ -1615,6 +1647,8 @@ object Relational {
     Q("rel_zone_maps", zoneMaps(_, _).orderBy("zone"), Some(zoneMapsSql)),
     Q("rel_zorder_skipping", zorderSkipping(_, _).orderBy("layout", "bucket"),
       Some(zorderSkippingSql)),
+    Q("meta_kanonymity", kAnonymity(_, _).orderBy("n_name", "c_mktsegment", "bal_band"),
+      Some(kAnonymitySql)),
     Q("rel_merge_upsert", mergeUpsert(_, _).orderBy("c_custkey"),
       Some(mergeUpsertSql)),
     Q("rel_incremental_agg", incrementalAgg(_, _).orderBy("o_orderstatus"),

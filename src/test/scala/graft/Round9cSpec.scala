@@ -126,6 +126,20 @@ class Round9cSpec extends AnyFunSuite {
     }
   }
 
+  test("kanonymity: equivalence classes partition the population") {
+    import graft.operators.Relational
+    val rows = Relational.kAnonymity(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ===
+      Tables.customer(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_anonymous") === (r.getAs[Long]("n_rows") >= 5))
+    }
+    // quasi-identifier tuples are unique rows of the audit
+    val keys = rows.map(r => (r.getAs[String]("n_name"),
+      r.getAs[String]("c_mktsegment"), r.getAs[Long]("bal_band")))
+    assert(keys.distinct.length === keys.length)
+  }
+
   test("semdedup: rim-first ranking, verdict consistent with prior-max") {
     import graft.operators.Similarity
     val rows = Similarity.semDedup(spark, dir).collect()
