@@ -709,6 +709,96 @@ object TextAnalysis {
         max(col("lm_score_bp")).as("max_score_bp"))
   }
 
+  /** CROSS-FILTER AGREEMENT (Cohen's κ) between the two independent quality
+    * detectors of this pipeline: the heuristic quality gate
+    * (quality_score ≥ [[QualityTau]], as in the curation funnel) and the
+    * LM fluency gate (per-lang perplexity tercile ≠ tail, as in the CCNet
+    * buckets). κ corrects raw agreement for chance given each filter's
+    * marginal keep-rate — the audit that tells a curator whether a second
+    * filter adds signal (κ ≪ 1) or just re-measures the first (κ ≈ 1).
+    * The confusion matrix is one map-side-combined conditional aggregate
+    * over the doc-count-sized score relations (LM scores from the
+    * materialized artifact); κ itself is arithmetic on five longs — the
+    * whole audit is free at any corpus scale. po/pe/κ are doubles derived
+    * from int/int fractions with the SAME expression tree in both engines
+    * (identical IEEE ops on identical inputs). */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lm_score_bp").desc, col("doc_id"))
+    val lm = bigramLm(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .select(col("doc_id"), (ntile(3).over(w) <= 2).as("lm_keep"))
+    val q = qualityScore(spark, dir)
+      .select(col("doc_id"), (col("quality_score") >= QualityTau).as("q_keep"))
+    q.join(lm, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("q_keep") && col("lm_keep"), 1L).otherwise(0L))
+          .as("n_both_keep"),
+        sum(when(!col("q_keep") && !col("lm_keep"), 1L).otherwise(0L))
+          .as("n_both_drop"),
+        sum(when(col("q_keep") && !col("lm_keep"), 1L).otherwise(0L))
+          .as("n_only_quality"),
+        sum(when(!col("q_keep") && col("lm_keep"), 1L).otherwise(0L))
+          .as("n_only_lm"))
+      .withColumn("po",
+        expr("cast(n_both_keep + n_both_drop as double) / n_docs"))
+      .withColumn("pe",
+        expr("(cast(n_both_keep + n_only_quality as double) / n_docs)" +
+          " * (cast(n_both_keep + n_only_lm as double) / n_docs)" +
+          " + (1.0 - cast(n_both_keep + n_only_quality as double) / n_docs)" +
+          " * (1.0 - cast(n_both_keep + n_only_lm as double) / n_docs)"))
+      .withColumn("kappa",
+        expr("case when pe = 1.0 then null" +
+          " else (po - pe) / (1.0 - pe) end"))
+  }
+
+  val filterAgreementSql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |             FROM documents),
+       |g AS (SELECT doc_id, ${hash60Sql("ts[i] || ' ' || ts[i+1]")} AS hb,
+       |             ${hash60Sql("ts[i]")} AS h1
+       |      FROM tok, UNNEST(range(1, greatest(len(ts), 1))) AS u(i)),
+       |m12 AS (SELECT hb, MIN(h1) AS h1, COUNT(*) AS c12 FROM g GROUP BY hb),
+       |m1 AS (SELECT h1, SUM(c12) AS c1 FROM m12 GROUP BY h1),
+       |m AS (SELECT hb, (c12 * 10000) // c1 AS cond_bp
+       |      FROM m12 JOIN m1 USING (h1)),
+       |scores AS (SELECT doc_id, CAST(SUM(cond_bp) // COUNT(*) AS BIGINT)
+       |                    AS lm_score_bp
+       |           FROM g JOIN m USING (hb)
+       |           GROUP BY doc_id),
+       |lm AS (SELECT s.doc_id,
+       |              ntile(3) OVER (PARTITION BY d.lang
+       |                             ORDER BY s.lm_score_bp DESC, s.doc_id) <= 2
+       |                AS lm_keep
+       |       FROM scores s JOIN documents d USING (doc_id)),
+       |q AS (SELECT doc_id, quality_score >= $QualityTau AS q_keep
+       |      FROM ($qualityCoreSql)),
+       |conf AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(CASE WHEN q_keep AND lm_keep THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_both_keep,
+       |         CAST(SUM(CASE WHEN NOT q_keep AND NOT lm_keep THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_both_drop,
+       |         CAST(SUM(CASE WHEN q_keep AND NOT lm_keep THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_only_quality,
+       |         CAST(SUM(CASE WHEN NOT q_keep AND lm_keep THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_only_lm
+       |  FROM q JOIN lm USING (doc_id)),
+       |p AS (SELECT *,
+       |             CAST(n_both_keep + n_both_drop AS DOUBLE) / n_docs AS po,
+       |             (CAST(n_both_keep + n_only_quality AS DOUBLE) / n_docs)
+       |               * (CAST(n_both_keep + n_only_lm AS DOUBLE) / n_docs)
+       |               + (1.0 - CAST(n_both_keep + n_only_quality AS DOUBLE) / n_docs)
+       |               * (1.0 - CAST(n_both_keep + n_only_lm AS DOUBLE) / n_docs) AS pe
+       |      FROM conf)
+       |SELECT n_docs, n_both_keep, n_both_drop, n_only_quality, n_only_lm, po, pe,
+       |       CASE WHEN pe = 1.0 THEN NULL
+       |            ELSE (po - pe) / (1.0 - pe) END AS kappa
+       |FROM p""".stripMargin
+
   val perplexityBucketsSql: String =
     s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
        |             FROM documents),
@@ -993,6 +1083,7 @@ object TextAnalysis {
     Q("text_lang_confusion", langConfusion(_, _).orderBy("actual_lang", "predicted_lang"),
       Some(langConfusionSql)),
     Q("text_perplexity_buckets", perplexityBuckets(_, _).orderBy("lang", "bucket"),
-      Some(perplexityBucketsSql)))
+      Some(perplexityBucketsSql)),
+    Q("text_filter_agreement", filterAgreement(_, _), Some(filterAgreementSql)))
 
 }

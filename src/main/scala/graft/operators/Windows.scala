@@ -482,6 +482,38 @@ object Windows {
       |WHERE rn >= 4
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Max staleness for [[asofTolerance]]: 1 day in µs. */
+  private val AsofToleranceUs = 86400000000L
+
+  /** As-of join WITH TOLERANCE — the feature-store TTL rule
+    * (`merge_asof(tolerance=...)`): a prior click only counts if it is at
+    * most [[AsofToleranceUs]] old at purchase time; staler matches are
+    * nulled, not substituted (a 3-week-old click is not a signal). Pure
+    * post-projection over [[asofJoin]]'s carry-forward window — the
+    * tolerance check costs nothing at any scale because the as-of plan
+    * already carries the gap. `within_tolerance` makes the match-rate
+    * auditable: the stream analog is state TTL eviction in a
+    * `flatMapGroupsWithState` enrichment. */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame =
+    asofJoin(spark, dir).select(
+      col("purchase_id"), col("user_id"), col("purchase_ts"),
+      when(col("gap_us") <= AsofToleranceUs, col("asof_click_id"))
+        .as("asof_click_id"),
+      when(col("gap_us") <= AsofToleranceUs, col("gap_us")).as("gap_us"),
+      (col("gap_us").isNotNull && col("gap_us") <= AsofToleranceUs)
+        .as("within_tolerance"))
+
+  val asofToleranceSql: String =
+    s"""SELECT purchase_id, user_id, purchase_ts,
+       |       CASE WHEN gap_us <= $AsofToleranceUs THEN asof_click_id END
+       |         AS asof_click_id,
+       |       CASE WHEN gap_us <= $AsofToleranceUs THEN gap_us END AS gap_us,
+       |       COALESCE(gap_us <= $AsofToleranceUs, FALSE) AS within_tolerance
+       |FROM (
+       |$asofJoinSql
+       |)
+       |ORDER BY purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("win_gap_fill", gapFill(_, _).orderBy("prio", "day"), Some(gapFillSql)),
     Q("win_streaks", streaks(_, _).orderBy("user_id"), Some(streaksSql)),
@@ -501,5 +533,7 @@ object Windows {
       Some(asofNearestSql)),
     Q("win_asof_custom", asofJoinCustom(_, _).orderBy("purchase_id"), Some(asofJoinSql)),
     Q("win_sliding_1h", slidingHour(_, _).orderBy("event_id"), Some(slidingHourSql)),
-    Q("win_ntile_deciles", ntileDeciles(_, _).orderBy("event_id"), Some(ntileDecilesSql)))
+    Q("win_ntile_deciles", ntileDeciles(_, _).orderBy("event_id"), Some(ntileDecilesSql)),
+    Q("win_asof_tolerance", asofTolerance(_, _).orderBy("purchase_id"),
+      Some(asofToleranceSql)))
 }

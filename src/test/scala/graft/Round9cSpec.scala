@@ -126,6 +126,45 @@ class Round9cSpec extends AnyFunSuite {
     }
   }
 
+  test("asof tolerance: stale matches nulled, fresh matches preserved") {
+    import graft.operators.Windows
+    val base = Windows.asofJoin(spark, dir).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(r.fieldIndex("gap_us"))) None
+         else Some(r.getAs[Long]("gap_us")))).toMap
+    val tol = Windows.asofTolerance(spark, dir).collect()
+    assert(tol.length === base.size)
+    val T = 86400000000L
+    tol.foreach { r =>
+      val gap = base(r.getAs[Long]("purchase_id"))
+      val within = r.getAs[Boolean]("within_tolerance")
+      assert(within === gap.exists(_ <= T))
+      assert(r.isNullAt(r.fieldIndex("asof_click_id")) === !within,
+        s"purchase ${r.getAs[Long]("purchase_id")}")
+    }
+    // the TTL rule must actually fire both ways on this data
+    assert(tol.exists(_.getAs[Boolean]("within_tolerance")))
+    assert(tol.exists(r => !r.getAs[Boolean]("within_tolerance")))
+  }
+
+  test("filter agreement: kappa from a consistent confusion matrix") {
+    import graft.operators.TextAnalysis
+    val r = TextAnalysis.filterAgreement(spark, dir).collect()(0)
+    val n = r.getAs[Long]("n_docs")
+    val (bk, bd, oq, ol) = (r.getAs[Long]("n_both_keep"),
+      r.getAs[Long]("n_both_drop"), r.getAs[Long]("n_only_quality"),
+      r.getAs[Long]("n_only_lm"))
+    assert(bk + bd + oq + ol === n, "confusion matrix must partition docs")
+    assert(n === Tables.documents(spark, dir).count())
+    val po = r.getAs[Double]("po")
+    assert(po === (bk + bd).toDouble / n)
+    val kappa = r.getAs[Double]("kappa")
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    // the detectors measure different things: not identical, not inverse
+    assert(oq + ol > 0, "filters should disagree somewhere")
+    assert(bk + bd > 0, "filters should agree somewhere")
+  }
+
   test("kanonymity: equivalence classes partition the population") {
     import graft.operators.Relational
     val rows = Relational.kAnonymity(spark, dir).collect()
