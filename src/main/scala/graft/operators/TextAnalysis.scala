@@ -1050,6 +1050,76 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** GOPHER-STYLE RULE FILTERS (Rae et al. 2021 §A1.1, re-thresholded for
+    * this corpus): five independent per-document keep rules, each an exact
+    * INTEGER comparison so the keep/drop boundary is bit-identical across
+    * engines (`3·n ≤ chars ≤ 10·n` instead of `3 ≤ chars/n ≤ 10`, etc.).
+    * Everything is a map-side projection over the tokenized text — one
+    * scan, no shuffle, embarrassingly parallel at any corpus size. The
+    * dominance rule's per-doc distinct×filter pass is O(len²) in the doc's
+    * OWN token count — bounded work per row, never cross-document.
+    *   - word count within [50, 100000]
+    *   - mean token length within [3, 10]  (3n ≤ Σlen ≤ 10n)
+    *   - short-token (≤2 chars) fraction < 20 %  (5·n_short < n)
+    *   - ≥ 2 stopword occurrences
+    *   - most frequent token ≤ 20 % of the doc  (5·max_tok ≤ n)
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(ts).as("n_words"),
+        aggregate(ts, lit(0), (acc, t) => acc + length(t)).as("n_tok_chars"),
+        size(filter(ts, t => length(t) <= 2)).as("n_short"),
+        size(filter(ts, t => array_contains(stopArr, t))).as("n_stop"),
+        array_max(transform(array_distinct(ts),
+          d => size(filter(ts, t => t === d)))).as("max_tok_count"))
+      .withColumn("r_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_len",
+        col("n_tok_chars") >= col("n_words") * 3 &&
+          col("n_tok_chars") <= col("n_words") * 10)
+      .withColumn("r_short_frac", col("n_short") * 5 < col("n_words"))
+      .withColumn("r_stopwords", col("n_stop") >= 2)
+      .withColumn("r_dominance", col("max_tok_count") * 5 <= col("n_words"))
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_mean_len") && col("r_short_frac") &&
+          col("r_stopwords") && col("r_dominance"))
+  }
+
+  val gopherRulesSql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |             FROM documents),
+       |m AS (SELECT doc_id,
+       |             CAST(len(ts) AS INTEGER) AS n_words,
+       |             CAST(list_sum(list_transform(ts, t -> length(t)))
+       |               AS INTEGER) AS n_tok_chars,
+       |             CAST(len(list_filter(ts, t -> length(t) <= 2))
+       |               AS INTEGER) AS n_short,
+       |             CAST(len(list_filter(ts, t -> list_contains($stopList, t)))
+       |               AS INTEGER) AS n_stop,
+       |             CAST(list_max(list_transform(list_distinct(ts),
+       |               d -> len(list_filter(ts, t -> t = d))))
+       |               AS INTEGER) AS max_tok_count
+       |      FROM tok)
+       |SELECT doc_id, n_words, n_tok_chars, n_short, n_stop, max_tok_count,
+       |       n_words >= 50 AND n_words <= 100000 AS r_word_count,
+       |       n_tok_chars >= n_words * 3 AND n_tok_chars <= n_words * 10
+       |         AS r_mean_len,
+       |       n_short * 5 < n_words AS r_short_frac,
+       |       n_stop >= 2 AS r_stopwords,
+       |       max_tok_count * 5 <= n_words AS r_dominance,
+       |       (n_words >= 50 AND n_words <= 100000)
+       |         AND (n_tok_chars >= n_words * 3 AND n_tok_chars <= n_words * 10)
+       |         AND (n_short * 5 < n_words) AND (n_stop >= 2)
+       |         AND (max_tok_count * 5 <= n_words) AS gopher_pass
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("text_repetition", repetition(_, _).orderBy("doc_id"), Some(repetitionSql)),
     Q("text_dup_spans", dupSpans(_, _).orderBy("doc_id"), Some(dupSpansSql)),
@@ -1084,6 +1154,8 @@ object TextAnalysis {
       Some(langConfusionSql)),
     Q("text_perplexity_buckets", perplexityBuckets(_, _).orderBy("lang", "bucket"),
       Some(perplexityBucketsSql)),
-    Q("text_filter_agreement", filterAgreement(_, _), Some(filterAgreementSql)))
+    Q("text_filter_agreement", filterAgreement(_, _), Some(filterAgreementSql)),
+    Q("text_gopher_rules", gopherRules(_, _).orderBy("doc_id"),
+      Some(gopherRulesSql)))
 
 }

@@ -165,6 +165,32 @@ class Round9cSpec extends AnyFunSuite {
     assert(bk + bd > 0, "filters should agree somewhere")
   }
 
+  test("gopher rules: flags re-derivable from counts, pass is the conjunction") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.gopherRules(spark, dir).collect()
+    assert(rows.length === Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_words")
+      val chars = r.getAs[Int]("n_tok_chars")
+      val short = r.getAs[Int]("n_short")
+      val stop = r.getAs[Int]("n_stop")
+      val dom = r.getAs[Int]("max_tok_count")
+      assert(short <= n && stop <= n && dom <= n && chars >= n)
+      assert(r.getAs[Boolean]("r_word_count") === (n >= 50 && n <= 100000))
+      assert(r.getAs[Boolean]("r_mean_len") === (chars >= 3 * n && chars <= 10 * n))
+      assert(r.getAs[Boolean]("r_short_frac") === (short * 5 < n))
+      assert(r.getAs[Boolean]("r_stopwords") === (stop >= 2))
+      assert(r.getAs[Boolean]("r_dominance") === (dom * 5 <= n))
+      assert(r.getAs[Boolean]("gopher_pass") ===
+        (r.getAs[Boolean]("r_word_count") && r.getAs[Boolean]("r_mean_len") &&
+          r.getAs[Boolean]("r_short_frac") && r.getAs[Boolean]("r_stopwords") &&
+          r.getAs[Boolean]("r_dominance")))
+    }
+    // the filter must actually split this corpus, both ways
+    assert(rows.exists(_.getAs[Boolean]("gopher_pass")))
+    assert(rows.exists(r => !r.getAs[Boolean]("gopher_pass")))
+  }
+
   test("kanonymity: equivalence classes partition the population") {
     import graft.operators.Relational
     val rows = Relational.kAnonymity(spark, dir).collect()
