@@ -113,6 +113,71 @@ object Similarity {
        |FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** TRIPLET MINING for contrastive training (FaceNet, Schroff et al.
+    * 2015): for each anchor in the query batch, the NEAREST POSITIVE
+    * (highest-cosine neighbor sharing its label) and the HARDEST NEGATIVE
+    * (highest-cosine neighbor with any other label), plus the triplet
+    * margin pos−neg — negative margin = a confusable anchor whose nearest
+    * impostor outranks its nearest genuine match. Same scale shape as
+    * [[bruteForceTopK]]: the anchor batch broadcasts, the corpus streams
+    * through one scored pass, and a (query, side) window keeps one row per
+    * side — k·2 rows per anchor survive regardless of corpus size. At
+    * production scale the scored pass is fed from the ANN index's probed
+    * lists (semi-hard mining within candidates) instead of the full scan;
+    * the margin/selection logic is unchanged. Anchors whose label class
+    * has no second member emit NULL pos columns (margin NULL, not 0 —
+    * absence of a positive is not a zero-margin triplet). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"),
+        (col("label") === col("q_label")).as("is_pos"),
+        col("vec_id").as("neighbor_id"),
+        cosineFast(col("qv"), col("v")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"), col("is_pos"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(
+        max(when(col("is_pos"), col("neighbor_id"))).as("pos_id"),
+        max(when(col("is_pos"), col("cos_sim"))).as("pos_cos"),
+        max(when(!col("is_pos"), col("neighbor_id"))).as("neg_id"),
+        max(when(!col("is_pos"), col("cos_sim"))).as("neg_cos"))
+      .select(col("query_id"), col("q_label").as("label"),
+        col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv FROM e
+       |      WHERE vec_id < $NumQueries),
+       |p AS (SELECT query_id, q_label, label = q_label AS is_pos,
+       |             vec_id AS neighbor_id,
+       |             ${cosineSql("qv", "v")} AS cos_sim
+       |      FROM e, q WHERE vec_id <> query_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, is_pos
+       |                                   ORDER BY cos_sim DESC, neighbor_id)
+       |               AS rn
+       |      FROM p),
+       |t AS (SELECT query_id, q_label AS label,
+       |             MAX(CASE WHEN is_pos THEN neighbor_id END) AS pos_id,
+       |             MAX(CASE WHEN is_pos THEN cos_sim END) AS pos_cos,
+       |             MAX(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id,
+       |             MAX(CASE WHEN NOT is_pos THEN cos_sim END) AS neg_cos
+       |      FROM r WHERE rn = 1
+       |      GROUP BY query_id, q_label)
+       |SELECT query_id, label, pos_id, pos_cos, neg_id, neg_cos,
+       |       pos_cos - neg_cos AS margin
+       |FROM t
+       |ORDER BY query_id""".stripMargin
+
   private val NumTables = 8
   private val BitsPerTable = 4
 
@@ -1779,6 +1844,8 @@ object Similarity {
     Q("sim_lsh_topk", lshTopK(_, _).orderBy("query_id", "rank"), Some(lshTopKSql)),
     Q("sim_filtered_topk", filteredTopK(_, _).orderBy("query_id", "rank"),
       Some(filteredTopKSql)),
+    Q("sim_hard_negatives", hardNegatives(_, _).orderBy("query_id"),
+      Some(hardNegativesSql)),
     Q("dedup_embedding_cosine", embeddingCosinePairs(_, _).orderBy("vec_a", "vec_b"),
       Some(embeddingCosinePairsSql)),
     Q("sim_modularity", modularity(_, _).orderBy("community"),

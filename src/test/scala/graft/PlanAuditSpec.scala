@@ -18,6 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnlAllowed: Map[String, Int] = Map(
     "sim_bruteforce_topk" -> 1, // broadcast query batch × corpus (≠ condition)
     "sim_dim_truncation" -> 1, // same broadcast query batch × corpus shape
+    "sim_hard_negatives" -> 1, // broadcast anchor batch × corpus (≠ condition)
     "rel_zorder_skipping" -> 1, // one-row broadcast min/max stats scalar
     "sim_lsh_topk" -> 2, // plane table + query-band broadcast
     "sim_ivf_topk" -> 1, // broadcast probes (≠ condition)

@@ -191,6 +191,42 @@ class Round9cSpec extends AnyFunSuite {
     assert(rows.exists(r => !r.getAs[Boolean]("gopher_pass")))
   }
 
+  test("hard negatives: each side is the argmax over its label class") {
+    import graft.operators.Similarity
+    val vecs = Tables.embeddings(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = Similarity.hardNegatives(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val (_, qLabel, qv) = vecs.find(_._1 == qid).get
+      assert(r.getAs[Int]("label") === qLabel)
+      def best(pos: Boolean): Option[(Long, Double)] =
+        vecs.filter(v => v._1 != qid && (v._2 == qLabel) == pos)
+          .map(v => (v._1, cos(qv, v._3)))
+          .sortBy { case (id, c) => (-c, id) }.headOption
+      (best(true), r.isNullAt(r.fieldIndex("pos_id"))) match {
+        case (Some((id, c)), false) =>
+          assert(r.getAs[Long]("pos_id") === id)
+          assert(math.abs(r.getAs[Double]("pos_cos") - c) < 1e-12)
+        case (None, true) => // no positive exists: NULL is correct
+        case other => fail(s"query $qid positive mismatch: $other")
+      }
+      val (nid, nc) = best(false).get
+      assert(r.getAs[Long]("neg_id") === nid)
+      assert(math.abs(r.getAs[Double]("neg_cos") - nc) < 1e-12)
+      if (!r.isNullAt(r.fieldIndex("margin")))
+        assert(r.getAs[Double]("margin") ===
+          r.getAs[Double]("pos_cos") - r.getAs[Double]("neg_cos"))
+    }
+  }
+
   test("kanonymity: equivalence classes partition the population") {
     import graft.operators.Relational
     val rows = Relational.kAnonymity(spark, dir).collect()
