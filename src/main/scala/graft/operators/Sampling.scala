@@ -599,6 +599,48 @@ object Sampling {
        |GROUP BY epoch, shard
        |ORDER BY epoch, shard""".stripMargin
 
+  /** TEMPERATURE-SCALED mixture weights (α = 1/2): the multilingual
+    * rebalancing rule (mBERT/XLM-R-style `p_i ∝ share_i^α`) that lifts
+    * low-resource languages without letting them dominate. α = 1/2 is
+    * computed as an INTEGER sqrt of the per-language char mass — no `pow`,
+    * whose libm implementations differ across engines; IEEE `sqrt` is
+    * correctly rounded and therefore bit-identical, and every ratio after
+    * it is integer basis points via floor division on non-negative
+    * operands (Spark `div` = DuckDB `//` there). `boost_bp` is the
+    * flattening factor temp/share — >10000 means the language is
+    * up-sampled by the temperature. The corpus-sized work is one map-side
+    * combined per-lang aggregate; everything after runs on the langs-sized
+    * relation (scalars folded in as empty-frame windows, not crossJoins).
+    */
+  def temperatureWeights(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("w", expr("cast(floor(sqrt(cast(n_chars as double))) as bigint)"))
+      .withColumn("share_bp",
+        expr("(n_chars * 10000) div (sum(n_chars) over ())"))
+      .withColumn("temp_bp", expr("(w * 10000) div (sum(w) over ())"))
+      .withColumn("boost_bp",
+        expr("(temp_bp * 10000) div share_bp"))
+      .drop("w")
+
+  val temperatureWeightsSql: String =
+    """WITH by_lang AS (SELECT lang, COUNT(*) AS n_docs,
+      |                        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |                        CAST(FLOOR(SQRT(CAST(SUM(n_chars) AS DOUBLE)))
+      |                          AS BIGINT) AS w
+      |                 FROM documents GROUP BY lang)
+      |, tot AS (SELECT *, CAST(SUM(n_chars) OVER () AS BIGINT) AS tot_chars,
+      |                 CAST(SUM(w) OVER () AS BIGINT) AS tot_w
+      |          FROM by_lang)
+      |SELECT lang, n_docs, n_chars,
+      |       (n_chars * 10000) // tot_chars AS share_bp,
+      |       (w * 10000) // tot_w AS temp_bp,
+      |       (((w * 10000) // tot_w) * 10000)
+      |         // ((n_chars * 10000) // tot_chars) AS boost_bp
+      |FROM tot
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
     Q("sample_kfold_balance", kfoldBalance(_, _).orderBy("fold", "lang"),
@@ -624,5 +666,7 @@ object Sampling {
     Q("sample_leakage_safe_split", leakageSafeSplit(_, _).orderBy("doc_id"),
       Some(leakageSafeSplitSql)),
     Q("sample_epoch_shuffle", epochShuffle(_, _).orderBy("epoch", "shard"),
-      Some(epochShuffleSql)))
+      Some(epochShuffleSql)),
+    Q("sample_temperature", temperatureWeights(_, _).orderBy("lang"),
+      Some(temperatureWeightsSql)))
 }

@@ -227,6 +227,27 @@ class Round9cSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature weights: alpha=1/2 compresses shares toward uniform") {
+    import graft.operators.Sampling
+    val rows = Sampling.temperatureWeights(spark, dir).collect()
+    assert(rows.length >= 2)
+    val shares = rows.map(r => r.getAs[Long]("share_bp"))
+    val temps = rows.map(r => r.getAs[Long]("temp_bp"))
+    // weights are a (floor-division) probability vector
+    assert(shares.sum <= 10000 && shares.sum > 10000 - rows.length)
+    assert(temps.sum <= 10000 && temps.sum > 10000 - rows.length)
+    // sqrt-compression: the spread of the tempered mix is strictly smaller
+    assert(temps.max - temps.min < shares.max - shares.min)
+    // the boost crossover sits at mass (Σm/Σ√m)², strictly between the
+    // extremes when masses differ: smallest share boosted, largest damped,
+    // and boost is anti-monotone in share
+    val byShare = rows.sortBy(_.getAs[Long]("share_bp"))
+    assert(byShare.head.getAs[Long]("boost_bp") > 10000)
+    assert(byShare.last.getAs[Long]("boost_bp") < 10000)
+    assert(byShare.head.getAs[Long]("boost_bp") >
+      byShare.last.getAs[Long]("boost_bp"))
+  }
+
   test("kanonymity: equivalence classes partition the population") {
     import graft.operators.Relational
     val rows = Relational.kAnonymity(spark, dir).collect()
