@@ -1161,6 +1161,67 @@ object EventTime {
       |FROM totals t LEFT JOIN pcts p USING (event_type)
       |ORDER BY t.event_type""".stripMargin
 
+  /** Minimum inter-event gaps before a user's timing is judged. */
+  private val BotMinGaps = 20L
+
+  /** BOT / AUTOMATION FLAGS from inter-arrival regularity — the standard
+    * traffic-quality screen: organic human activity is bursty
+    * (coefficient of variation of gaps ≥ 1, the Poisson floor), while
+    * schedulers and scripts tick (CV ≪ 1). Both flags are EXACT INTEGER
+    * decisions: gaps are floored to whole minutes (µs² sums would
+    * overflow BIGINT at year-scale spans; minute-scale sums are safe past
+    * 10⁶ events/user), CV² < 1 is `n·Σx² − S² < S²` on BIGINTs, and the
+    * rapid-fire flag `mean < 12 h` is `S < 720·n` — no float ever touches
+    * a decision boundary (`cv2_bp` is the same quantity in floor-division
+    * basis points for ranking). One window pass per user plus a map-side
+    * combined aggregate: shuffles by user_id once, output is users-sized.
+    * Production tuning: the CV threshold moves per surface; the invariant
+    * worth keeping is deciding on integer moments, not on a float CV. */
+  def botFlags(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_min", expr("div(us - lag(us, 1) over (partition by user_id order by us, event_id), 60000000)"))
+      .filter(col("gap_min").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_min")).as("s"),
+        sum(col("gap_min") * col("gap_min")).as("q"))
+      .filter(col("n_gaps") >= BotMinGaps && col("s") > 0)
+      .select(col("user_id"), col("n_gaps"),
+        col("s").as("total_gap_min"),
+        (col("s").cast("double") / col("n_gaps")).as("mean_gap_min"),
+        expr("div((n_gaps * q - s * s) * 10000, s * s)").as("cv2_bp"),
+        (col("n_gaps") * col("q") - col("s") * col("s") < col("s") * col("s"))
+          .as("flag_regular"),
+        (col("s") < col("n_gaps") * 720).as("flag_rapid"))
+  }
+
+  val botFlagsSql: String =
+    s"""WITH e AS (SELECT user_id, event_id,
+       |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |           FROM events),
+       |g AS (SELECT user_id,
+       |             (us - LAG(us, 1) OVER (PARTITION BY user_id
+       |                                    ORDER BY us, event_id)) // 60000000
+       |               AS gap_min
+       |      FROM e),
+       |a AS (SELECT user_id, COUNT(*) AS n_gaps,
+       |             CAST(SUM(gap_min) AS BIGINT) AS s,
+       |             CAST(SUM(gap_min * gap_min) AS BIGINT) AS q
+       |      FROM g WHERE gap_min IS NOT NULL
+       |      GROUP BY user_id)
+       |SELECT user_id, n_gaps, s AS total_gap_min,
+       |       CAST(s AS DOUBLE) / n_gaps AS mean_gap_min,
+       |       ((n_gaps * q - s * s) * 10000) // (s * s) AS cv2_bp,
+       |       n_gaps * q - s * s < s * s AS flag_regular,
+       |       s < n_gaps * 720 AS flag_rapid
+       |FROM a
+       |WHERE n_gaps >= $BotMinGaps AND s > 0
+       |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_power_users", powerUsers(_, _).orderBy("decile"), Some(powerUsersSql)),
     Q("events_drift", drift(_, _).orderBy("day"), Some(driftSql)),
@@ -1197,5 +1258,7 @@ object EventTime {
     Q("events_survival", survival(_, _).orderBy("lifetime_days"),
       Some(survivalSql)),
     Q("events_lateness_profile", latenessProfile(_, _).orderBy("event_type"),
-      Some(latenessProfileSql)))
+      Some(latenessProfileSql)),
+    Q("events_bot_flags", botFlags(_, _).orderBy("user_id"),
+      Some(botFlagsSql)))
 }

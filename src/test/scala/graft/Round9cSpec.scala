@@ -248,6 +248,34 @@ class Round9cSpec extends AnyFunSuite {
       byShare.last.getAs[Long]("boost_bp"))
   }
 
+  test("bot flags: integer-moment CV decision matches a replayed gap stream") {
+    import graft.operators.EventTime
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) =>
+        val ts = rs.map(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+          .sortBy(identity).map(_._1)
+        u -> ts.sliding(2).map(p => (p(1) - p(0)) / 60000000L).toArray
+      }
+    val rows = EventTime.botFlags(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val qualifying = gaps.count { case (_, g) => g.length >= 20 && g.sum > 0 }
+    assert(rows.length === qualifying)
+    rows.foreach { r =>
+      val g = gaps(r.getAs[Long]("user_id"))
+      val n = g.length.toLong
+      val s = g.sum
+      val q = g.map(x => x * x).sum
+      assert(r.getAs[Long]("n_gaps") === n)
+      assert(r.getAs[Long]("total_gap_min") === s)
+      assert(r.getAs[Boolean]("flag_regular") === (n * q - s * s < s * s))
+      assert(r.getAs[Boolean]("flag_rapid") === (s < n * 720))
+      assert(r.getAs[Long]("cv2_bp") === (n * q - s * s) * 10000 / (s * s))
+    }
+  }
+
   test("kanonymity: equivalence classes partition the population") {
     import graft.operators.Relational
     val rows = Relational.kAnonymity(spark, dir).collect()
