@@ -482,8 +482,10 @@ object Windows {
       |WHERE rn >= 4
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Max staleness for [[asofTolerance]]: 1 day in µs. */
-  private val AsofToleranceUs = 86400000000L
+  /** Max staleness for [[asofTolerance]]: 1 day in µs. Shared with the
+    * streaming analog ([[graft.streaming.AsofStream]]) so the batch and
+    * stream TTL rules can never drift apart. */
+  private[graft] val AsofToleranceUs = 86400000000L
 
   /** As-of join WITH TOLERANCE — the feature-store TTL rule
     * (`merge_asof(tolerance=...)`): a prior click only counts if it is at
