@@ -1284,6 +1284,56 @@ object Dedup {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** CROSS-SOURCE OVERLAP MATRIX: the near-dup pair product rolled up to
+    * (source, source) — the curation audit answering "which sources copy
+    * from which" (mirror sites, scraped re-posts, boilerplate families)
+    * before any per-source mixture weight is trusted. Reads the
+    * MATERIALIZED `dedup_jaccard_pairs` artifact, so the audit costs two
+    * projection joins and a tiny aggregate — never a recompute of the
+    * pair detection; at warehouse scale the pair table is orders of
+    * magnitude smaller than the corpus and the doc→source projection
+    * joins hash on doc id (the pair side is already bucketed on doc_a).
+    * The source pair is normalized with least/greatest so the matrix is
+    * one triangle. Per cell: pair count, strong-pair count (j ≥ 0.5, an
+    * int/int-double threshold — engine-safe), and min/max Jaccard
+    * (order-independent extremes; a mean of doubles would be
+    * partial-sum-order-dependent and is deliberately absent). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    ngramJaccard(spark, dir)
+      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        least(col("sa.source"), col("sb.source")).as("source_lo"),
+        greatest(col("sa.source"), col("sb.source")).as("source_hi"),
+        col("jaccard"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("jaccard") >= 0.5, 1)).as("n_strong"),
+        min(col("jaccard")).as("min_j"),
+        max(col("jaccard")).as("max_j"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH s AS (SELECT doc_id, source FROM documents),
+       |p AS (SELECT * FROM (
+       |$ngramJaccardSql
+       |)),
+       |cell AS (SELECT LEAST(sa.source, sb.source) AS source_lo,
+       |                GREATEST(sa.source, sb.source) AS source_hi,
+       |                jaccard
+       |         FROM p
+       |         JOIN s sa ON sa.doc_id = p.doc_a
+       |         JOIN s sb ON sb.doc_id = p.doc_b)
+       |SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+       |       CAST(COUNT(CASE WHEN jaccard >= 0.5 THEN 1 END) AS BIGINT)
+       |         AS n_strong,
+       |       MIN(jaccard) AS min_j, MAX(jaccard) AS max_j
+       |FROM cell
+       |GROUP BY source_lo, source_hi
+       |ORDER BY source_lo, source_hi""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", exact(_, _).orderBy("doc_id"), Some(exactSql)),
     Q("dedup_incremental", incremental(_, _).orderBy("doc_id"), Some(incrementalSql)),
@@ -1309,6 +1359,8 @@ object Dedup {
     Q("dedup_impact", impact(_, _).orderBy("n_docs"), Some(impactSql)),
     Q("dedup_components", components(_, _).orderBy("doc_id"), Some(componentsSql)),
     Q("dedup_cascade", cascade(_, _).orderBy("stage"), Some(cascadeSql)),
+    Q("dedup_source_overlap", sourceOverlap(_, _).orderBy("source_lo", "source_hi"),
+      Some(sourceOverlapSql)),
     Q("dedup_cluster_keep", clusterKeep(_, _).orderBy("doc_id"), Some(clusterKeepSql)),
     Q("dedup_name_edit", nameEdit(_, _).orderBy("name_a", "name_b"), Some(nameEditSql)),
     Q("dedup_name_edit_multiblock",

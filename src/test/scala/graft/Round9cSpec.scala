@@ -276,6 +276,18 @@ class Round9cSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap: cells partition the pair product, triangle normalized") {
+    import graft.operators.Dedup
+    val pairs = Dedup.ngramJaccard(spark, dir).count()
+    val cells = Dedup.sourceOverlap(spark, dir).collect()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum === pairs)
+    cells.foreach { c =>
+      assert(c.getAs[String]("source_lo") <= c.getAs[String]("source_hi"))
+      assert(c.getAs[Long]("n_strong") <= c.getAs[Long]("n_pairs"))
+      assert(c.getAs[Double]("min_j") <= c.getAs[Double]("max_j"))
+    }
+  }
+
   test("kanonymity: equivalence classes partition the population") {
     import graft.operators.Relational
     val rows = Relational.kAnonymity(spark, dir).collect()
