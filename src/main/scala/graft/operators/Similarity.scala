@@ -757,6 +757,55 @@ object Similarity {
        |ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** kNN MAJORITY-VOTE CLASSIFIER over the materialized [[knnGraph]],
+    * reported as a label confusion matrix — the standard label-consistency
+    * probe of embedding quality (a good embedding predicts a vector's
+    * label from its neighborhood; leave-one-out by construction since the
+    * graph excludes self-edges). Votes are the neighbor-label counts per
+    * vector; the winner is an exact integer argmax with a smallest-label
+    * tiebreak (row_number over (votes DESC, label) — no float ever
+    * decides). Cost on top of the graph: one projection join to the label
+    * column and two label-cardinality-bounded aggregates; the corpus-sized
+    * vote shuffle is keyed by vec_id, the same key the graph artifact is
+    * already laid out on. Output is labels², independent of corpus size. */
+  def knnClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val votes = knnGraph(spark, dir)
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        "neighbor_id")
+      .groupBy(col("vec_id"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("n_votes").desc, col("n_label"))
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("n_label").as("predicted_label"))
+      .join(lbl, "vec_id")
+      .groupBy(col("label"), col("predicted_label"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .select(col("label").as("actual_label"), col("predicted_label"),
+        col("n_vectors"))
+  }
+
+  val knnClassifierSql: String =
+    s"""WITH g AS (SELECT * FROM (
+       |$knnGraphSql
+       |)),
+       |votes AS (SELECT g.vec_id, emb.label AS n_label, COUNT(*) AS n_votes
+       |          FROM g JOIN embeddings emb ON emb.vec_id = g.neighbor_id
+       |          GROUP BY 1, 2),
+       |pred AS (SELECT vec_id, n_label AS predicted_label
+       |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                          ORDER BY n_votes DESC, n_label) AS rn
+       |               FROM votes)
+       |         WHERE rn = 1)
+       |SELECT emb.label AS actual_label, p.predicted_label,
+       |       COUNT(*) AS n_vectors
+       |FROM pred p JOIN embeddings emb USING (vec_id)
+       |GROUP BY 1, 2
+       |ORDER BY actual_label, predicted_label""".stripMargin
+
   /** GROUPED VECTOR AGGREGATE: per-label centroid of the embedding column,
     * exposed long-form (label, dimension, quantized coordinate). The
     * elementwise mean of a vector column is the building block for class
@@ -1839,6 +1888,9 @@ object Similarity {
     Q("sim_label_centroids", labelCentroids(_, _).orderBy("label", "d"),
       Some(labelCentroidsSql)),
     Q("sim_knn_graph", knnGraph(_, _).orderBy("vec_id", "rank"), Some(knnGraphSql)),
+    Q("sim_knn_classifier",
+      knnClassifier(_, _).orderBy("actual_label", "predicted_label"),
+      Some(knnClassifierSql)),
     Q("sim_bruteforce_topk", bruteForceTopK(_, _).orderBy("query_id", "rank"),
       Some(bruteForceTopKSql)),
     Q("sim_lsh_topk", lshTopK(_, _).orderBy("query_id", "rank"), Some(lshTopKSql)),

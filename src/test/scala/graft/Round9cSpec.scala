@@ -288,6 +288,29 @@ class Round9cSpec extends AnyFunSuite {
     }
   }
 
+  test("knn classifier: every classified vector counted once, vote law holds") {
+    import graft.operators.Similarity
+    val cells = Similarity.knnClassifier(spark, dir).collect()
+    // every vector with at least one graph neighbor is classified exactly once
+    val classified = Similarity.knnGraph(spark, dir)
+      .select("vec_id").distinct().count()
+    assert(cells.map(_.getAs[Long]("n_vectors")).sum === classified)
+    // replay the vote for a sample of vectors
+    val lbl = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val byVec = Similarity.knnGraph(spark, dir).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+    val predByCell = cells.map(c => (c.getAs[Int]("actual_label"),
+      c.getAs[Int]("predicted_label"))).toSet
+    byVec.take(50).foreach { case (v, edges) =>
+      val votes = edges.map(e => lbl(e.getAs[Long]("neighbor_id")))
+        .groupBy(identity).map { case (l, vs) => (l, vs.length) }
+      val winner = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head._1
+      assert(predByCell.contains((lbl(v), winner)),
+        s"vec $v: expected cell (${lbl(v)}, $winner)")
+    }
+  }
+
   test("kanonymity: equivalence classes partition the population") {
     import graft.operators.Relational
     val rows = Relational.kAnonymity(spark, dir).collect()
