@@ -424,6 +424,74 @@ object Similarity {
         .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
     }
 
+  /** LABEL-NOISE AUDIT: per label, the [[K]] vectors MOST ATYPICAL of
+    * their own class — lowest cosine to the class centroid — the standard
+    * triage list for mislabeled / outlier training examples (Confident
+    * Learning's per-class tail, computed geometrically). All corpus-sized
+    * arithmetic is exact integers over the materialized quantized-dims and
+    * seed-centroid artifacts: Σq·cq, Σq², Σcq² are associative BIGINT sums
+    * (partition-order-free), and the only float work is one fixed
+    * three-op tail (sqrt·sqrt, divide) on identical inputs in both
+    * engines. Ranking ties break on vec_id. Plan: one broadcast join of
+    * the labels + one of the labels×64 centroid relation onto the dims
+    * table, a map-side-combined per-vector aggregate, then a per-label
+    * top-k window over the labels-sized scored relation. */
+  def labelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val dims = quantDims(spark, dir)
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val cent = seedCentroids(spark, dir, dims)
+      .select(col("list_id").as("label"), col("d"), col("cq"))
+    val perVec = dims.join(broadcast(lab), "vec_id")
+      .join(broadcast(cent), Seq("label", "d"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("q") * col("cq")).as("dotq"),
+        sum(col("q") * col("q")).as("nx"))
+    val nc = cent.groupBy("label").agg(sum(col("cq") * col("cq")).as("ncy"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").asc, col("vec_id"))
+    perVec.join(broadcast(nc), "label")
+      .select(col("label"), col("vec_id"),
+        (col("dotq").cast("double") /
+          (sqrt(col("nx").cast("double")) * sqrt(col("ncy").cast("double"))))
+          .as("cos_centroid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("label"), col("vec_id"), col("rank"), col("cos_centroid"))
+  }
+
+  val labelOutliersSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT vec_id, i - 1 AS d,
+       |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+       |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+       |cent AS (SELECT emb.label, d,
+       |                CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+       |                  AS cq
+       |         FROM dims JOIN embeddings emb USING (vec_id)
+       |         GROUP BY 1, 2),
+       |pv AS (SELECT dims.vec_id, emb.label,
+       |              CAST(SUM(q * cq) AS BIGINT) AS dotq,
+       |              CAST(SUM(q * q) AS BIGINT) AS nx
+       |       FROM dims
+       |       JOIN embeddings emb ON emb.vec_id = dims.vec_id
+       |       JOIN cent ON cent.label = emb.label AND cent.d = dims.d
+       |       GROUP BY 1, 2),
+       |nc AS (SELECT label, CAST(SUM(cq * cq) AS BIGINT) AS ncy
+       |       FROM cent GROUP BY label),
+       |scored AS (SELECT pv.label, vec_id,
+       |                  CAST(dotq AS DOUBLE)
+       |                    / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ncy AS DOUBLE)))
+       |                    AS cos_centroid
+       |           FROM pv JOIN nc USING (label))
+       |SELECT label, vec_id,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY label
+       |                               ORDER BY cos_centroid ASC, vec_id)
+       |         AS INTEGER) AS rank,
+       |       cos_centroid
+       |FROM scored
+       |QUALIFY rank <= $K
+       |ORDER BY label, rank""".stripMargin
+
   /** Exact integer L2 distance of every vector to every centroid. */
   private def centDist(dims: DataFrame, cent: DataFrame): DataFrame =
     dims.join(broadcast(cent), "d")
@@ -1887,6 +1955,8 @@ object Similarity {
     Q("sim_triangles", triangles(_, _).orderBy("vec_id"), Some(trianglesSql)),
     Q("sim_label_centroids", labelCentroids(_, _).orderBy("label", "d"),
       Some(labelCentroidsSql)),
+    Q("sim_label_outliers", labelOutliers(_, _).orderBy("label", "rank"),
+      Some(labelOutliersSql)),
     Q("sim_knn_graph", knnGraph(_, _).orderBy("vec_id", "rank"), Some(knnGraphSql)),
     Q("sim_knn_classifier",
       knnClassifier(_, _).orderBy("actual_label", "predicted_label"),

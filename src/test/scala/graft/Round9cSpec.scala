@@ -311,6 +311,41 @@ class Round9cSpec extends AnyFunSuite {
     }
   }
 
+  test("label outliers: k lowest centroid-cosines per label, exact moments") {
+    import graft.operators.Similarity
+    val rows = Similarity.labelOutliers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    byLabel.foreach { case (_, rs) =>
+      assert(rs.length <= 10)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rs.length))
+      // ranks ordered by ascending atypicality
+      val sorted = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_centroid"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    // independent replay in quantized-integer arithmetic: the emitted
+    // rank-1 vector must be the true argmin of cos-to-centroid
+    val vecs = Tables.embeddings(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1000000).toLong).toArray))
+    vecs.groupBy(_._2).foreach { case (label, members) =>
+      val dims = members.head._3.length
+      val cq = Array.tabulate(dims) { d =>
+        math.floor(members.map(_._3(d)).sum.toDouble / members.length).toLong
+      }
+      val ncy = cq.map(c => c * c).sum
+      val best = members.map { case (id, _, q) =>
+        val dotq = q.zip(cq).map { case (a, b) => a * b }.sum
+        val nx = q.map(a => a * a).sum
+        (id, dotq.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ncy.toDouble)))
+      }.sortBy { case (id, c) => (c, id) }.head
+      val got = byLabel(label).minBy(_.getAs[Int]("rank"))
+      assert(got.getAs[Long]("vec_id") === best._1, s"label $label")
+      assert(math.abs(got.getAs[Double]("cos_centroid") - best._2) < 1e-12)
+    }
+  }
+
   test("kanonymity: equivalence classes partition the population") {
     import graft.operators.Relational
     val rows = Relational.kAnonymity(spark, dir).collect()
