@@ -1161,6 +1161,79 @@ object EventTime {
       |FROM totals t LEFT JOIN pcts p USING (event_type)
       |ORDER BY t.event_type""".stripMargin
 
+  /** A/B EXPERIMENT READOUT with an exact-integer significance decision.
+    * Users are assigned to arms by id hash (50/50, reproducible on any
+    * cluster, auditable per user); conversion = the user is a power
+    * purchaser (≥ [[AbConvPurchases]] purchases — "ever purchased" is
+    * saturated on this corpus and would make every readout degenerate).
+    * The readout is the two-proportion χ² test at α = 0.05, decided
+    * ENTIRELY in integer arithmetic: z² > 3.84 rearranges to
+    * `100·(k_a·n_b − k_b·n_a)²·n  >  384·n_a·n_b·k·(n−k)` (k = total
+    * conversions, n = total users) — DECIMAL(38,0) on the Spark side,
+    * HUGEINT in the oracle, the same widening the z-score outlier flag
+    * uses; a float z on the decision boundary would flip between engines
+    * on the last ulp. Conversion rates and lift are floor-division basis
+    * points. The corpus-sized work is one map-side-combined per-user
+    * aggregate; everything after is arithmetic on one row. */
+  private val AbConvPurchases = 14L
+
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= AbConvPurchases).cast("long").as("conv"))
+      .withColumn("arm",
+        pmod(graft.functions.TextFns.hash60(col("user_id").cast("string")), lit(2)))
+    val kanb = col("conv_a").cast(d38) * col("n_b")
+    val kbna = col("conv_b").cast(d38) * col("n_a")
+    val k = col("conv_a").cast(d38) + col("conv_b")
+    val n = col("n_a").cast(d38) + col("n_b")
+    users
+      .agg(
+        count(when(col("arm") === 0, 1)).as("n_a"),
+        count(when(col("arm") === 1, 1)).as("n_b"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        expr("(conv_a * 10000) div n_a").as("cr_a_bp"),
+        expr("(conv_b * 10000) div n_b").as("cr_b_bp"),
+        expr("(conv_b * 10000) div n_b - (conv_a * 10000) div n_a")
+          .as("lift_bp"),
+        (lit(100).cast(d38) * (kanb - kbna) * (kanb - kbna) * n >
+          lit(384).cast(d38) * col("n_a") * col("n_b") * k * (n - k))
+          .as("significant"))
+  }
+
+  val abTestSql: String = {
+    val arm = s"${graft.functions.TextFns.hash60Sql("CAST(user_id AS VARCHAR)")} % 2"
+    s"""WITH u AS (SELECT user_id,
+       |                  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+       |                       >= $AbConvPurchases AS INTEGER) AS conv,
+       |                  $arm AS arm
+       |           FROM events
+       |           GROUP BY user_id),
+       |a AS (SELECT COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+       |             COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+       |             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+       |               AS conv_a,
+       |             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+       |               AS conv_b
+       |      FROM u)
+       |SELECT n_a, n_b, conv_a, conv_b,
+       |       (conv_a * 10000) // n_a AS cr_a_bp,
+       |       (conv_b * 10000) // n_b AS cr_b_bp,
+       |       (conv_b * 10000) // n_b - (conv_a * 10000) // n_a AS lift_bp,
+       |       100 * (CAST(conv_a AS HUGEINT)*n_b - CAST(conv_b AS HUGEINT)*n_a)
+       |           * (CAST(conv_a AS HUGEINT)*n_b - CAST(conv_b AS HUGEINT)*n_a)
+       |           * (CAST(n_a AS HUGEINT) + n_b)
+       |         > 384 * CAST(n_a AS HUGEINT) * n_b
+       |             * (CAST(conv_a AS HUGEINT) + conv_b)
+       |             * (CAST(n_a AS HUGEINT) + n_b - conv_a - conv_b)
+       |         AS significant
+       |FROM a""".stripMargin
+  }
+
   /** Minimum inter-event gaps before a user's timing is judged. */
   private val BotMinGaps = 20L
 
@@ -1260,5 +1333,6 @@ object EventTime {
     Q("events_lateness_profile", latenessProfile(_, _).orderBy("event_type"),
       Some(latenessProfileSql)),
     Q("events_bot_flags", botFlags(_, _).orderBy("user_id"),
-      Some(botFlagsSql)))
+      Some(botFlagsSql)),
+    Q("events_ab_test", abTest(_, _), Some(abTestSql)))
 }

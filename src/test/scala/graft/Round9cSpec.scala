@@ -346,6 +346,24 @@ class Round9cSpec extends AnyFunSuite {
     }
   }
 
+  test("ab test: arms partition users, chi-square decision replays in BigInt") {
+    import graft.operators.EventTime
+    val r = EventTime.abTest(spark, dir).collect()(0)
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val (ka, kb) = (r.getAs[Long]("conv_a"), r.getAs[Long]("conv_b"))
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(na + nb === users)
+    assert(ka <= na && kb <= nb && na > 0 && nb > 0)
+    assert(r.getAs[Long]("cr_a_bp") === ka * 10000 / na)
+    assert(r.getAs[Long]("lift_bp") === kb * 10000 / nb - ka * 10000 / na)
+    // both arms and both outcomes must occur for the test to mean anything
+    assert(ka > 0 && kb > 0 && (ka < na || kb < nb))
+    val (bna, bnb, bka, bkb) = (BigInt(na), BigInt(nb), BigInt(ka), BigInt(kb))
+    val lhs = 100 * (bka * bnb - bkb * bna).pow(2) * (bna + bnb)
+    val rhs = 384 * bna * bnb * (bka + bkb) * (bna + bnb - bka - bkb)
+    assert(r.getAs[Boolean]("significant") === (lhs > rhs))
+  }
+
   test("kanonymity: equivalence classes partition the population") {
     import graft.operators.Relational
     val rows = Relational.kAnonymity(spark, dir).collect()
