@@ -213,6 +213,75 @@ object EventTime {
        |GROUP BY 1, 2
        |ORDER BY cohort_wk, week_offset""".stripMargin
 
+  /** COHORT LTV: the revenue companion of [[retention]] — for each
+    * (first-active-week cohort, week offset) cell, purchase revenue that
+    * week, the running cumulative, and cumulative revenue per cohort
+    * member in exact integer cents. Money flows through DECIMAL(18,2)
+    * sums end to end (associative — shuffle/partial-agg order can't move
+    * a cent), the cumulative is a per-cohort ordered window over the
+    * cells-sized relation, and the per-user division is floor division on
+    * integer cents with an abs/sign split (Spark `div` truncates, DuckDB
+    * `//` floors; they agree only on non-negative operands). Plan: one
+    * user_id shuffle for cohorts, one (cohort, offset) shuffle for cells
+    * — the window and joins after run on the matrix-sized relation, which
+    * stays ~O(weeks²) no matter how large the corpus grows. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div CAST($WeekUs AS BIGINT)").as("wk"),
+        col("event_type"), col("value"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_size"))
+    val w = Window.partitionBy(col("cohort_wk")).orderBy(col("week_offset"))
+    ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .withColumn("week_offset", col("wk") - col("cohort_wk"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_buyers"),
+        sum(dec(col("value"))).as("rev_dec"))
+      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+      .join(sizes, "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("cohort_size"),
+        col("n_buyers"), col("n_purchases"),
+        dec2(col("rev_dec")).as("wk_revenue"),
+        dec2(col("cum_dec")).as("cum_revenue"),
+        expr("""case when cum_dec >= 0
+                then div(cast(cum_dec * 100 as bigint), cohort_size)
+                else -div(cast((-cum_dec) * 100 as bigint), cohort_size)
+                end""").as("ltv_per_user_cents"))
+  }
+
+  val cohortLtvSql: String =
+    s"""WITH e AS (SELECT user_id,
+       |                  epoch_us(CAST(ts AS TIMESTAMP)) // $WeekUs AS wk,
+       |                  event_type, value
+       |           FROM events),
+       |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1),
+       |s AS (SELECT cohort_wk, COUNT(*) AS cohort_size FROM c GROUP BY 1),
+       |p AS (SELECT c.cohort_wk, e.wk - c.cohort_wk AS week_offset,
+       |             COUNT(*) AS n_purchases,
+       |             COUNT(DISTINCT e.user_id) AS n_buyers,
+       |             SUM(CAST(e.value AS DECIMAL(18,2))) AS rev_dec
+       |      FROM e JOIN c USING (user_id)
+       |      WHERE e.event_type = 'purchase'
+       |      GROUP BY 1, 2),
+       |win AS (SELECT p.*,
+       |               SUM(rev_dec) OVER (PARTITION BY cohort_wk
+       |                                  ORDER BY week_offset) AS cum_dec
+       |        FROM p)
+       |SELECT cohort_wk, week_offset, cohort_size, n_buyers, n_purchases,
+       |       CAST(rev_dec AS DOUBLE) AS wk_revenue,
+       |       CAST(cum_dec AS DOUBLE) AS cum_revenue,
+       |       CASE WHEN cum_dec >= 0
+       |            THEN CAST(cum_dec * 100 AS BIGINT) // cohort_size
+       |            ELSE -(CAST((-cum_dec) * 100 AS BIGINT) // cohort_size)
+       |            END AS ltv_per_user_cents
+       |FROM win JOIN s USING (cohort_wk)
+       |ORDER BY cohort_wk, week_offset""".stripMargin
+
   private val DayUs = 86400000000L // 24 * 3600 * 1e6
 
   /** USER-LIFETIME SURVIVAL CURVE — the Kaplan-Meier-shaped complement of
@@ -1324,6 +1393,8 @@ object EventTime {
     Q("events_funnel", funnel(_, _).orderBy("user_id"), Some(funnelSql)),
     Q("events_retention", retention(_, _).orderBy("cohort_wk", "week_offset"),
       Some(retentionSql)),
+    Q("events_cohort_ltv", cohortLtv(_, _).orderBy("cohort_wk", "week_offset"),
+      Some(cohortLtvSql)),
     Q("events_sessions", sessions(_, _).orderBy("user_id", "session_idx"),
       Some(sessionsSql)),
     Q("events_click_attribution", attribution(_, _).orderBy("click_id", "purchase_id"),

@@ -641,6 +641,64 @@ object Sampling {
       |FROM tot
       |ORDER BY lang""".stripMargin
 
+  /** Eval-set sample budget the Neyman allocation distributes. */
+  private val NeymanBudget = 1000L
+
+  /** NEYMAN ALLOCATION for a stratified eval sample: given a fixed label
+    * budget, the variance-minimizing share of stratum h is
+    * `n_h·σ_h / Σ_j n_j·σ_j` — high-variance strata get oversampled
+    * relative to their population share. With strata = languages and the
+    * measured variable = document length, `n_h·σ_h` collapses to
+    * `sqrt(n_h·Σx² − S²)`: the inner moments are exact BIGINT sums (safe
+    * to ~2⁵³ total squared-char mass; floor chars to coarser units before
+    * that), the single sqrt is IEEE correctly-rounded (bit-identical
+    * cross-engine, the [[temperatureWeights]] precedent), and every share
+    * after is floor-division basis points on non-negative integers. The
+    * corpus-sized work is one map-side-combined per-lang aggregate;
+    * shares/allocations run on the langs-sized relation with scalars as
+    * empty-frame windows. `oversample_bp` >10000 flags strata the
+    * variance criterion boosts above their proportional share. */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("s"),
+        sum(col("n_chars") * col("n_chars")).as("q"))
+      .withColumn("w",
+        expr("cast(floor(sqrt(cast(n_docs * q - s * s as double))) as bigint)"))
+      .withColumn("mean_chars", expr("s div n_docs"))
+      .withColumn("sd_chars", expr("w div n_docs"))
+      .withColumn("prop_bp", expr("(n_docs * 10000) div (sum(n_docs) over ())"))
+      .withColumn("neyman_bp", expr("(w * 10000) div (sum(w) over ())"))
+      .withColumn("alloc_n",
+        expr(s"(w * $NeymanBudget) div (sum(w) over ())"))
+      .withColumn("oversample_bp", expr("(neyman_bp * 10000) div prop_bp"))
+      .select(col("lang"), col("n_docs"), col("mean_chars"), col("sd_chars"),
+        col("prop_bp"), col("neyman_bp"), col("alloc_n"), col("oversample_bp"))
+
+  val neymanAllocationSql: String =
+    s"""WITH by_lang AS (SELECT lang, COUNT(*) AS n_docs,
+       |                        CAST(SUM(n_chars) AS BIGINT) AS s,
+       |                        CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+       |                 FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n_docs,
+       |             CAST(FLOOR(SQRT(CAST(n_docs * q - s * s AS DOUBLE)))
+       |               AS BIGINT) AS w,
+       |             s FROM by_lang),
+       |t AS (SELECT *, CAST(SUM(n_docs) OVER () AS BIGINT) AS tot_n,
+       |             CAST(SUM(w) OVER () AS BIGINT) AS tot_w
+       |      FROM w)
+       |SELECT lang, n_docs,
+       |       s // n_docs AS mean_chars,
+       |       w // n_docs AS sd_chars,
+       |       (n_docs * 10000) // tot_n AS prop_bp,
+       |       (w * 10000) // tot_w AS neyman_bp,
+       |       (w * $NeymanBudget) // tot_w AS alloc_n,
+       |       (((w * 10000) // tot_w) * 10000)
+       |         // ((n_docs * 10000) // tot_n) AS oversample_bp
+       |FROM t
+       |ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
     Q("sample_kfold_balance", kfoldBalance(_, _).orderBy("fold", "lang"),
@@ -668,5 +726,7 @@ object Sampling {
     Q("sample_epoch_shuffle", epochShuffle(_, _).orderBy("epoch", "shard"),
       Some(epochShuffleSql)),
     Q("sample_temperature", temperatureWeights(_, _).orderBy("lang"),
-      Some(temperatureWeightsSql)))
+      Some(temperatureWeightsSql)),
+    Q("sample_neyman_alloc", neymanAllocation(_, _).orderBy("lang"),
+      Some(neymanAllocationSql)))
 }

@@ -326,6 +326,93 @@ object TextAnalysis {
       |ORDER BY pair_count DESC, pair
       |LIMIT 20""".stripMargin
 
+  /** ONE FULL BPE MERGE ITERATION — the training step [[bpePairs]] only
+    * ranks candidates for: pick the globally best symbol pair (max
+    * frequency-weighted count, lexicographic tiebreak), apply the merge to
+    * every vocabulary word, and emit the post-merge top-20 pair table the
+    * NEXT iteration would rank. Words are char-spaced symbol strings with
+    * space sentinels (`"low"` → `" l o w "`); the merge is a plain string
+    * `replace` of `" p1 p2 "` with `" p1p2 "` — leftmost non-overlapping
+    * scan, identical semantics in Spark's UTF8String and DuckDB, run TWICE
+    * because the first scan's consumed trailing sentinel blocks a
+    * back-to-back occurrence (`" p1 p2 p1 p2 "` needs the second pass to
+    * merge its right half; repeated-symbol runs resolve leftmost). Scale
+    * shape: everything after the token-frequency aggregate is
+    * VOCABULARY-sized (Zipf — orders of magnitude below the token
+    * stream), the merge itself is a map-side projection, and the chosen
+    * pair reaches the corpus-sized side as a broadcast of a 1-row
+    * aggregate, never a collect-and-reparse. A production trainer loops
+    * this exact round vocab-resident; each round is one cheap Spark job. */
+  def bpeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        concat(lit(" "), regexp_replace(col("token"), "(.)", "$1 ")).as("seq"))
+    def pairCounts(s: DataFrame): DataFrame = s
+      .withColumn("a", split(trim(col("seq")), " "))
+      .select(col("cnt"), explode(expr(
+        """transform(sequence(1, size(a) - 1),
+          |          i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"""
+          .stripMargin)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_count"))
+    val best = pairCounts(seqs)
+      .orderBy(col("pair_count").desc, col("pair")).limit(1)
+      .select(col("pair").as("best_pair"))
+    val merged = seqs.crossJoin(broadcast(best))
+      .select(col("cnt"),
+        expr("""replace(replace(seq, concat(' ', best_pair, ' '),
+                                concat(' ', replace(best_pair, ' ', ''), ' ')),
+                        concat(' ', best_pair, ' '),
+                        concat(' ', replace(best_pair, ' ', ''), ' '))""")
+          .as("seq"),
+        col("best_pair"))
+    pairCounts(merged)
+      .crossJoin(broadcast(best))
+      .select(col("pair"), col("pair_count"),
+        expr("replace(best_pair, ' ', '')").as("applied_merge"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+  }
+
+  val bpeMergeSql: String =
+    """WITH tok AS (
+      |  SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, COUNT(*) AS cnt FROM tok
+      |       WHERE length(token) >= 2 GROUP BY 1),
+      |sq AS (SELECT cnt,
+      |              ' ' || regexp_replace(token, '(.)', '\1 ', 'g') AS seq
+      |       FROM tf),
+      |p1 AS (SELECT a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1]
+      |                AS pair, cnt
+      |       FROM (SELECT cnt, regexp_split_to_array(trim(seq), ' ') AS a
+      |             FROM sq),
+      |            UNNEST(range(1, len(a))) AS u(i)),
+      |pc1 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c
+      |        FROM p1 GROUP BY 1),
+      |best AS (SELECT pair AS best_pair FROM pc1
+      |         ORDER BY c DESC, pair LIMIT 1),
+      |m AS (SELECT s.cnt,
+      |             replace(replace(s.seq, ' ' || b.best_pair || ' ',
+      |                             ' ' || replace(b.best_pair, ' ', '') || ' '),
+      |                     ' ' || b.best_pair || ' ',
+      |                     ' ' || replace(b.best_pair, ' ', '') || ' ') AS seq
+      |      FROM sq s, best b),
+      |p2 AS (SELECT a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1]
+      |                AS pair, cnt
+      |       FROM (SELECT cnt, regexp_split_to_array(trim(seq), ' ') AS a
+      |             FROM m),
+      |            UNNEST(range(1, len(a))) AS u(i)),
+      |pc2 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      |        FROM p2 GROUP BY 1)
+      |SELECT pc2.pair, pc2.pair_count,
+      |       replace(b.best_pair, ' ', '') AS applied_merge
+      |FROM pc2, best b
+      |ORDER BY pair_count DESC, pair
+      |LIMIT 20""".stripMargin
+
   private val RagChunkTokens = 128
   private val RagStride = 96 // 32-token overlap between consecutive chunks
 
@@ -1129,6 +1216,7 @@ object TextAnalysis {
     Q("text_regex_tokens", regexTokens(_, _).orderBy("doc_id"), Some(regexTokensSql)),
     Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
     Q("text_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    Q("text_bpe_merge", bpeMerge, Some(bpeMergeSql)),
     Q("text_novelty", novelty(_, _).orderBy("doc_id"), Some(noveltySql)),
     Q("text_rag_chunks", ragChunks(_, _).orderBy("doc_id", "chunk_idx"),
       Some(ragChunksSql)),

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 third wave: cohort LTV and Neyman eval-set allocation.
+  * Each test asserts the operator's defining law against an independent
+  * driver-side recomputation on the real sf0.001 data, not just shape.
+  */
+class Round9dSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  test("cohort_ltv: cumulative law, buyer bounds, exact per-user cents") {
+    import graft.operators.EventTime
+    val rows = EventTime.cohortLtv(spark, dir)
+      .orderBy("cohort_wk", "week_offset").collect()
+    assert(rows.nonEmpty)
+
+    // buyers are cohort members who purchased that week
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_buyers") >= 1)
+      assert(r.getAs[Long]("n_buyers") <= r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Long]("n_buyers") <= r.getAs[Long]("n_purchases"))
+    }
+
+    // per cohort: cum is the running sum of wk_revenue (exact in cents —
+    // dec2 output doubles are integer-cent-exact at this magnitude)
+    def cents(d: Double): Long = math.round(d * 100)
+    rows.groupBy(_.getAs[Long]("cohort_wk")).foreach { case (_, cells) =>
+      val sorted = cells.sortBy(_.getAs[Long]("week_offset"))
+      var running = 0L
+      sorted.foreach { r =>
+        running += cents(r.getAs[Double]("wk_revenue"))
+        assert(cents(r.getAs[Double]("cum_revenue")) === running)
+        // per-user cents is floor division of the running cents
+        assert(r.getAs[Long]("ltv_per_user_cents") ===
+          Math.floorDiv(running, r.getAs[Long]("cohort_size")))
+      }
+    }
+
+    // the cells cover every purchase exactly once
+    val totalPurchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === totalPurchases)
+
+    // distinct cohort sizes sum to the full user population
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    val sizes = rows.map(r =>
+      r.getAs[Long]("cohort_wk") -> r.getAs[Long]("cohort_size")).distinct
+    assert(sizes.map(_._2).sum === users)
+  }
+
+  test("bpe_merge: exact match with a driver-side reimplementation") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.bpeMerge(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 20)
+
+    // driver-side reimplementation: same symbol-string representation,
+    // same two-pass leftmost non-overlapping replace (Java String.replace
+    // has the identical scan semantics as Spark UTF8String / DuckDB)
+    val tf = Tables.documents(spark, dir).select("text").collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+      .filter(_.length >= 2)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    def seqOf(tok: String) = " " + tok.map(c => s"$c ").mkString
+    def pairCounts(seqs: Iterable[(String, Long)]) = {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      for ((seq, cnt) <- seqs) {
+        val syms = seq.trim.split(" ")
+        for (i <- 0 until syms.length - 1)
+          m.updateWith(s"${syms(i)} ${syms(i + 1)}")(v => Some(v.getOrElse(0L) + cnt))
+      }
+      m.toMap
+    }
+    val seqs0 = tf.map { case (t, c) => seqOf(t) -> c }
+    val pc0 = pairCounts(seqs0)
+    val best = pc0.toSeq.minBy { case (p, c) => (-c, p) }._1
+    val merged = best.replace(" ", "")
+    val seqs1 = seqs0.map { case (s, c) =>
+      s.replace(s" $best ", s" $merged ").replace(s" $best ", s" $merged ") -> c
+    }
+    val top = pairCounts(seqs1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(20)
+      .map { case (p, c) => (p, c, merged) }
+    assert(rows.toSeq === top)
+    // the applied pair is fully consumed — two passes leave no occurrence
+    assert(!pairCounts(seqs1).contains(best))
+  }
+
+  test("neyman_alloc: recomputed moments, budget bound, share laws") {
+    import graft.operators.Sampling
+    val rows = Sampling.neymanAllocation(spark, dir).collect()
+    assert(rows.nonEmpty)
+
+    // independent recomputation of each stratum from the raw documents
+    val docs = Tables.documents(spark, dir)
+      .select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val byLang = docs.groupBy(_._1).map { case (l, xs) =>
+      val v = xs.map(_._2)
+      val n = v.length.toLong
+      val s = v.sum
+      val q = v.map(x => x * x).sum
+      l -> (n, s, math.sqrt((n * q - s * s).toDouble).toLong)
+    }
+    val totW = byLang.values.map(_._3).sum
+    val totN = byLang.values.map(_._1).sum
+    rows.foreach { r =>
+      val (n, s, w) = byLang(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("mean_chars") === s / n)
+      assert(r.getAs[Long]("sd_chars") === w / n)
+      assert(r.getAs[Long]("prop_bp") === n * 10000 / totN)
+      assert(r.getAs[Long]("neyman_bp") === w * 10000 / totW)
+      assert(r.getAs[Long]("alloc_n") === w * 1000 / totW)
+    }
+
+    // floor-division shares: within n_langs basis points of a full budget
+    val bpSum = rows.map(_.getAs[Long]("neyman_bp")).sum
+    assert(bpSum <= 10000 && bpSum > 10000 - rows.length)
+    assert(rows.map(_.getAs[Long]("alloc_n")).sum <= 1000)
+  }
+}
