@@ -1640,7 +1640,117 @@ object Relational {
       |       CAST(max_cnt * n_keys AS DOUBLE) / total_rows AS skew_ratio
       |FROM base, g""".stripMargin
 
+  private val BloomBits = 65536L
+  private val BloomK = 3
+  private val BloomHotPrice = 450000.0
+
+  /** BLOOM-FILTER JOIN PREFILTER, audited exactly: build a Bloom filter
+    * over the hot build-side keys (high-value orders), probe every
+    * lineitem order key through it, and report the filter's EXACT
+    * confusion counts — the sketch a 100 TB join uses to drop probe rows
+    * before they ever shuffle (Spark's own runtime row-level filtering is
+    * this shape; here the filter is a first-class, cross-engine-checkable
+    * relation). Layout: [[BloomBits]] bits packed 60 per BIGINT word
+    * (never touching bit 63 — `1 << 63` wraps negative asymmetrically
+    * across engines), k = [[BloomK]] probes per key from the shared
+    * MD5-derived hash60 so both engines address identical bits. The
+    * filter itself is ~1k words — broadcast-sized by construction, which
+    * is the point: membership for millions of probe keys costs a
+    * broadcast hash join against a KB-scale relation, no shuffle. The
+    * output pins `n_false_negative = 0` (the Bloom guarantee) and the
+    * exact false-positive rate in basis points against the measured fill
+    * factor. */
+  def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.hash60
+    def probeBits(keyed: DataFrame): DataFrame = keyed
+      .select(col("key"), explode(expr(s"sequence(0, ${BloomK - 1})")).as("i"))
+      .select(col("key"),
+        pmod(hash60(concat(col("key").cast("string"), lit(":"), col("i"))),
+          lit(BloomBits)).as("bit"))
+      .select(col("key"), expr("bit div 60").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 60 AS INT))").as("mask"))
+    val build = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > BloomHotPrice)
+      .select(col("o_orderkey").as("key")).distinct().persist()
+    val bloom = probeBits(build)
+      .groupBy(col("word_idx")).agg(expr("bit_or(mask)").as("word"))
+      .persist()
+    val probes = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("key")).distinct()
+    probeBits(probes)
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .groupBy(col("key"))
+      .agg(min(when(col("word").isNotNull &&
+        (col("word").bitwiseAND(col("mask")) =!= 0L), 1L).otherwise(0L))
+        .as("all_hit"))
+      .join(broadcast(build.withColumn("one", lit(1L))), Seq("key"), "left")
+      .select(col("all_hit"), coalesce(col("one"), lit(0L)).as("is_member"))
+      .agg(
+        count(lit(1)).as("n_probed"),
+        sum(col("is_member")).as("n_members"),
+        sum(col("all_hit")).as("n_bloom_positive"),
+        sum(when(col("all_hit") === 1L && col("is_member") === 0L, 1L)
+          .otherwise(0L)).as("n_false_positive"),
+        sum(when(col("all_hit") === 0L && col("is_member") === 1L, 1L)
+          .otherwise(0L)).as("n_false_negative"))
+      .crossJoin(broadcast(
+        bloom.agg(sum(expr("bit_count(word)")).as("bits_set"))))
+      .select(col("n_probed"), col("n_members"), col("n_bloom_positive"),
+        col("n_false_positive"), col("n_false_negative"),
+        expr("(n_false_positive * 10000) div (n_probed - n_members)")
+          .as("fp_rate_bp"),
+        col("bits_set"),
+        expr(s"(bits_set * 10000) div $BloomBits").as("fill_bp"))
+  }
+
+  val bloomProbeSql: String = {
+    import graft.functions.TextFns.hash60Sql
+    val h = hash60Sql("CAST(key AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    s"""WITH build AS (SELECT DISTINCT o_orderkey AS key FROM orders
+       |               WHERE o_totalprice > $BloomHotPrice),
+       |bbits AS (SELECT $h % $BloomBits AS bit
+       |          FROM build, UNNEST(range(0, $BloomK)) AS u(i)),
+       |bloom AS (SELECT bit // 60 AS word_idx,
+       |                 CAST(bit_or(CAST(1 AS BIGINT)
+       |                   << CAST(bit % 60 AS INTEGER)) AS BIGINT) AS word
+       |          FROM bbits GROUP BY 1),
+       |probes AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+       |pr AS (SELECT key, $h % $BloomBits AS bit
+       |       FROM probes, UNNEST(range(0, $BloomK)) AS u(i)),
+       |pj AS (SELECT pr.key,
+       |              CASE WHEN b.word IS NOT NULL
+       |                        AND (b.word & (CAST(1 AS BIGINT)
+       |                          << CAST(pr.bit % 60 AS INTEGER))) <> 0
+       |                   THEN 1 ELSE 0 END AS hit
+       |       FROM pr LEFT JOIN bloom b ON b.word_idx = pr.bit // 60),
+       |ag AS (SELECT key, MIN(hit) AS all_hit FROM pj GROUP BY 1),
+       |fl AS (SELECT a.all_hit,
+       |              CASE WHEN b.key IS NULL THEN 0 ELSE 1 END AS is_member
+       |       FROM ag a LEFT JOIN build b USING (key)),
+       |s AS (SELECT COUNT(*) AS n_probed,
+       |             CAST(SUM(is_member) AS BIGINT) AS n_members,
+       |             CAST(SUM(all_hit) AS BIGINT) AS n_bloom_positive,
+       |             CAST(SUM(CASE WHEN all_hit = 1 AND is_member = 0
+       |                           THEN 1 ELSE 0 END) AS BIGINT)
+       |               AS n_false_positive,
+       |             CAST(SUM(CASE WHEN all_hit = 0 AND is_member = 1
+       |                           THEN 1 ELSE 0 END) AS BIGINT)
+       |               AS n_false_negative
+       |      FROM fl),
+       |bs AS (SELECT CAST(SUM(bit_count(word)) AS BIGINT) AS bits_set
+       |       FROM bloom)
+       |SELECT n_probed, n_members, n_bloom_positive, n_false_positive,
+       |       n_false_negative,
+       |       (n_false_positive * 10000) // (n_probed - n_members)
+       |         AS fp_rate_bp,
+       |       bits_set,
+       |       (bits_set * 10000) // $BloomBits AS fill_bp
+       |FROM s, bs""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("rel_bloom_probe", bloomProbe(_, _).orderBy("n_probed"),
+      Some(bloomProbeSql)),
     Q("rel_hll_union", hllUnion(_, _).orderBy("exact_users"), Some(hllUnionSql)),
     Q("rel_zscore_outliers", zscoreOutliers(_, _).orderBy("event_type"),
       Some(zscoreOutliersSql)),

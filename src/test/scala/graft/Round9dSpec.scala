@@ -89,6 +89,34 @@ class Round9dSpec extends AnyFunSuite {
     assert(!pairCounts(seqs1).contains(best))
   }
 
+  test("bloom_probe: exact confusion counts vs a driver-side filter") {
+    import graft.operators.Relational
+    import graft.functions.TextFns.hash60Long
+    val r = Relational.bloomProbe(spark, dir).head()
+
+    // driver-side reimplementation with the same hash and 60-bit words
+    val hot = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val bits = scala.collection.mutable.Set.empty[Long]
+    for (k <- hot; i <- 0 until 3)
+      bits += math.floorMod(hash60Long(s"$k:$i"), 65536L)
+    def positive(k: Long) =
+      (0 until 3).forall(i => bits(math.floorMod(hash60Long(s"$k:$i"), 65536L)))
+    val probes = Tables.lineitem(spark, dir)
+      .select("l_orderkey").distinct().collect().map(_.getLong(0))
+
+    assert(r.getAs[Long]("n_probed") === probes.length.toLong)
+    assert(r.getAs[Long]("n_members") === probes.count(hot).toLong)
+    assert(r.getAs[Long]("n_bloom_positive") === probes.count(positive).toLong)
+    assert(r.getAs[Long]("n_false_positive") ===
+      probes.count(k => positive(k) && !hot(k)).toLong)
+    // the Bloom guarantee: no member ever misses
+    assert(r.getAs[Long]("n_false_negative") === 0L)
+    assert(r.getAs[Long]("bits_set") === bits.size.toLong)
+    assert(r.getAs[Long]("fill_bp") === bits.size.toLong * 10000 / 65536)
+  }
+
   test("neyman_alloc: recomputed moments, budget bound, share laws") {
     import graft.operators.Sampling
     val rows = Sampling.neymanAllocation(spark, dir).collect()
