@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
@@ -156,6 +156,93 @@ object Multimodal {
        |FROM g, UNNEST(range(0, nx * ny)) AS u(tile_idx)
        |ORDER BY doc_id, tile_idx""".stripMargin
 
+  private val PhashBits = 60
+  private val PhashBands = 4 // 15 bits each; pigeonhole-complete for hamming <= 3
+  private val PhashBandBits = 15
+  private val PhashHammingMax = 3
+
+  /** PERCEPTUAL-HASH NEAR-DUP over the image modality: a 60-bit signature
+    * per image from the bitwise MAJORITY of its tile-digest hashes (the
+    * simhash construction, tiles as features), then banded hamming pairs —
+    * 4×15-bit band equi-join, pigeonhole-complete for hamming ≤ 3, exact
+    * `bit_count(xor)` verification on candidates only. Real pHash feeds
+    * DCT coefficients of decoded pixels into exactly this signature seat;
+    * here the tile digests from the deterministic fake decode stand in,
+    * and everything that matters at scale is real: the signature is one
+    * map-side aggregate next to the payload (bytes never shuffle), the
+    * candidate set comes from a band equi-join (never all-pairs), and the
+    * verify step touches only candidates. Identical images (duplicate
+    * source docs) land at hamming 0. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.hash60
+    val th = imageTiles(spark, dir)
+      .select(col("doc_id"), hash60(col("tile_digest")).as("h"))
+    val bitSums = (0 until PhashBits).map(j =>
+      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"b$j"))
+    val digest = (0 until PhashBits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a + b)
+    val mask = (1L << PhashBandBits) - 1
+    val bands = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), digest.as("phash"))
+      .select(col("doc_id"), col("phash"),
+        posexplode(array((0 until PhashBands).map(b =>
+          expr(s"shiftright(phash, ${b * PhashBandBits}) & $mask")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("ah"), col("y.phash").as("bh"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ah ^ bh)"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  val phashPairsSql: String = {
+    import graft.functions.TextFns.hash60Sql
+    val mask = (1L << PhashBandBits) - 1
+    val bitSums = (0 until PhashBits)
+      .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n       ")
+    val digest = (0 until PhashBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH f AS (
+       |  SELECT doc_id, md5(text) AS content_md5,
+       |         greatest(CAST(octet_length(encode(text)) % 640 AS INTEGER), 1) AS w,
+       |         greatest(CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER), 1) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |g AS (SELECT doc_id,
+       |             CAST((w + ${TileSize - 1}) // $TileSize AS INTEGER) AS nx,
+       |             CAST((h + ${TileSize - 1}) // $TileSize AS INTEGER) AS ny,
+       |             content_md5
+       |      FROM f),
+       |t AS (SELECT doc_id,
+       |             md5(content_md5 || '@' || CAST(tile_idx AS VARCHAR)) AS td
+       |      FROM g, UNNEST(range(0, nx * ny)) AS u(tile_idx)),
+       |th AS (SELECT doc_id, ${hash60Sql("td")} AS h FROM t),
+       |s AS (SELECT doc_id,
+       |       $bitSums
+       |      FROM th GROUP BY doc_id),
+       |d AS (SELECT doc_id, $digest AS phash FROM s),
+       |bands AS (SELECT doc_id, phash,
+       |                 b, (phash >> (b * $PhashBandBits)) & $mask AS bkey
+       |          FROM d, UNNEST(range(0, $PhashBands)) AS u(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                x.phash AS ah, y.phash AS bh
+       |         FROM bands x JOIN bands y
+       |           ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ah, bh)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(ah, bh)) <= $PhashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val SampleRate = 16000
   private val ChunkSamples = 5 * SampleRate // 5-second windows
 
@@ -290,5 +377,7 @@ object Multimodal {
     Q("mm_image_tiles", imageTiles(_, _).orderBy("doc_id", "tile_idx"),
       Some(imageTilesSql)),
     Q("mm_modality_join", modalityJoin(_, _).orderBy("doc_id"),
-      Some(modalityJoinSql)))
+      Some(modalityJoinSql)),
+    Q("mm_phash_pairs", phashPairs(_, _).orderBy("doc_a", "doc_b"),
+      Some(phashPairsSql)))
 }

@@ -117,6 +117,41 @@ class Round9dSpec extends AnyFunSuite {
     assert(r.getAs[Long]("fill_bp") === bits.size.toLong * 10000 / 65536)
   }
 
+  test("phash_pairs: exact match with a driver-side signature pipeline") {
+    import graft.operators.Multimodal
+    import graft.functions.TextFns.hash60Long
+    val rows = Multimodal.phashPairs(spark, dir)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    def md5Hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val sigs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 3 == 0)
+      .map { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val bytes = text.getBytes("UTF-8").length
+        val w = math.max(bytes % 640, 1); val h = math.max(bytes * 7 % 480, 1)
+        val (nx, ny) = ((w + 31) / 32, (h + 31) / 32)
+        val cm = md5Hex(text)
+        val hs = (0 until nx * ny).map(i => hash60Long(md5Hex(cm + "@" + i)))
+        val phash = (0 until 60).map { j =>
+          val votes = hs.map(hv => if (((hv >> j) & 1L) == 1L) 1 else -1).sum
+          if (votes > 0) 1L << j else 0L
+        }.sum
+        id -> phash
+      }
+    val expected = (for {
+      (a, pa) <- sigs; (b, pb) <- sigs if a < b
+      if (0 until 4).exists(k => ((pa >> (k * 15)) & 32767) == ((pb >> (k * 15)) & 32767))
+      ham = java.lang.Long.bitCount(pa ^ pb) if ham <= 3
+    } yield (a, b, ham)).sortBy(t => (t._1, t._2))
+    assert(rows.toSeq === expected.toSeq)
+    // duplicate source docs share every tile digest → identical signatures
+    val dupImagePairs = sigs.groupBy(_._2).values.count(_.length > 1)
+    if (dupImagePairs > 0) assert(rows.exists(_._3 == 0))
+  }
+
   test("neyman_alloc: recomputed moments, budget bound, share laws") {
     import graft.operators.Sampling
     val rows = Sampling.neymanAllocation(spark, dir).collect()
