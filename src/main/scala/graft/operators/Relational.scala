@@ -1748,7 +1748,66 @@ object Relational {
        |FROM s, bs""".stripMargin
   }
 
+  /** SNAPSHOT DRIFT AUDIT: the language mix of two corpus snapshots
+    * (stand-in: the doc_id-parity halves — swap in yesterday's/today's
+    * partition at deployment) compared per language with the
+    * two-proportion χ² at 95%, rearranged to the same exact
+    * DECIMAL(38,0)/HUGEINT inequality as the A/B readout
+    * (`100·(k_a·n_b − k_b·n_a)²·n > 384·n_a·n_b·k·(n−k)`) — the drift
+    * flag never puts a float on the decision boundary, so the audit is
+    * bit-stable across engines and reruns. Shares are floor-division
+    * basis points. One map-side-combined aggregate touches the corpus;
+    * the test is arithmetic on the langs-sized relation with the totals
+    * folded in as empty-frame windows. */
+  def snapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val k = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("k_a"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("k_b"))
+      .withColumn("n_a", expr("sum(k_a) over ()"))
+      .withColumn("n_b", expr("sum(k_b) over ()"))
+    val kanb = col("k_a").cast(d38) * col("n_b")
+    val kbna = col("k_b").cast(d38) * col("n_a")
+    val kk = col("k_a").cast(d38) + col("k_b")
+    val n = col("n_a").cast(d38) + col("n_b")
+    k.select(col("lang"), col("k_a"), col("k_b"),
+      expr("(k_a * 10000) div n_a").as("share_a_bp"),
+      expr("(k_b * 10000) div n_b").as("share_b_bp"),
+      expr("(k_b * 10000) div n_b - (k_a * 10000) div n_a").as("delta_bp"),
+      (lit(100).cast(d38) * (kanb - kbna) * (kanb - kbna) * n >
+        lit(384).cast(d38) * col("n_a") * col("n_b") * kk * (n - kk))
+        .as("drift"))
+  }
+
+  val snapshotDriftSql: String =
+    """WITH k AS (SELECT lang,
+      |                  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+      |                    AS BIGINT) AS k_a,
+      |                  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+      |                    AS BIGINT) AS k_b
+      |           FROM documents GROUP BY lang),
+      |t AS (SELECT *, CAST(SUM(k_a) OVER () AS BIGINT) AS n_a,
+      |             CAST(SUM(k_b) OVER () AS BIGINT) AS n_b
+      |      FROM k)
+      |SELECT lang, k_a, k_b,
+      |       (k_a * 10000) // n_a AS share_a_bp,
+      |       (k_b * 10000) // n_b AS share_b_bp,
+      |       (k_b * 10000) // n_b - (k_a * 10000) // n_a AS delta_bp,
+      |       100 * (CAST(k_a AS HUGEINT)*n_b - CAST(k_b AS HUGEINT)*n_a)
+      |           * (CAST(k_a AS HUGEINT)*n_b - CAST(k_b AS HUGEINT)*n_a)
+      |           * (CAST(n_a AS HUGEINT) + n_b)
+      |         > 384 * CAST(n_a AS HUGEINT) * n_b
+      |             * (CAST(k_a AS HUGEINT) + k_b)
+      |             * (CAST(n_a AS HUGEINT) + n_b - k_a - k_b)
+      |         AS drift
+      |FROM t
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("meta_snapshot_drift", snapshotDrift(_, _).orderBy("lang"),
+      Some(snapshotDriftSql)),
     Q("rel_bloom_probe", bloomProbe(_, _).orderBy("n_probed"),
       Some(bloomProbeSql)),
     Q("rel_hll_union", hllUnion(_, _).orderBy("exact_users"), Some(hllUnionSql)),

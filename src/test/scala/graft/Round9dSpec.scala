@@ -152,6 +152,32 @@ class Round9dSpec extends AnyFunSuite {
     if (dupImagePairs > 0) assert(rows.exists(_._3 == 0))
   }
 
+  test("snapshot_drift: recomputed counts and exact chi-square boundary") {
+    import graft.operators.Relational
+    val rows = Relational.snapshotDrift(spark, dir).collect()
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val na = docs.count(_._1 % 2 == 0).toLong
+    val nb = docs.count(_._1 % 2 == 1).toLong
+    assert(rows.map(_.getAs[Long]("k_a")).sum === na)
+    assert(rows.map(_.getAs[Long]("k_b")).sum === nb)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val ka = docs.count(d => d._1 % 2 == 0 && d._2 == lang).toLong
+      val kb = docs.count(d => d._1 % 2 == 1 && d._2 == lang).toLong
+      assert(r.getAs[Long]("k_a") === ka)
+      assert(r.getAs[Long]("k_b") === kb)
+      assert(r.getAs[Long]("share_a_bp") === ka * 10000 / na)
+      assert(r.getAs[Long]("delta_bp") === kb * 10000 / nb - ka * 10000 / na)
+      // the χ² decision recomputed in BigInt (exact, no float boundary)
+      val (bka, bkb, bna, bnb) = (BigInt(ka), BigInt(kb), BigInt(na), BigInt(nb))
+      val diff = bka * bnb - bkb * bna
+      val k = bka + bkb; val n = bna + bnb
+      val expect = 100 * diff * diff * n > 384 * bna * bnb * k * (n - k)
+      assert(r.getAs[Boolean]("drift") === expect, s"lang=$lang")
+    }
+  }
+
   test("neyman_alloc: recomputed moments, budget bound, share laws") {
     import graft.operators.Sampling
     val rows = Sampling.neymanAllocation(spark, dir).collect()
