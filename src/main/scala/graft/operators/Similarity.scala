@@ -332,6 +332,77 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** MULTI-PROBE LSH top-k (Lv et al., VLDB 2007): instead of adding
+    * tables to raise recall, each query ALSO probes the buckets at
+    * hamming distance 1 from its own band key (flip each of the `bits`
+    * key bits) — recall of a much larger table budget at the memory cost
+    * of none, the standard production ANN trade. Probing is a pure
+    * key-fanout on the query side: queries × (bits+1) probe keys join the
+    * SAME materialized band artifact the single-probe family reads; the
+    * corpus-side index is untouched, candidates stay an equi-join, and
+    * exact cosine re-ranks candidates only. Probe keys and band keys are
+    * integers from the shared deterministic plane matrix, so the oracle
+    * reproduces the probe set exactly. By construction the candidate set
+    * is a superset of [[lshTopK]]'s — the spec asserts pointwise
+    * rank-dominance of the returned similarities. */
+  def multiProbeTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val bits = bandBits(e.count())
+    val bands = srpBands(spark, dir, "sim_srp_bands", NumTables, bits)
+    val probes = bands.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"),
+        explode(array(
+          (col("bkey") +: (0 until bits).map(i =>
+            expr(s"bkey ^ ${1L << i}").cast("long"))): _*)).as("qkey"))
+    val cand = bands.join(broadcast(probes),
+      col("tbl") === col("qtbl") && col("bkey") === col("qkey") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id"), col("v").as("qv")),
+        col("query_id") === col("vec_id")).drop("vec_id")
+      .join(e, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFast(col("qv"), col("v")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
+  val multiProbeTopKSql: String = {
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${bandsCteSql(s"$NumTables")},
+       |qb AS (SELECT vec_id AS query_id, tbl AS qtbl,
+       |              CAST(bkey AS BIGINT) AS qkey0
+       |       FROM bands WHERE vec_id < $NumQueries),
+       |probes AS (SELECT query_id, qtbl,
+       |                  CASE WHEN i < 0 THEN qkey0
+       |                       ELSE xor(qkey0, CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+       |                       END AS qkey
+       |           FROM qb, prm, UNNEST(range(-1, $MaxBits)) AS u(i)
+       |           WHERE i < prm.bits),
+       |cand AS (SELECT DISTINCT query_id, b.vec_id AS neighbor_id
+       |         FROM bands b JOIN probes p
+       |           ON b.tbl = p.qtbl AND b.bkey = p.qkey
+       |              AND b.vec_id <> p.query_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |                  ${cosineSql("eq.v", "en.v")} AS cos_sim
+       |           FROM cand
+       |           JOIN e eq ON eq.vec_id = query_id
+       |           JOIN e en ON en.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER)
+       |               AS rank
+       |      FROM scored)
+       |SELECT query_id, neighbor_id, rank, cos_sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private val PairTables = 4
   private val PairBits = 4
   private val PairTau = 0.35
@@ -1964,6 +2035,8 @@ object Similarity {
     Q("sim_bruteforce_topk", bruteForceTopK(_, _).orderBy("query_id", "rank"),
       Some(bruteForceTopKSql)),
     Q("sim_lsh_topk", lshTopK(_, _).orderBy("query_id", "rank"), Some(lshTopKSql)),
+    Q("sim_multiprobe_topk", multiProbeTopK(_, _).orderBy("query_id", "rank"),
+      Some(multiProbeTopKSql)),
     Q("sim_filtered_topk", filteredTopK(_, _).orderBy("query_id", "rank"),
       Some(filteredTopKSql)),
     Q("sim_hard_negatives", hardNegatives(_, _).orderBy("query_id"),

@@ -178,6 +178,29 @@ class Round9dSpec extends AnyFunSuite {
     }
   }
 
+  test("multiprobe_topk: pointwise rank-dominance over single-probe LSH") {
+    import graft.operators.Similarity
+    def byRank(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
+    val sp = byRank(Similarity.lshTopK(spark, dir))
+    val mp = byRank(Similarity.multiProbeTopK(spark, dir))
+    assert(mp.nonEmpty)
+    // multi-probe candidates are a superset (probe set includes the
+    // unflipped key), so at every (query, rank) the returned similarity
+    // must be at least the single-probe one, and no query returns fewer
+    sp.foreach { case (qr, (_, spSim)) =>
+      val (_, mpSim) = mp.getOrElse(qr, fail(s"missing $qr in multiprobe"))
+      assert(mpSim >= spSim, s"$qr: $mpSim < $spSim")
+    }
+    val perQ = (m: Map[(Long, Int), _]) =>
+      m.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    val spc = perQ(sp); val mpc = perQ(mp)
+    spc.foreach { case (q, n) => assert(mpc.getOrElse(q, 0) >= n) }
+    // and it genuinely widens the candidate pool somewhere
+    assert(mp.size >= sp.size)
+  }
+
   test("neyman_alloc: recomputed moments, budget bound, share laws") {
     import graft.operators.Sampling
     val rows = Sampling.neymanAllocation(spark, dir).collect()
