@@ -1000,6 +1000,59 @@ object Dedup {
        |GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  /** KEEP-BEST cluster representatives: for every near-dup cluster, the
+    * member a quality-aware curation pipeline actually keeps — the
+    * highest-quality document (doc_id tiebreak), not the arbitrary
+    * minimum id that [[clusterKeep]]'s canonical policy uses. The quality
+    * score is the shared [[TextAnalysis.qualityScore]] mixture; both
+    * engines evaluate the identical pinned-association double expression
+    * (int/int ratios and fixed multipliers — bit-identical), so ranking
+    * on it is cross-engine stable with the doc_id tiebreak closing any
+    * exact-tie. `rep_differs` counts how often the quality policy
+    * disagrees with keep-min-id — the measurable value of ranking. Plan:
+    * the component relation is pair-participants only (≪ corpus), quality
+    * is computed on a corpus scan that prunes to (doc_id, text), and the
+    * windows run on the components-sized join. */
+  def clusterReps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = components(spark, dir)
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id").as("qid"), col("quality_score"))
+    val byComp = Window.partitionBy(col("component_root"))
+    val w = byComp.orderBy(col("quality_score").desc, col("doc_id"))
+    comp.join(q, col("doc_id") === col("qid"))
+      .select(col("doc_id"), col("component_root"), col("quality_score"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(byComp))
+      .withColumn("min_doc", min(col("doc_id")).over(byComp))
+      .filter(col("rn") === 1)
+      .select(col("component_root"), col("cluster_size"),
+        col("doc_id").as("rep_doc"), col("quality_score").as("rep_quality"),
+        col("min_doc"), (col("doc_id") =!= col("min_doc")).as("rep_differs"))
+  }
+
+  val clusterRepsSql: String =
+    s"""WITH RECURSIVE $componentsCoreSql,
+       |comp AS (SELECT id AS doc_id, MIN(r) AS component_root
+       |         FROM reach GROUP BY id),
+       |q AS (
+       |${TextAnalysis.qualityCoreSql}
+       |),
+       |j AS (SELECT c.doc_id, c.component_root, q.quality_score
+       |      FROM comp c JOIN q USING (doc_id)),
+       |w AS (SELECT *,
+       |             ROW_NUMBER() OVER (PARTITION BY component_root
+       |                                ORDER BY quality_score DESC, doc_id) AS rn,
+       |             COUNT(*) OVER (PARTITION BY component_root) AS cluster_size,
+       |             MIN(doc_id) OVER (PARTITION BY component_root) AS min_doc
+       |      FROM j)
+       |SELECT component_root, cluster_size, doc_id AS rep_doc,
+       |       quality_score AS rep_quality, min_doc,
+       |       doc_id <> min_doc AS rep_differs
+       |FROM w
+       |WHERE rn = 1
+       |ORDER BY component_root""".stripMargin
+
   /** The CLUSTER-level dedup application: keep every document that is not
     * in a near-dup cluster, plus each cluster's canonical representative
     * (its minimum doc_id), labeled with how many documents it stands for —
@@ -1362,6 +1415,8 @@ object Dedup {
     Q("dedup_source_overlap", sourceOverlap(_, _).orderBy("source_lo", "source_hi"),
       Some(sourceOverlapSql)),
     Q("dedup_cluster_keep", clusterKeep(_, _).orderBy("doc_id"), Some(clusterKeepSql)),
+    Q("dedup_cluster_reps", clusterReps(_, _).orderBy("component_root"),
+      Some(clusterRepsSql)),
     Q("dedup_name_edit", nameEdit(_, _).orderBy("name_a", "name_b"), Some(nameEditSql)),
     Q("dedup_name_edit_multiblock",
       nameEditMultiblock(_, _).orderBy("name_a", "name_b"),

@@ -137,7 +137,7 @@ object TextAnalysis {
   }
 
   /** Shared SELECT (no ORDER BY) for the per-doc quality columns. */
-  private val qualityCoreSql: String = {
+  private[operators] val qualityCoreSql: String = {
     val toks = "regexp_split_to_array(trim(text), '\\s+')"
     val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
     s"""SELECT doc_id,

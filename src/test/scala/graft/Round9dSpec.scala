@@ -201,6 +201,28 @@ class Round9dSpec extends AnyFunSuite {
     assert(mp.size >= sp.size)
   }
 
+  test("cluster_reps: rep is the quality argmax of its own cluster") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val reps = Dedup.clusterReps(spark, dir).collect()
+    val comp = Dedup.components(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_root"))
+    val qual = TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    assert(reps.nonEmpty)
+    val byRoot = comp.groupBy(_._2)
+    assert(reps.length === byRoot.size, "one rep per cluster")
+    reps.foreach { r =>
+      val root = r.getAs[Long]("component_root")
+      val members = byRoot(root).map(_._1)
+      assert(r.getAs[Long]("cluster_size") === members.length.toLong)
+      assert(r.getAs[Long]("min_doc") === members.min)
+      val best = members.minBy(id => (-qual(id), id))
+      assert(r.getAs[Long]("rep_doc") === best)
+      assert(r.getAs[Double]("rep_quality") === qual(best))
+      assert(r.getAs[Boolean]("rep_differs") === (best != members.min))
+    }
+  }
+
   test("neyman_alloc: recomputed moments, budget bound, share laws") {
     import graft.operators.Sampling
     val rows = Sampling.neymanAllocation(spark, dir).collect()
