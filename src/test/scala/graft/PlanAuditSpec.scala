@@ -40,6 +40,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // in its source query; caching can hide some, so this is the ceiling
     "sim_kcore" -> 2, // inherits knnGraph's broadcast plane projection
     "sim_neighbor_jaccard" -> 2, // same knnGraph inheritance
+    "rel_bloom_probe" -> 1, // one-row broadcast bits_set scalar folded in
+    "text_bpe_merge" -> 2, // one-row broadcast best-pair scalar, used twice
+    // (merge projection + applied_merge output column)
     "events_cooccurrence" -> 1, // one-row broadcast corpus-user-count scalar
     "events_power_users" -> 1, // one-row broadcast total-events scalar
     "events_anomaly_days" -> 1, // one-row broadcast daily-stats scalar
