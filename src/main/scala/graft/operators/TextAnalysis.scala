@@ -350,6 +350,9 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"),
         concat(lit(" "), regexp_replace(col("token"), "(.)", "$1 ")).as("seq"))
+      // two consumers (argmax pass + merge projection) — persist or the
+      // corpus tokenize + vocab aggregate runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def pairCounts(s: DataFrame): DataFrame = s
       .withColumn("a", split(trim(col("seq")), " "))
       .select(col("cnt"), explode(expr(
