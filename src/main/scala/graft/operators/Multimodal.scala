@@ -243,6 +243,57 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val CaptionMinTokens = 5
+  private val CaptionMaxTokens = 77 // the CLIP context budget
+  private val CaptionMinSide = 64
+
+  /** IMAGE–CAPTION PAIR MANIFEST — the training-pair table a CLIP-style
+    * run consumes: one row per image with its caption's token count, the
+    * image geometry, and the keep decision under the standard contrastive
+    * -pretraining filters (caption within [[CaptionMinTokens]]..
+    * [[CaptionMaxTokens]] tokens — the CLIP context budget — and no side
+    * under [[CaptionMinSide]] px). Here the caption is the document's own
+    * text standing in for alt-text; the decisions are integer
+    * comparisons, the pair digest keys the (image, caption) pair for
+    * downstream shard assignment, and everything is a single map-side
+    * pass next to the payload — at 100 TB this projection runs where the
+    * bytes live and only the manifest moves. */
+  def captionPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.tokens
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"),
+        (length(encode(col("text"), "UTF-8")) % 640).as("width"),
+        (length(encode(col("text"), "UTF-8")) * 7 % 480).as("height"))
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_caption_tokens"),
+        col("width"), col("height"),
+        expr(s"width * 10000 div greatest(height, 1)").as("aspect_bp"),
+        md5(concat(md5(col("text")), lit("#"),
+          size(tokens(col("text"))).cast("string"))).as("pair_digest"),
+        (size(tokens(col("text"))).between(CaptionMinTokens, CaptionMaxTokens) &&
+          least(col("width"), col("height")) >= CaptionMinSide).as("keep"))
+  }
+
+  val captionPairsSql: String = {
+    val toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+       |         CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS height
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |SELECT doc_id,
+       |       CAST($toks AS INTEGER) AS n_caption_tokens,
+       |       width, height,
+       |       CAST(width AS BIGINT) * 10000 // greatest(height, 1) AS aspect_bp,
+       |       md5(md5(text) || '#' || CAST($toks AS VARCHAR)) AS pair_digest,
+       |       $toks BETWEEN $CaptionMinTokens AND $CaptionMaxTokens
+       |         AND LEAST(width, height) >= $CaptionMinSide AS keep
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val SampleRate = 16000
   private val ChunkSamples = 5 * SampleRate // 5-second windows
 
@@ -379,5 +430,7 @@ object Multimodal {
     Q("mm_modality_join", modalityJoin(_, _).orderBy("doc_id"),
       Some(modalityJoinSql)),
     Q("mm_phash_pairs", phashPairs(_, _).orderBy("doc_a", "doc_b"),
-      Some(phashPairsSql)))
+      Some(phashPairsSql)),
+    Q("mm_caption_pairs", captionPairs(_, _).orderBy("doc_id"),
+      Some(captionPairsSql)))
 }

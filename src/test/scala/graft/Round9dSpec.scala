@@ -223,6 +223,27 @@ class Round9dSpec extends AnyFunSuite {
     }
   }
 
+  test("caption_pairs: CLIP-rule keep flags recomputed from raw docs") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.captionPairs(spark, dir).collect()
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 3 == 0)
+    assert(rows.length === docs.length, "one pair per image")
+    val byId = docs.map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val text = byId(r.getAs[Long]("doc_id"))
+      val nTok = text.trim.split("\\s+").length
+      val bytes = text.getBytes("UTF-8").length
+      val (w, h) = (bytes % 640, bytes * 7 % 480)
+      assert(r.getAs[Int]("n_caption_tokens") === nTok)
+      assert(r.getAs[Int]("width") === w)
+      assert(r.getAs[Int]("height") === h)
+      assert(r.getAs[Long]("aspect_bp") === w.toLong * 10000 / math.max(h, 1))
+      assert(r.getAs[Boolean]("keep") ===
+        (nTok >= 5 && nTok <= 77 && math.min(w, h) >= 64))
+    }
+  }
+
   test("neyman_alloc: recomputed moments, budget bound, share laws") {
     import graft.operators.Sampling
     val rows = Sampling.neymanAllocation(spark, dir).collect()
