@@ -699,6 +699,80 @@ object Sampling {
        |FROM t
        |ORDER BY lang""".stripMargin
 
+  private val ReshardA = 8
+  private val ReshardB = 10
+
+  /** RESHARD STABILITY AUDIT: how much data moves when the shard count
+    * grows [[ReshardA]]→[[ReshardB]] under (a) mod-hashing and (b)
+    * rendezvous / highest-random-weight hashing — the property that
+    * decides whether a resize re-shuffles the whole corpus (~1−1/b under
+    * mod) or only the minimum (~(b−a)/b, and ONLY onto the new shards,
+    * under HRW). Per-doc HRW is an integer argmax: each (doc, shard)
+    * score is the shared hash60, truncated to 56 bits and packed as
+    * `(h div 16)·16 + s` so a single GREATEST + `% 16` decodes the
+    * winning shard — pure integer arithmetic, identical in both engines,
+    * ties impossible by construction (the pack is injective per doc).
+    * One map-side pass computes both assignments; the audit aggregate is
+    * scheme × 1 row. `moved_to_new` pins HRW's defining guarantee: every
+    * moved doc lands on a NEW shard (id ≥ [[ReshardA]]). */
+  def reshardStability(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.hash60
+    def hrwShard(n: Int): org.apache.spark.sql.Column = {
+      val keys = (0 until n).map(s =>
+        expr(s"div(h$s, 16) * 16 + $s"))
+      (greatest(keys: _*) % 16).cast("int")
+    }
+    val withScores = Tables.documents(spark, dir).select(
+      (col("doc_id") :: (0 until ReshardB).map(s =>
+        hash60(concat(col("doc_id").cast("string"), lit(":"), lit(s))).as(s"h$s")).toList): _*)
+    val assigned = withScores.select(
+      col("doc_id"),
+      (col("doc_id") % ReshardA).cast("int").as("mod_a"),
+      (col("doc_id") % ReshardB).cast("int").as("mod_b"),
+      hrwShard(ReshardA).as("hrw_a"),
+      hrwShard(ReshardB).as("hrw_b"))
+    def audit(scheme: String, a: String, b: String) = assigned.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col(a) =!= col(b), 1L).otherwise(0L)).as("n_moved"),
+      sum(when(col(a) =!= col(b) && col(b) >= ReshardA, 1L).otherwise(0L))
+        .as("moved_to_new"))
+      .select(lit(scheme).as("scheme"), col("n_docs"), col("n_moved"),
+        expr("(n_moved * 10000) div n_docs").as("moved_bp"),
+        col("moved_to_new"))
+    audit("hrw", "hrw_a", "hrw_b").unionAll(audit("mod", "mod_a", "mod_b"))
+  }
+
+  val reshardStabilitySql: String = {
+    import graft.functions.TextFns.hash60Sql
+    def h(s: Int) = hash60Sql(s"CAST(doc_id AS VARCHAR) || ':' || '$s'")
+    def hrw(n: Int) =
+      s"CAST(GREATEST(${(0 until n).map(s => s"(${h(s)} // 16) * 16 + $s").mkString(", ")}) % 16 AS INTEGER)"
+    s"""WITH a AS (SELECT doc_id,
+       |                  CAST(doc_id % $ReshardA AS INTEGER) AS mod_a,
+       |                  CAST(doc_id % $ReshardB AS INTEGER) AS mod_b,
+       |                  ${hrw(ReshardA)} AS hrw_a,
+       |                  ${hrw(ReshardB)} AS hrw_b
+       |           FROM documents),
+       |s AS (SELECT 'hrw' AS scheme, COUNT(*) AS n_docs,
+       |             CAST(SUM(CASE WHEN hrw_a <> hrw_b THEN 1 ELSE 0 END)
+       |               AS BIGINT) AS n_moved,
+       |             CAST(SUM(CASE WHEN hrw_a <> hrw_b AND hrw_b >= $ReshardA
+       |                           THEN 1 ELSE 0 END) AS BIGINT) AS moved_to_new
+       |      FROM a
+       |      UNION ALL
+       |      SELECT 'mod', COUNT(*),
+       |             CAST(SUM(CASE WHEN mod_a <> mod_b THEN 1 ELSE 0 END)
+       |               AS BIGINT),
+       |             CAST(SUM(CASE WHEN mod_a <> mod_b AND mod_b >= $ReshardA
+       |                           THEN 1 ELSE 0 END) AS BIGINT)
+       |      FROM a)
+       |SELECT scheme, n_docs, n_moved,
+       |       (n_moved * 10000) // n_docs AS moved_bp,
+       |       moved_to_new
+       |FROM s
+       |ORDER BY scheme""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("sample_split_assign", splitAssign(_, _).orderBy("doc_id"), Some(splitAssignSql)),
     Q("sample_kfold_balance", kfoldBalance(_, _).orderBy("fold", "lang"),
@@ -728,5 +802,7 @@ object Sampling {
     Q("sample_temperature", temperatureWeights(_, _).orderBy("lang"),
       Some(temperatureWeightsSql)),
     Q("sample_neyman_alloc", neymanAllocation(_, _).orderBy("lang"),
-      Some(neymanAllocationSql)))
+      Some(neymanAllocationSql)),
+    Q("sample_reshard_stability", reshardStability(_, _).orderBy("scheme"),
+      Some(reshardStabilitySql)))
 }

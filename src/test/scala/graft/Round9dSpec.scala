@@ -244,6 +244,35 @@ class Round9dSpec extends AnyFunSuite {
     }
   }
 
+  test("reshard_stability: HRW moves only to new shards, far less than mod") {
+    import graft.operators.Sampling
+    import graft.functions.TextFns.hash60Long
+    val rows = Sampling.reshardStability(spark, dir).collect()
+      .map(r => r.getAs[String]("scheme") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_moved"),
+          r.getAs[Long]("moved_bp"), r.getAs[Long]("moved_to_new"))).toMap
+    val ids = Tables.documents(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0))
+    def hrw(id: Long, n: Int) =
+      (0 until n).map(s => hash60Long(s"$id:$s") / 16 * 16 + s).max % 16
+    val hrwMoved = ids.count(id => hrw(id, 8) != hrw(id, 10)).toLong
+    val modMoved = ids.count(id => id % 8 != id % 10).toLong
+    val (nH, mH, bpH, newH) = rows("hrw")
+    val (nM, mM, _, _) = rows("mod")
+    assert(nH === ids.length.toLong && nM === ids.length.toLong)
+    assert(mH === hrwMoved)
+    assert(mM === modMoved)
+    assert(bpH === mH * 10000 / nH)
+    // HRW's defining guarantee: every moved doc lands on a NEW shard
+    assert(newH === mH)
+    ids.foreach { id =>
+      val (a, b) = (hrw(id, 8), hrw(id, 10))
+      if (a != b) assert(b >= 8, s"doc $id moved to old shard $b")
+    }
+    // and the movement is minimal-ish vs mod's near-total reshuffle
+    assert(mH * 2 < mM, s"hrw moved $mH vs mod $mM")
+  }
+
   test("neyman_alloc: recomputed moments, budget bound, share laws") {
     import graft.operators.Sampling
     val rows = Sampling.neymanAllocation(spark, dir).collect()
