@@ -1271,6 +1271,111 @@ object Similarity {
         .select(col("vec_id"), col("list_id"), col("d2"))
     }
 
+  private val NprobeSteps = Seq(1, 2, 4)
+
+  /** RECALL-vs-NPROBE TUNING CURVE — the chart every IVF deployment reads
+    * before picking its probe count: for nprobe ∈ {1,2,4}, the exact
+    * recall against the brute-force ground truth and the average number
+    * of candidate vectors a query would score. Both the ground truth and
+    * the list assignment are the already-materialized artifacts (bf top-k,
+    * IVF assign), so the curve costs two small joins and one aggregate —
+    * no re-search per operating point: a truth row is a hit at nprobe p
+    * iff its neighbor's list sits within the query's p nearest centroids,
+    * so ONE probe-rank relation answers every p by threshold. All
+    * decisions are integer (quantized centroid distances, floor-division
+    * basis points). At scale this is the index-tuning job that runs after
+    * every index rebuild, reading index metadata rather than the corpus. */
+  def nprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val dims = quantDims(spark, dir)
+    val dist = centDist(dims, seedCentroids(spark, dir, dims))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
+    val assign = seedAssign(spark, dir).select(col("vec_id"), col("list_id"))
+    val lsz = assign.groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+    val pr = dist.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= NprobeSteps.max)
+      .select(col("vec_id").as("query_id"), col("list_id"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gt = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hit = gt
+      .join(assign.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("list_id", "nlist"), Seq("neighbor_id"))
+      .join(broadcast(pr.withColumnRenamed("list_id", "nlist")),
+        Seq("query_id", "nlist"), "left")
+    val hitAgg = hit.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      (count(lit(1)).as("n_truth") +: NprobeSteps.map(p =>
+        sum(when(col("rn") <= p, 1L).otherwise(0L)).as(s"h$p"))): _*)
+    val candAgg = pr.join(lsz, "list_id").agg(
+      NprobeSteps.map(p =>
+        sum(when(col("rn") <= p, col("sz")).otherwise(0L)).as(s"c$p")).head,
+      NprobeSteps.map(p =>
+        sum(when(col("rn") <= p, col("sz")).otherwise(0L)).as(s"c$p")).tail: _*)
+    hitAgg.crossJoin(broadcast(candAgg))
+      .select(explode(array(NprobeSteps.map(p => struct(
+        lit(p).as("nprobe"), col("n_queries"), col("n_truth"),
+        col(s"h$p").as("n_hits"),
+        expr(s"(h$p * 10000) div n_truth").as("recall_bp"),
+        expr(s"c$p div n_queries").as("avg_candidates"))): _*)).as("r"))
+      .select(col("r.*"))
+  }
+
+  val nprobeCurveSql: String = {
+    val selP = NprobeSteps.map(p =>
+      s"""SELECT $p AS nprobe, n_queries, n_truth, h$p AS n_hits,
+         |       (h$p * 10000) // n_truth AS recall_bp,
+         |       c$p // n_queries AS avg_candidates
+         |FROM tot, hp, cp""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT vec_id, i - 1 AS d,
+       |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+       |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+       |cent AS (SELECT emb.label AS list_id, d,
+       |                CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |         FROM dims JOIN embeddings emb USING (vec_id)
+       |         GROUP BY 1, 2),
+       |dist AS (SELECT vec_id, list_id, SUM((q - cq) * (q - cq)) AS d2
+       |         FROM dims JOIN cent USING (d)
+       |         GROUP BY 1, 2),
+       |assign AS (SELECT vec_id, list_id FROM (
+       |             SELECT vec_id, list_id,
+       |                    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                       ORDER BY d2, list_id) AS rn
+       |             FROM dist) WHERE rn = 1),
+       |lsz AS (SELECT list_id, COUNT(*) AS sz FROM assign GROUP BY 1),
+       |pr AS (SELECT vec_id AS query_id, list_id, rn FROM (
+       |         SELECT vec_id, list_id,
+       |                ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                   ORDER BY d2, list_id) AS rn
+       |         FROM dist WHERE vec_id < $NumQueries)
+       |       WHERE rn <= ${NprobeSteps.max}),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |p AS (SELECT query_id, vec_id AS neighbor_id,
+       |             ${cosineSql("qv", "v")} AS cos_sim
+       |      FROM e, q WHERE vec_id <> query_id),
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |                ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |         FROM p) WHERE rank <= $K),
+       |hit AS (SELECT g.query_id, pr.rn
+       |        FROM gt g
+       |        JOIN assign a ON a.vec_id = g.neighbor_id
+       |        LEFT JOIN pr ON pr.query_id = g.query_id
+       |                    AND pr.list_id = a.list_id),
+       |tot AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       |               COUNT(*) AS n_truth FROM hit),
+       |hp AS (SELECT ${NprobeSteps.map(p =>
+                 s"CAST(SUM(CASE WHEN rn <= $p THEN 1 ELSE 0 END) AS BIGINT) AS h$p")
+                 .mkString(", ")} FROM hit),
+       |cp AS (SELECT ${NprobeSteps.map(p =>
+                 s"CAST(SUM(CASE WHEN rn <= $p THEN sz ELSE 0 END) AS BIGINT) AS c$p")
+                 .mkString(", ")}
+       |       FROM pr JOIN lsz USING (list_id))
+       |$selP
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** Cosine threshold for [[semDedup]] (the near-dup plane of this corpus —
     * same value as the SRP-banded pair detector's PairTau). */
   private val SemTau = 0.35
@@ -2050,6 +2155,8 @@ object Similarity {
     Q("sim_semantic_clusters", semanticClusters(_, _).orderBy("vec_id"),
       Some(semanticClustersSql)),
     Q("sim_ivf_topk", ivfTopK(_, _).orderBy("query_id", "rank"), Some(ivfTopKSql)),
+    Q("sim_nprobe_curve", nprobeCurve(_, _).orderBy("nprobe"),
+      Some(nprobeCurveSql)),
     Q("sim_ivf_kmeans_topk", ivfKmeansTopK(_, _).orderBy("query_id", "rank"),
       Some(ivfKmeansTopKSql)),
     Q("sim_pq_topk", pqTopK(_, _).orderBy("query_id", "rank"), Some(pqTopKSql)),

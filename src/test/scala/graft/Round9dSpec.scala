@@ -273,6 +273,28 @@ class Round9dSpec extends AnyFunSuite {
     assert(mH * 2 < mM, s"hrw moved $mH vs mod $mM")
   }
 
+  test("nprobe_curve: monotone recall and candidate laws") {
+    import graft.operators.Similarity
+    val rows = Similarity.nprobeCurve(spark, dir)
+      .orderBy("nprobe").collect()
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq === Seq(1, 2, 4))
+    val nq = rows.head.getAs[Long]("n_queries")
+    val nt = rows.head.getAs[Long]("n_truth")
+    assert(nq > 0 && nt >= nq, "ground truth covers every query")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_queries") === nq)
+      assert(r.getAs[Long]("n_truth") === nt)
+      assert(r.getAs[Long]("recall_bp") ===
+        r.getAs[Long]("n_hits") * 10000 / nt)
+    }
+    // widening the probe set can only add hits and candidates
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    val cands = rows.map(_.getAs[Long]("avg_candidates"))
+    assert(hits.sameElements(hits.sorted), hits.toSeq.toString)
+    assert(cands.sameElements(cands.sorted), cands.toSeq.toString)
+    assert(hits.last <= nt)
+  }
+
   test("neyman_alloc: recomputed moments, budget bound, share laws") {
     import graft.operators.Sampling
     val rows = Sampling.neymanAllocation(spark, dir).collect()
