@@ -1666,6 +1666,7 @@ object Similarity {
     one("ivf", ivfTopK(spark, dir))
       .unionByName(one("ivfpq", ivfPqTopK(spark, dir)))
       .unionByName(one("lsh", lshTopK(spark, dir)))
+      .unionByName(one("mplsh", multiProbeTopK(spark, dir)))
       .unionByName(one("pq", pqTopK(spark, dir)))
   }
 
@@ -1688,6 +1689,9 @@ object Similarity {
        |lshq AS (SELECT query_id, neighbor_id FROM (
        |$lshTopKSql
        |)),
+       |mplshq AS (SELECT query_id, neighbor_id FROM (
+       |$multiProbeTopKSql
+       |)),
        |pqq AS (SELECT query_id, neighbor_id FROM (
        |$pqTopKSql
        |)),
@@ -1699,6 +1703,8 @@ object Similarity {
        |${block("ivfpq", "ivfpqq")}
        |UNION ALL
        |${block("lsh", "lshq")}
+       |UNION ALL
+       |${block("mplsh", "mplshq")}
        |UNION ALL
        |${block("pq", "pqq")}
        |ORDER BY method, query_id""".stripMargin

@@ -120,7 +120,12 @@ class SimilaritySpec extends AnyFunSuite {
   test("recall_eval reproduces the set-arithmetic recall for every method") {
     val eval = Similarity.recallEval(spark, TestSpark.Sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(eval.keys.map(_._1).toSet == Set("ivf", "ivfpq", "lsh", "pq"))
+    assert(eval.keys.map(_._1).toSet == Set("ivf", "ivfpq", "lsh", "mplsh", "pq"))
+    // multi-probe's candidate superset can never lose hits vs single-probe
+    eval.keys.collect { case ("lsh", q) => q }.foreach { q =>
+      assert(eval(("mplsh", q)) >= eval(("lsh", q)),
+        s"mplsh hits below lsh for query $q")
+    }
     // cross-check one method against an independent set computation
     val bruteByQ = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
     val lshSet = Similarity.lshTopK(spark, TestSpark.Sf0001).collect()
