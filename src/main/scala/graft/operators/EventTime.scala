@@ -282,6 +282,60 @@ object EventTime {
        |FROM win JOIN s USING (cohort_wk)
        |ORDER BY cohort_wk, week_offset""".stripMargin
 
+  /** CUSUM alarm threshold, in multiples of the reference daily rate. */
+  private val CusumH = 5L
+
+  /** CUSUM DRIFT DETECTION over the daily event-count series — the
+    * sequential change detector monitoring pipelines run on ingest
+    * volume. The textbook recursion `S_n = max(0, S_{n-1} + x_n − k)` is
+    * not window-expressible, but its closed form is:
+    * `S_n = P_n − min(0, min_{j≤n} P_j)` where `P` is the prefix sum of
+    * `x − k` — so the upward and downward statistics are ONE ordered
+    * window pass each (running sum, running min/max) over the days-sized
+    * relation. Everything is exact integers: the reference rate `k` is
+    * the floor mean daily count, the alarm threshold is
+    * [[CusumH]]·k of cumulative excess, and both engines walk identical
+    * arithmetic — no float ever reaches the alarm boundary. The only
+    * corpus-sized work is the per-day count aggregate. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("k", expr("sum(n_events) over () div count(*) over ()"))
+      .withColumn("p", sum(col("n_events") - col("k")).over(w))
+      .withColumn("cusum_hi", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .withColumn("cusum_lo", greatest(max(col("p")).over(w), lit(0L)) - col("p"))
+      .select(col("day"), col("n_events"), col("k"),
+        col("cusum_hi"), col("cusum_lo"),
+        (col("cusum_hi") > col("k") * CusumH).as("alarm_hi"),
+        (col("cusum_lo") > col("k") * CusumH).as("alarm_lo"))
+  }
+
+  val cusumSql: String =
+    s"""WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |                  COUNT(*) AS n_events
+       |           FROM events GROUP BY 1),
+       |r AS (SELECT day, n_events,
+       |             CAST(SUM(n_events) OVER () AS BIGINT)
+       |               // COUNT(*) OVER () AS k
+       |      FROM d),
+       |p AS (SELECT *, CAST(SUM(n_events - k) OVER (ORDER BY day) AS BIGINT) AS p
+       |      FROM r),
+       |c AS (SELECT *,
+       |             p - LEAST(CAST(MIN(p) OVER (ORDER BY day) AS BIGINT), 0)
+       |               AS cusum_hi,
+       |             GREATEST(CAST(MAX(p) OVER (ORDER BY day) AS BIGINT), 0) - p
+       |               AS cusum_lo
+       |      FROM p)
+       |SELECT day, n_events, k, cusum_hi, cusum_lo,
+       |       cusum_hi > k * $CusumH AS alarm_hi,
+       |       cusum_lo > k * $CusumH AS alarm_lo
+       |FROM c
+       |ORDER BY day""".stripMargin
+
   private val DayUs = 86400000000L // 24 * 3600 * 1e6
 
   /** USER-LIFETIME SURVIVAL CURVE — the Kaplan-Meier-shaped complement of
@@ -1395,6 +1449,7 @@ object EventTime {
       Some(retentionSql)),
     Q("events_cohort_ltv", cohortLtv(_, _).orderBy("cohort_wk", "week_offset"),
       Some(cohortLtvSql)),
+    Q("events_cusum", cusum(_, _).orderBy("day"), Some(cusumSql)),
     Q("events_sessions", sessions(_, _).orderBy("user_id", "session_idx"),
       Some(sessionsSql)),
     Q("events_click_attribution", attribution(_, _).orderBy("click_id", "purchase_id"),

@@ -295,6 +295,27 @@ class Round9dSpec extends AnyFunSuite {
     assert(hits.last <= nt)
   }
 
+  test("cusum: closed form equals the textbook recursion, day by day") {
+    import graft.operators.EventTime
+    val rows = EventTime.cusum(spark, dir).orderBy("day").collect()
+    assert(rows.nonEmpty)
+    val xs = rows.map(_.getAs[Long]("n_events"))
+    val k = xs.sum / xs.length
+    assert(rows.forall(_.getAs[Long]("k") == k))
+    // recursive CUSUM: S_hi = max(0, S_hi + x - k); S_lo = max(0, S_lo + k - x)
+    var (hi, lo) = (0L, 0L)
+    rows.zip(xs).foreach { case (r, x) =>
+      hi = math.max(0L, hi + x - k)
+      lo = math.max(0L, lo + k - x)
+      assert(r.getAs[Long]("cusum_hi") === hi, s"day ${r.get(0)}")
+      assert(r.getAs[Long]("cusum_lo") === lo, s"day ${r.get(0)}")
+      assert(r.getAs[Boolean]("alarm_hi") === (hi > k * 5))
+      assert(r.getAs[Boolean]("alarm_lo") === (lo > k * 5))
+    }
+    // totals cover every event exactly once
+    assert(xs.sum === Tables.events(spark, dir).count())
+  }
+
   test("neyman_alloc: recomputed moments, budget bound, share laws") {
     import graft.operators.Sampling
     val rows = Sampling.neymanAllocation(spark, dir).collect()
