@@ -1087,6 +1087,45 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("approx_d2"))
   }
 
+  /** PQ QUANTIZATION-DISTORTION REPORT — the index-quality metric read
+    * next to the recall curve: per subspace, the total / mean / max
+    * squared error between each vector and its assigned code centroid.
+    * Assignment IS the argmin, so per-vector distortion is `MIN(d2)` over
+    * the encode relation both engines already compute — no separate
+    * reconstruction pass. All quantized-integer sums with floor-division
+    * means; output is subspaces-sized (8 rows). A rebuilt codebook that
+    * degrades (a skewed subspace, a collapsed centroid) shows up here
+    * before it shows up as recall loss. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val enc = pqSub(spark, dir)
+      .join(broadcast(pqSubCent(spark, dir)), Seq("s", "d"))
+      .groupBy(col("vec_id"), col("s"), col("code"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+    enc.groupBy(col("vec_id"), col("s")).agg(min(col("d2")).as("d2"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("d2")).as("total_d2"),
+        max(col("d2")).as("max_d2"))
+      .select(col("s"), col("n_vectors"), col("total_d2"),
+        expr("total_d2 div n_vectors").as("mean_d2"), col("max_d2"))
+  }
+
+  val pqDistortionSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT vec_id, i - 1 AS d,
+       |                CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+       |         FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+       |$pqCtesSql,
+       |pv AS (SELECT vec_id, s, CAST(MIN(d2) AS BIGINT) AS d2
+       |       FROM enc GROUP BY 1, 2)
+       |SELECT s, COUNT(*) AS n_vectors,
+       |       CAST(SUM(d2) AS BIGINT) AS total_d2,
+       |       CAST(SUM(d2) AS BIGINT) // COUNT(*) AS mean_d2,
+       |       MAX(d2) AS max_d2
+       |FROM pv
+       |GROUP BY s
+       |ORDER BY s""".stripMargin
+
   val pqTopKSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |dims AS (SELECT vec_id, i - 1 AS d,
@@ -2163,6 +2202,8 @@ object Similarity {
     Q("sim_ivf_topk", ivfTopK(_, _).orderBy("query_id", "rank"), Some(ivfTopKSql)),
     Q("sim_nprobe_curve", nprobeCurve(_, _).orderBy("nprobe"),
       Some(nprobeCurveSql)),
+    Q("sim_pq_distortion", pqDistortion(_, _).orderBy("s"),
+      Some(pqDistortionSql)),
     Q("sim_ivf_kmeans_topk", ivfKmeansTopK(_, _).orderBy("query_id", "rank"),
       Some(ivfKmeansTopKSql)),
     Q("sim_pq_topk", pqTopK(_, _).orderBy("query_id", "rank"), Some(pqTopKSql)),

@@ -316,6 +316,36 @@ class Round9dSpec extends AnyFunSuite {
     assert(xs.sum === Tables.events(spark, dir).count())
   }
 
+  test("pq_distortion: subspace 0 recomputed from quantized raw vectors") {
+    import graft.operators.Similarity
+    val rows = Similarity.pqDistortion(spark, dir).orderBy("s").collect()
+    val emb = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1000000).toLong),
+        r.getInt(2)))
+    val nVec = emb.length.toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") === nVec)
+      assert(r.getAs[Long]("mean_d2") ===
+        r.getAs[Long]("total_d2") / nVec)
+      assert(r.getAs[Long]("max_d2") >= r.getAs[Long]("mean_d2"))
+    }
+    // subspace 0 (dims 0..7): codebook = per-(code, d) floor-mean over
+    // label%8 members; per-vector distortion = min over codes
+    val subDims = 0 until 8
+    val cent = (0 until 8).map { code =>
+      val members = emb.filter(e => math.floorMod(e._3, 8) == code)
+      code -> subDims.map(d =>
+        math.floor(members.map(_._2(d)).sum.toDouble / members.length).toLong)
+    }.toMap
+    val total0 = emb.map { case (_, q, _) =>
+      (0 until 8).map(code =>
+        subDims.map(d => { val diff = q(d) - cent(code)(d - 0); diff * diff }).sum).min
+    }.sum
+    assert(rows.head.getAs[Long]("total_d2") === total0)
+  }
+
   test("neyman_alloc: recomputed moments, budget bound, share laws") {
     import graft.operators.Sampling
     val rows = Sampling.neymanAllocation(spark, dir).collect()
