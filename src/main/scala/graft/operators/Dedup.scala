@@ -481,6 +481,124 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val BbitBits = 2 // bits kept per minhash value (b-bit minhash)
+
+  /** B-BIT MINHASH evaluation (Li & König, 2010): keep only the lowest
+    * [[BbitBits]] bits of each minhash value — the signature shrinks
+    * 16× (the storage/shuffle win the technique exists for) while band
+    * collisions get a higher random floor. Both the b-bit and the
+    * full-width band pipelines run from the SAME materialized signature
+    * artifact, and their candidate sets are scored against the exact
+    * n-gram Jaccard truth pairs: one row per method with candidate count,
+    * true positives, and floor-division recall/precision basis points.
+    * Because a full-band match implies equality of every value — hence of
+    * every low-bit slice — the b-bit candidate set is a SUPERSET of the
+    * full-width one (spec-pinned): recall can only rise, precision only
+    * fall, and the audit quantifies that trade exactly. */
+  def bbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir, NumPerms)
+    val rowsPerBand = NumPerms / NumBands
+    val bmask = (1L << BbitBits) - 1
+    val bbitBands = sig.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map { b =>
+        (0 until rowsPerBand).map(j =>
+          (col("sig").getItem(b * rowsPerBand + j) % (bmask + 1)) *
+            lit(1L << (BbitBits * j))).reduce((a: Column, c: Column) => a + c)
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bcand = bbitBands.as("x")
+      .join(bbitBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val nPacks = (rowsPerBand + 1) / 2
+    val fbands = bandsOf(sig, NumPerms, NumBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fcand = fbands.as("x")
+      .join(fbands.as("y"), bandJoinCond(nPacks) && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val truth = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    def metrics(method: String, cand: DataFrame): DataFrame =
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("tp"))))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(lit(method).as("method"), col("n_candidates"), col("n_truth"),
+          col("tp"),
+          expr("(tp * 10000) div n_truth").as("recall_bp"),
+          expr("""case when n_candidates = 0 then 0
+                  else (tp * 10000) div n_candidates end""").as("precision_bp"))
+    metrics("bbit2", bcand).unionByName(metrics("full", fcand))
+  }
+
+  val bbitMinhashSql: String = {
+    val minCols = (0 until NumPerms)
+      .map(i => s"MIN((${permA(i)} * base + ${permB(i)}) % $MersenneP) AS h$i")
+      .mkString(",\n       ")
+    val sigList = (0 until NumPerms).map(i => s"h$i").mkString("[", ", ", "]")
+    val rowsPerBand = NumPerms / NumBands
+    val nPacks = (rowsPerBand + 1) / 2
+    val bmask1 = 1L << BbitBits
+    val bkeyExpr = (0 until rowsPerBand).map(j =>
+      s"(sig[b*$rowsPerBand + ${j + 1}] % $bmask1) * ${1L << (BbitBits * j)}")
+      .mkString(" + ")
+    val packCols = (0 until nPacks).map { i =>
+      val v1 = s"sig[b*$rowsPerBand + ${2 * i + 1}]"
+      val v2 = if (2 * i + 1 < rowsPerBand) s"sig[b*$rowsPerBand + ${2 * i + 2}]"
+        else "0"
+      s"$v1 * $MersenneP + $v2 AS k$i"
+    }.mkString(",\n                  ")
+    val keyEq = (0 until nPacks).map(i => s"x.k$i = y.k$i").mkString(" AND ")
+    def metricsSql(method: String, cand: String) =
+      s"""SELECT '$method' AS method,
+         |       (SELECT COUNT(*) FROM $cand) AS n_candidates,
+         |       (SELECT COUNT(*) FROM truth) AS n_truth,
+         |       (SELECT COUNT(*) FROM $cand c JOIN truth t
+         |          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS tp,
+         |       ((SELECT COUNT(*) FROM $cand c JOIN truth t
+         |          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) * 10000)
+         |         // (SELECT COUNT(*) FROM truth) AS recall_bp,
+         |       CASE WHEN (SELECT COUNT(*) FROM $cand) = 0 THEN 0
+         |            ELSE ((SELECT COUNT(*) FROM $cand c JOIN truth t
+         |                     ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) * 10000)
+         |                   // (SELECT COUNT(*) FROM $cand) END AS precision_bp""".stripMargin
+    s"""WITH $shingleIndexSql,
+       |$cappedShingleIndexSql,
+       |shb AS (SELECT doc_id, h % $MersenneP AS base FROM sh),
+       |sigc AS (SELECT doc_id,
+       |       $minCols
+       |       FROM shb GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM sigc),
+       |bb AS (SELECT doc_id, b, $bkeyExpr AS bkey
+       |       FROM sig, UNNEST(range(0, $NumBands)) AS u(b)),
+       |bcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bb x JOIN bb y
+       |            ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |fbands AS (SELECT doc_id, b,
+       |                  $packCols
+       |           FROM sig, UNNEST(range(0, $NumBands)) AS u(b)),
+       |fcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM fbands x JOIN fbands y
+       |            ON x.b = y.b AND $keyEq AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |          FROM shf a JOIN shf b
+       |            ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |truth AS (SELECT doc_a, doc_b FROM inter
+       |          JOIN sz sa ON doc_a = sa.doc_id
+       |          JOIN sz sb ON doc_b = sb.doc_id
+       |          WHERE CAST(n_common AS DOUBLE)
+       |                  / (sa.n + sb.n - n_common) >= $JaccardThreshold)
+       |${metricsSql("bbit2", "bcand")}
+       |UNION ALL
+       |${metricsSql("full", "fcand")}
+       |ORDER BY method""".stripMargin
+  }
+
   private val SimhashBits = 60
 
   /** SimHash: 60-bit locality-sensitive digest per document. Each token's
@@ -1417,6 +1535,8 @@ object Dedup {
     Q("dedup_cluster_keep", clusterKeep(_, _).orderBy("doc_id"), Some(clusterKeepSql)),
     Q("dedup_cluster_reps", clusterReps(_, _).orderBy("component_root"),
       Some(clusterRepsSql)),
+    Q("dedup_bbit_minhash", bbitMinhash(_, _).orderBy("method"),
+      Some(bbitMinhashSql)),
     Q("dedup_name_edit", nameEdit(_, _).orderBy("name_a", "name_b"), Some(nameEditSql)),
     Q("dedup_name_edit_multiblock",
       nameEditMultiblock(_, _).orderBy("name_a", "name_b"),

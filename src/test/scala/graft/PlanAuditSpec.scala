@@ -41,6 +41,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_kcore" -> 2, // inherits knnGraph's broadcast plane projection
     "sim_neighbor_jaccard" -> 2, // same knnGraph inheritance
     "rel_bloom_probe" -> 1, // one-row broadcast bits_set scalar folded in
+    "dedup_bbit_minhash" -> 4, // two 1-row count scalars per method row
     "sim_nprobe_curve" -> 1, // one-row hit-agg x one-row candidate-agg scalars
     "text_bpe_merge" -> 2, // one-row broadcast best-pair scalar, used twice
     // (merge projection + applied_merge output column)

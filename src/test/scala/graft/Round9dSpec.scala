@@ -346,6 +346,29 @@ class Round9dSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("total_d2") === total0)
   }
 
+  test("bbit_minhash: low-bit candidates strictly contain the full-width set") {
+    import graft.operators.Dedup
+    val rows = Dedup.bbitMinhash(spark, dir).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_truth"),
+          r.getAs[Long]("tp"), r.getAs[Long]("recall_bp"),
+          r.getAs[Long]("precision_bp"))).toMap
+    val (ncB, ntB, tpB, recB, preB) = rows("bbit2")
+    val (ncF, ntF, tpF, recF, preF) = rows("full")
+    assert(ntB === ntF && ntB > 0)
+    // a full-band match implies every low-bit slice matches → superset
+    assert(ncB >= ncF, s"bbit candidates $ncB < full $ncF")
+    assert(tpB >= tpF)
+    assert(recB >= recF)
+    assert(recB === tpB * 10000 / ntB)
+    if (ncB > 0) assert(preB === tpB * 10000 / ncB)
+    assert(tpB <= ncB && tpF <= ncF && tpB <= ntB)
+    // the 16x-smaller signature must pay with a real precision drop
+    // (collision floor) — if it didn't, the full width would be waste
+    assert(ncB > ncF, "2-bit keys should collide more at this scale")
+    assert(preB <= preF)
+  }
+
   test("neyman_alloc: recomputed moments, budget bound, share laws") {
     import graft.operators.Sampling
     val rows = Sampling.neymanAllocation(spark, dir).collect()
