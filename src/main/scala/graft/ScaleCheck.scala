@@ -87,6 +87,91 @@ object ScaleCheck {
     report("kcore_fixpoint", below == 0L,
       s"core_vertices=${core.count()} below_k=$below")
 
+    // ---- property gates for the DuckDB-cost-bound sf1 exclusion class
+    // (round-9 directive #2): these queries' brute-force oracles are
+    // quadratic at 20k-vector/50k-doc scale, so the differential can't run
+    // — the checks below assert scale-independent INVARIANTS of the same
+    // outputs, giving every excluded query a signal at any sf.
+
+    // 4. weighted Jaccard: canonical pair form (a < b, no duplicates — the
+    //    relational statement of the measure's symmetry) and threshold/1.0
+    //    bounds on the score
+    val wj = operators.Dedup.weightedJaccard(spark, dir)
+    val wjBad = wj.filter(
+      col("doc_a") >= col("doc_b") ||
+        col("w_jaccard") < operators.Dedup.WeightedThreshold ||
+        col("w_jaccard") > 1.0 || col("n_common") < 1 ||
+        col("w_common") <= 0).count()
+    val wjDup = wj.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    report("weighted_jaccard_bounds", wjBad == 0L && wjDup == 0L,
+      s"pairs=${wj.count()} out_of_bounds=$wjBad dup_pairs=$wjDup")
+
+    // 5. threshold sweep: pair counts must be non-increasing in the
+    //    threshold — a crossing means the bucketed conditional counts
+    //    disagree with the single scored relation they summarize
+    val sweep = operators.Dedup.thresholdSweep(spark, dir)
+      .orderBy(col("threshold_pct")).collect()
+    val sweepMono = sweep.sliding(2).forall {
+      case Array(lo, hi) =>
+        lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs")
+      case _ => true
+    }
+    report("threshold_sweep_monotone",
+      sweep.length == 9 && sweepMono && sweep.forall(_.getAs[Long]("n_pairs") >= 0),
+      s"rows=${sweep.length} counts=${sweep.map(_.getAs[Long]("n_pairs")).mkString(",")}")
+
+    // 6. modality agreement: the confusion counts must be internally
+    //    consistent — overlap bounded by each side, and the reported
+    //    pair-set Jaccard exactly n_both/(n_lex + n_sem − n_both)
+    val ma = operators.Dedup.modalityAgreement(spark, dir).collect().head
+    val (nl, ns, nb) = (ma.getAs[Long]("n_lexical"),
+      ma.getAs[Long]("n_semantic"), ma.getAs[Long]("n_both"))
+    val union = nl + ns - nb
+    val agreeOk =
+      if (union == 0L) ma.isNullAt(ma.fieldIndex("pair_agreement"))
+      else ma.getAs[Double]("pair_agreement") == nb.toDouble / union
+    report("modality_agreement_counts",
+      nb <= math.min(nl, ns) && union >= math.max(nl, ns) && agreeOk,
+      s"n_lexical=$nl n_semantic=$ns n_both=$nb")
+
+    // 7. b-bit minhash: a full-band match implies low-bit equality, so the
+    //    b-bit candidate set is a SUPERSET of the full-width one — its
+    //    candidate count, true positives, and recall can only be >= the
+    //    full signature's (the compression trade the audit quantifies)
+    val bb = operators.Dedup.bbitMinhash(spark, dir).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    val (b2, fw) = (bb("bbit2"), bb("full"))
+    report("bbit_superset",
+      b2.getAs[Long]("n_candidates") >= fw.getAs[Long]("n_candidates") &&
+        b2.getAs[Long]("tp") >= fw.getAs[Long]("tp") &&
+        b2.getAs[Long]("recall_bp") >= fw.getAs[Long]("recall_bp") &&
+        Seq(b2, fw).forall { r =>
+          val rc = r.getAs[Long]("recall_bp")
+          rc >= 0L && rc <= 10000L
+        },
+      s"cand_bbit=${b2.getAs[Long]("n_candidates")} cand_full=${fw.getAs[Long]("n_candidates")} " +
+        s"tp_bbit=${b2.getAs[Long]("tp")} tp_full=${fw.getAs[Long]("tp")}")
+
+    // 8. kNN graph: no self-edges, at most K neighbors per vertex — the
+    //    candidate-generation contract every downstream graph query
+    //    (k-core, PageRank, triangles, clusters, assortativity) rests on
+    val knn = operators.Similarity.knnGraph(spark, dir)
+    val selfEdges = knn.filter(col("vec_id") === col("neighbor_id")).count()
+    val overK = knn.groupBy(col("vec_id")).agg(count(lit(1)).as("d"))
+      .filter(col("d") > operators.Similarity.K).count()
+    report("knn_degree_bound", selfEdges == 0L && overK == 0L,
+      s"edges=${knn.count()} self=$selfEdges over_k=$overK")
+
+    // 9. neighborhood Jaccard: scores bounded in [0,1] over mutual-kNN
+    //    edges (shared/(da+db−shared) can't leave the unit interval when
+    //    the wedge counts are consistent with the degree relation)
+    val nj = operators.Similarity.neighborJaccard(spark, dir)
+    val njCol = nj.columns.find(_.contains("jaccard")).getOrElse("jaccard")
+    val njBad = nj.filter(col(njCol) < 0.0 || col(njCol) > 1.0).count()
+    report("neighbor_jaccard_bounds", njBad == 0L,
+      s"edges=${nj.count()} out_of_bounds=$njBad")
+
     spark.stop()
     if (failed) sys.exit(1)
   }

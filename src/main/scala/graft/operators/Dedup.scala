@@ -205,7 +205,7 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   private val WeightScale = 1000000L
-  private val WeightedThreshold = 0.3
+  private[graft] val WeightedThreshold = 0.3
 
   /** IDF-WEIGHTED Jaccard near-dup pairs: like [[ngramJaccard]], but each
     * shingle contributes weight `WeightScale div df` instead of 1, so
@@ -499,27 +499,41 @@ object Dedup {
     val sig = minhashSignatures(spark, dir, NumPerms)
     val rowsPerBand = NumPerms / NumBands
     val bmask = (1L << BbitBits) - 1
-    val bbitBands = sig.select(col("doc_id"),
-      posexplode(array((0 until NumBands).map { b =>
-        (0 until rowsPerBand).map(j =>
-          (col("sig").getItem(b * rowsPerBand + j) % (bmask + 1)) *
-            lit(1L << (BbitBits * j))).reduce((a: Column, c: Column) => a + c)
-      }: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bcand = bbitBands.as("x")
-      .join(bbitBands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    // band tables + candidate sets go through the Artifacts layer, not
+    // session persist(): a persist held here is never released for the
+    // session's lifetime (round-9 advice), and metrics() consumes each
+    // candidate set twice (count + semi-join) — as materialized tables the
+    // re-reads are file scans, the band self-joins run zero-exchange off
+    // the bucketed key, and memory ownership ends with the write
+    val bbitBands = Artifacts.bucketedTable(
+        spark, dir, "dedup_bbit_bands", Seq("bkey")) {
+      sig.select(col("doc_id"),
+        posexplode(array((0 until NumBands).map { b =>
+          (0 until rowsPerBand).map(j =>
+            (col("sig").getItem(b * rowsPerBand + j) % (bmask + 1)) *
+              lit(1L << (BbitBits * j))).reduce((a: Column, c: Column) => a + c)
+        }: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    }
+    val bcand = Artifacts.table(spark, dir, "dedup_bbit_cand") {
+      bbitBands.as("x")
+        .join(bbitBands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+    }
     val nPacks = (rowsPerBand + 1) / 2
-    val fbands = bandsOf(sig, NumPerms, NumBands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fcand = fbands.as("x")
-      .join(fbands.as("y"), bandJoinCond(nPacks) && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val fbands = Artifacts.bucketedTable(
+        spark, dir, "dedup_bbit_fbands", Seq("k0")) {
+      bandsOf(sig, NumPerms, NumBands)
+    }
+    val fcand = Artifacts.table(spark, dir, "dedup_bbit_fcand") {
+      fbands.as("x")
+        .join(fbands.as("y"), bandJoinCond(nPacks) && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+    }
     val truth = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
     def metrics(method: String, cand: DataFrame): DataFrame =
       cand.agg(count(lit(1)).as("n_candidates"))
@@ -528,7 +542,11 @@ object Dedup {
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
         .select(lit(method).as("method"), col("n_candidates"), col("n_truth"),
           col("tp"),
-          expr("(tp * 10000) div n_truth").as("recall_bp"),
+          // n_truth = 0 guard: same engine-divergence trap as precision_bp
+          // (Spark div NULLs, DuckDB // errors) when the corpus slice has
+          // no true near-dup pairs at all
+          expr("""case when n_truth = 0 then 0
+                  else (tp * 10000) div n_truth end""").as("recall_bp"),
           expr("""case when n_candidates = 0 then 0
                   else (tp * 10000) div n_candidates end""").as("precision_bp"))
     metrics("bbit2", bcand).unionByName(metrics("full", fcand))
@@ -558,9 +576,10 @@ object Dedup {
          |       (SELECT COUNT(*) FROM truth) AS n_truth,
          |       (SELECT COUNT(*) FROM $cand c JOIN truth t
          |          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS tp,
-         |       ((SELECT COUNT(*) FROM $cand c JOIN truth t
-         |          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) * 10000)
-         |         // (SELECT COUNT(*) FROM truth) AS recall_bp,
+         |       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 0
+         |            ELSE ((SELECT COUNT(*) FROM $cand c JOIN truth t
+         |                     ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) * 10000)
+         |                   // (SELECT COUNT(*) FROM truth) END AS recall_bp,
          |       CASE WHEN (SELECT COUNT(*) FROM $cand) = 0 THEN 0
          |            ELSE ((SELECT COUNT(*) FROM $cand c JOIN truth t
          |                     ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) * 10000)

@@ -219,9 +219,13 @@ object EventTime {
     * member in exact integer cents. Money flows through DECIMAL(18,2)
     * sums end to end (associative — shuffle/partial-agg order can't move
     * a cent), the cumulative is a per-cohort ordered window over the
-    * cells-sized relation, and the per-user division is floor division on
-    * integer cents with an abs/sign split (Spark `div` truncates, DuckDB
-    * `//` floors; they agree only on non-negative operands). Plan: one
+    * cells-sized relation, and the per-user division is TRUNCATION TOWARD
+    * ZERO on integer cents: the abs/sign split (`sign(x)·(|x|·100 div n)`)
+    * makes both engines compute trunc even where their native operators
+    * disagree on negatives (Spark `div` truncates, DuckDB `//` floors —
+    * they agree only on non-negative operands, so a refund-heavy cohort
+    * with negative cumulative revenue reports `-⌊|cum|/n⌋` cents, i.e.
+    * rounded toward zero, in BOTH engines). Plan: one
     * user_id shuffle for cohorts, one (cohort, offset) shuffle for cells
     * — the window and joins after run on the matrix-sized relation, which
     * stays ~O(weeks²) no matter how large the corpus grows. */

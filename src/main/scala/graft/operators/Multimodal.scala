@@ -184,13 +184,18 @@ object Multimodal {
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a: Column, b: Column) => a + b)
     val mask = (1L << PhashBandBits) - 1
-    val bands = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), digest.as("phash"))
-      .select(col("doc_id"), col("phash"),
-        posexplode(array((0 until PhashBands).map(b =>
-          expr(s"shiftright(phash, ${b * PhashBandBits}) & $mask")): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature+band table: artifact, not persist() — the self-join below
+    // reads both sides from the bucketed parquet (zero-exchange on bkey)
+    // and no executor memory stays owned after the build (round-9 advice)
+    val bands = graft.Artifacts.bucketedTable(
+        spark, dir, "mm_phash_bands", Seq("bkey")) {
+      th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), digest.as("phash"))
+        .select(col("doc_id"), col("phash"),
+          posexplode(array((0 until PhashBands).map(b =>
+            expr(s"shiftright(phash, ${b * PhashBandBits}) & $mask")): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    }
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

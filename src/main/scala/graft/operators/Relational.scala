@@ -13,13 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** Set operations over user cohorts: buyers who clicked, minus errors.
-    * UNION/INTERSECT/EXCEPT all compile to hash aggregates/joins on a
-    * shuffled key — no driver-side sets. */
+  /** Set operations over user cohorts: buyers who clicked, minus users who
+    * errored in the launch window (first two days). UNION/INTERSECT/EXCEPT
+    * all compile to hash aggregates/joins on a shuffled key — no driver-side
+    * sets. The EXCEPT side is date-bounded so the chain returns a
+    * NON-TRIVIAL result at every scale: with an unbounded error side, every
+    * click∩purchase user in this data also has some error event, and the
+    * gate would hash-match empty-vs-empty — exercising the plan but
+    * comparing zero rows (round-9 verdict watch item). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     def ids(t: String) = ev.filter(col("event_type") === t).select(col("user_id")).distinct()
-    ids("click").intersect(ids("purchase")).except(ids("error"))
+    val launchErrors = ev
+      .filter(col("event_type") === "error" &&
+        col("ts") < lit("2024-01-03").cast("timestamp"))
+      .select(col("user_id")).distinct()
+    ids("click").intersect(ids("purchase")).except(launchErrors)
   }
 
   val setOpsSql: String =
@@ -27,7 +36,8 @@ object Relational {
       |INTERSECT
       |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
       |EXCEPT
-      |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+      |SELECT DISTINCT user_id FROM events
+      |WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03'
       |ORDER BY user_id""".stripMargin
 
   /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): per-user
@@ -1697,8 +1707,13 @@ object Relational {
         bloom.agg(sum(expr("bit_count(word)")).as("bits_set"))))
       .select(col("n_probed"), col("n_members"), col("n_bloom_positive"),
         col("n_false_positive"), col("n_false_negative"),
-        expr("(n_false_positive * 10000) div (n_probed - n_members)")
-          .as("fp_rate_bp"),
+        // guard the all-probes-are-members edge: Spark's non-ANSI div
+        // yields NULL on /0 while DuckDB's // raises — without the CASE the
+        // engines diverge (null row vs oracle failure) the day the filter
+        // is probed only by its own build keys
+        expr("""case when n_probed = n_members then 0
+                else (n_false_positive * 10000) div (n_probed - n_members)
+                end""").as("fp_rate_bp"),
         col("bits_set"),
         expr(s"(bits_set * 10000) div $BloomBits").as("fill_bp"))
   }
@@ -1741,8 +1756,9 @@ object Relational {
        |       FROM bloom)
        |SELECT n_probed, n_members, n_bloom_positive, n_false_positive,
        |       n_false_negative,
-       |       (n_false_positive * 10000) // (n_probed - n_members)
-       |         AS fp_rate_bp,
+       |       CASE WHEN n_probed = n_members THEN 0
+       |            ELSE (n_false_positive * 10000) // (n_probed - n_members)
+       |            END AS fp_rate_bp,
        |       bits_set,
        |       (bits_set * 10000) // $BloomBits AS fill_bp
        |FROM s, bs""".stripMargin

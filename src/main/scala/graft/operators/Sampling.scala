@@ -649,10 +649,13 @@ object Sampling {
     * `n_h·σ_h / Σ_j n_j·σ_j` — high-variance strata get oversampled
     * relative to their population share. With strata = languages and the
     * measured variable = document length, `n_h·σ_h` collapses to
-    * `sqrt(n_h·Σx² − S²)`: the inner moments are exact BIGINT sums (safe
-    * to ~2⁵³ total squared-char mass; floor chars to coarser units before
-    * that), the single sqrt is IEEE correctly-rounded (bit-identical
-    * cross-engine, the [[temperatureWeights]] precedent), and every share
+    * `sqrt(n_h·Σx² − S²)`: the inner moments are exact DECIMAL(38,0) /
+    * HUGEINT sums (the [[snapshotDrift]] precedent — a BIGINT Σx² wraps
+    * silently in Spark's non-ANSI mode but errors in DuckDB once the
+    * squared-char mass passes 2⁶³, i.e. at ~10¹⁵ total chars for 10⁴-char
+    * docs, well inside 100 TB), the single sqrt is IEEE correctly-rounded
+    * (bit-identical cross-engine, the temperatureWeights precedent), and
+    * every share
     * after is floor-division basis points on non-negative integers. The
     * corpus-sized work is one map-side-combined per-lang aggregate;
     * shares/allocations run on the langs-sized relation with scalars as
@@ -663,26 +666,34 @@ object Sampling {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("s"),
-        sum(col("n_chars") * col("n_chars")).as("q"))
+        sum(col("n_chars").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("n_chars")).as("q"))
       .withColumn("w",
-        expr("cast(floor(sqrt(cast(n_docs * q - s * s as double))) as bigint)"))
+        expr("""cast(floor(sqrt(cast(
+                  cast(n_docs as decimal(38,0)) * q
+                  - cast(s as decimal(38,0)) * s as double))) as bigint)"""))
       .withColumn("mean_chars", expr("s div n_docs"))
       .withColumn("sd_chars", expr("w div n_docs"))
       .withColumn("prop_bp", expr("(n_docs * 10000) div (sum(n_docs) over ())"))
       .withColumn("neyman_bp", expr("(w * 10000) div (sum(w) over ())"))
       .withColumn("alloc_n",
         expr(s"(w * $NeymanBudget) div (sum(w) over ())"))
-      .withColumn("oversample_bp", expr("(neyman_bp * 10000) div prop_bp"))
+      // prop_bp = 0 guard: a stratum under 1/10000 of the corpus floors to
+      // zero share — Spark div would NULL, DuckDB // would error
+      .withColumn("oversample_bp",
+        expr("""case when prop_bp = 0 then 0
+                else (neyman_bp * 10000) div prop_bp end"""))
       .select(col("lang"), col("n_docs"), col("mean_chars"), col("sd_chars"),
         col("prop_bp"), col("neyman_bp"), col("alloc_n"), col("oversample_bp"))
 
   val neymanAllocationSql: String =
     s"""WITH by_lang AS (SELECT lang, COUNT(*) AS n_docs,
        |                        CAST(SUM(n_chars) AS BIGINT) AS s,
-       |                        CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+       |                        SUM(CAST(n_chars AS HUGEINT) * n_chars) AS q
        |                 FROM documents GROUP BY lang),
        |w AS (SELECT lang, n_docs,
-       |             CAST(FLOOR(SQRT(CAST(n_docs * q - s * s AS DOUBLE)))
+       |             CAST(FLOOR(SQRT(CAST(CAST(n_docs AS HUGEINT) * q
+       |                 - CAST(s AS HUGEINT) * s AS DOUBLE)))
        |               AS BIGINT) AS w,
        |             s FROM by_lang),
        |t AS (SELECT *, CAST(SUM(n_docs) OVER () AS BIGINT) AS tot_n,
@@ -694,8 +705,9 @@ object Sampling {
        |       (n_docs * 10000) // tot_n AS prop_bp,
        |       (w * 10000) // tot_w AS neyman_bp,
        |       (w * $NeymanBudget) // tot_w AS alloc_n,
-       |       (((w * 10000) // tot_w) * 10000)
-       |         // ((n_docs * 10000) // tot_n) AS oversample_bp
+       |       CASE WHEN (n_docs * 10000) // tot_n = 0 THEN 0
+       |            ELSE (((w * 10000) // tot_w) * 10000)
+       |                   // ((n_docs * 10000) // tot_n) END AS oversample_bp
        |FROM t
        |ORDER BY lang""".stripMargin
 

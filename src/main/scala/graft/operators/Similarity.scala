@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val K = 10
+  private[graft] val K = 10
   private val NumQueries = 10
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
@@ -1330,11 +1330,14 @@ object Similarity {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
     val assign = seedAssign(spark, dir).select(col("vec_id"), col("list_id"))
     val lsz = assign.groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
-    val pr = dist.filter(col("vec_id") < NumQueries)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= NprobeSteps.max)
-      .select(col("vec_id").as("query_id"), col("list_id"), col("rn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe-rank relation feeds both the hit and candidate aggregates —
+    // artifact, not persist(): released at write time, re-reads are scans
+    val pr = Artifacts.table(spark, dir, "sim_probe_rank") {
+      dist.filter(col("vec_id") < NumQueries)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= NprobeSteps.max)
+        .select(col("vec_id").as("query_id"), col("list_id"), col("rn"))
+    }
     val gt = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
     val hit = gt
       .join(assign.withColumnRenamed("vec_id", "neighbor_id")
@@ -1818,6 +1821,10 @@ object Similarity {
 
   private[graft] val CoreK = 3
 
+  /** Peel levels chained per materialized job in [[kcore]] — a batching
+    * factor, not a round cap: the loop still runs to the fixpoint. */
+  private[graft] val PeelsPerJob = 4
+
   /** k-CORE decomposition (peel to fixpoint) of the MUTUAL-kNN graph: keep
     * only edges where each endpoint ranks the other in its top-k (the
     * symmetric backbone — one-directional kNN edges are dominated by hubs),
@@ -1865,14 +1872,29 @@ object Similarity {
     // SLOWER here: WindowExec sorts each partition by the window key, so
     // two windows cost two sorts per round, while the semi-join's
     // broadcast build is a sub-millisecond collect of the tiny keep set.)
+    // BATCHED PEEL (round 10): [[PeelsPerJob]] peel LEVELS chain lazily
+    // between materializations. Each level's keep set still reflects the
+    // exactly-once-peeled predecessor (semantics identical to one level
+    // per job — the peel sequence is the same function composition), but
+    // only the last level of a batch is checkpointed and counted. A keep
+    // set's broadcast build re-scans the checkpointed base through the
+    // accumulated broadcast filters (cheap — each filter is a hash probe),
+    // so a batch of P levels costs ~P keep-scans + ONE materialization
+    // instead of P of each; at sf1 the peel is ~tens of levels deep and
+    // materialization dominated, so this cuts wall-clock ~in half without
+    // touching the fixpoint (an unchanged count across a batch means every
+    // level in it was the identity — peeling only removes edges).
     while (!converged) {
-      val keep = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= CoreK).select(col("a"))
-      edges = edges
-        .join(keep, Seq("a"), "left_semi")
-        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint(eager = false)
+      var batched = edges
+      for (_ <- 0 until PeelsPerJob) {
+        val keep = batched.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= CoreK).select(col("a"))
+        batched = batched
+          .join(keep, Seq("a"), "left_semi")
+          .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+      }
+      edges = batched.localCheckpoint(eager = false)
       val c = edges.count()
       converged = c == prevCount
       prevCount = c

@@ -344,15 +344,18 @@ object TextAnalysis {
     * aggregate, never a collect-and-reparse. A production trainer loops
     * this exact round vocab-resident; each round is one cheap Spark job. */
   def bpeMerge(spark: SparkSession, dir: String): DataFrame = {
-    val seqs = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("token"))
-      .filter(length(col("token")) >= 2)
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
-        concat(lit(" "), regexp_replace(col("token"), "(.)", "$1 ")).as("seq"))
-      // two consumers (argmax pass + merge projection) — persist or the
-      // corpus tokenize + vocab aggregate runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two consumers (argmax pass + merge projection) — materialized as an
+    // artifact table, or the corpus tokenize + vocab aggregate runs twice;
+    // an artifact rather than persist() so the memory is released when the
+    // write finishes instead of being held for the session (round-9 advice)
+    val seqs = graft.Artifacts.table(spark, dir, "text_bpe_vocab") {
+      Tables.documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .filter(length(col("token")) >= 2)
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          concat(lit(" "), regexp_replace(col("token"), "(.)", "$1 ")).as("seq"))
+    }
     def pairCounts(s: DataFrame): DataFrame = s
       .withColumn("a", split(trim(col("seq")), " "))
       .select(col("cnt"), explode(expr(

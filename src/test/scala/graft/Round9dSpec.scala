@@ -33,9 +33,11 @@ class Round9dSpec extends AnyFunSuite {
       sorted.foreach { r =>
         running += cents(r.getAs[Double]("wk_revenue"))
         assert(cents(r.getAs[Double]("cum_revenue")) === running)
-        // per-user cents is floor division of the running cents
+        // per-user cents is TRUNCATION TOWARD ZERO of the running cents
+        // (Java `/` on longs truncates — the operator's documented law;
+        // distinct from Math.floorDiv the moment cum goes negative)
         assert(r.getAs[Long]("ltv_per_user_cents") ===
-          Math.floorDiv(running, r.getAs[Long]("cohort_size")))
+          running / r.getAs[Long]("cohort_size"))
       }
     }
 
@@ -49,6 +51,31 @@ class Round9dSpec extends AnyFunSuite {
     val sizes = rows.map(r =>
       r.getAs[Long]("cohort_wk") -> r.getAs[Long]("cohort_size")).distinct
     assert(sizes.map(_._2).sum === users)
+  }
+
+  test("cohort_ltv division law: abs/sign split truncates toward zero " +
+    "on negative cents (the refund case the live data never exercises)") {
+    import spark.implicits._
+    // mirror the operator's exact expression shape: DECIMAL cum × 100 → the
+    // abs/sign-split div — must equal Java long division (trunc), NOT floorDiv
+    val got = Seq(-2.50, 2.50, -1.99, 1.99, -0.01)
+      .toDF("cum").selectExpr(
+        "cast(cum as decimal(18,2)) as cum_dec", "cast(3 as bigint) as n")
+      .selectExpr("""case when cum_dec >= 0
+                     then div(cast(cum_dec * 100 as bigint), n)
+                     else -div(cast((-cum_dec) * 100 as bigint), n)
+                     end as got""",
+        "cast(cum_dec * 100 as bigint) as cents", "n")
+      .collect()
+    got.foreach { r =>
+      val (cents, n) = (r.getAs[Long]("cents"), r.getAs[Long]("n"))
+      assert(r.getAs[Long]("got") === cents / n)
+    }
+    // sanity: the law genuinely differs from floor on this input set
+    assert(got.exists { r =>
+      val (cents, n) = (r.getAs[Long]("cents"), r.getAs[Long]("n"))
+      cents / n != Math.floorDiv(cents, n)
+    })
   }
 
   test("bpe_merge: exact match with a driver-side reimplementation") {

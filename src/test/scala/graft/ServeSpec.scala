@@ -57,6 +57,17 @@ class ServeSpec extends AnyFunSuite {
       assert(status.statusCode() == 200)
       assert(status.body().contains("\"spark_version\""))
       assert(status.body().contains("\"declared_queries\""))
+      // the served inventory IS the engine inventory — parse the queries
+      // array back out and hold it equal to SparkEntry.queries.keySet, so
+      // the endpoint can never lag a newly-landed operator
+      val body = status.body()
+      val arrStart = body.indexOf("\"queries\":[")
+      assert(arrStart >= 0, "status payload lacks a queries array")
+      val arrBody = body.substring(arrStart + "\"queries\":[".length,
+        body.indexOf("]", arrStart))
+      val served = arrBody.split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).toSet
+      assert(served === SparkEntry.queries.keySet)
 
       assert(get(base, "/nope").statusCode() == 404)
     } finally server.stop(0)
