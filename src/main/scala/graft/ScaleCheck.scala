@@ -128,9 +128,16 @@ object ScaleCheck {
     val (nl, ns, nb) = (ma.getAs[Long]("n_lexical"),
       ma.getAs[Long]("n_semantic"), ma.getAs[Long]("n_both"))
     val union = nl + ns - nb
+    // recompute agreement from the gate's own counts; 1-ulp tolerance, not
+    // exact ==, so a refactor of the operator's expression shape (decimal
+    // cast, basis-point form) degrades to a visible FAIL only when the
+    // VALUE moves, not when the IEEE evaluation order does
     val agreeOk =
       if (union == 0L) ma.isNullAt(ma.fieldIndex("pair_agreement"))
-      else ma.getAs[Double]("pair_agreement") == nb.toDouble / union
+      else {
+        val want = nb.toDouble / union
+        math.abs(ma.getAs[Double]("pair_agreement") - want) <= math.ulp(want)
+      }
     report("modality_agreement_counts",
       nb <= math.min(nl, ns) && union >= math.max(nl, ns) && agreeOk,
       s"n_lexical=$nl n_semantic=$ns n_both=$nb")
@@ -171,6 +178,139 @@ object ScaleCheck {
     val njBad = nj.filter(col(njCol) < 0.0 || col(njCol) > 1.0).count()
     report("neighbor_jaccard_bounds", njBad == 0L,
       s"edges=${nj.count()} out_of_bounds=$njBad")
+
+    // ---- round-11 gates: the three excluded graph queries that had NO
+    // sf1 signal (pagerank/triangles/assortativity — round-10 verdict
+    // "What's missing" #2), plus direct invariant gates for the two
+    // disk-bound differentials (dedup_cascade, sim_modularity).
+
+    // 10. PageRank mass conservation. Each node's mass is
+    //     0.15·PrMass + Σ inbound floor-divided contributions, so:
+    //     every mass ≥ the teleport floor; total mass can only LOSE units
+    //     to floors/dangling nodes (T_{i+1} ≤ 0.15·PrMass·n + 0.85·T_i,
+    //     T_0 = n·PrMass ⇒ T_i ≤ n·PrMass by induction) and can never
+    //     drop below the pure-teleport total; every corpus node appears.
+    val pr = operators.Similarity.pagerank(spark, dir)
+    val nVec = Tables.embeddings(spark, dir).count()
+    val prs = pr.agg(count(lit(1)).as("n"), min(col("rank_mass")).as("mn"),
+      sum(col("rank_mass")).as("tot")).collect().head
+    val teleport = operators.Similarity.PrMass * 15 / 100
+    val (prN, prMin, prTot) = (prs.getAs[Long]("n"), prs.getAs[Long]("mn"),
+      prs.getAs[Long]("tot"))
+    report("pagerank_mass",
+      prN == nVec && prMin >= teleport &&
+        prTot <= nVec * operators.Similarity.PrMass && prTot >= nVec * teleport,
+      s"nodes=$prN/$nVec min_mass=$prMin total=$prTot " +
+        s"bounds=[${nVec * teleport},${nVec * operators.Similarity.PrMass}]")
+
+    // shared: canonical undirected kNN edge set + its degree relation,
+    // recomputed here from the graph artifact (gate 8 pins the artifact)
+    val undG = operators.Similarity.knnGraph(spark, dir)
+      .select(least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val undM = undG.count()
+    val undDeg = undG.select(explode(array(col("a"), col("b"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("ud"))
+
+    // 11. triangles vs the wedge relation: a vertex of undirected degree d
+    //     participates in at most C(d,2) triangles (each uses a distinct
+    //     neighbor pair), and Σ_v participation = 3 × (triangle count) —
+    //     divisible by 3 exactly.
+    val tri = operators.Similarity.triangles(spark, dir)
+    val triBad = tri.join(undDeg, Seq("vec_id"), "left")
+      .filter(col("ud").isNull || col("n_triangles") < 1 ||
+        col("n_triangles") > col("ud") * (col("ud") - 1) / 2).count()
+    val triSum = tri.agg(coalesce(sum(col("n_triangles")), lit(0L))).collect().head.getLong(0)
+    report("triangles_wedge_bound", triBad == 0L && triSum % 3 == 0L,
+      s"vertices=${tri.count()} wedge_violations=$triBad sum=$triSum (mod3=${triSum % 3})")
+
+    // 12. assortativity: a Pearson correlation, so |r| ≤ 1 (6-dp rounding
+    //     cannot leave the interval); the edge base must be the mutual-kNN
+    //     relation — recomputed here as knn ∩ reverse(knn) (a different
+    //     operator shape than the implementation's semi-join) — and even,
+    //     since both directions of every mutual pair are counted.
+    val asRow = operators.Similarity.assortativity(spark, dir).collect().head
+    val knnE = operators.Similarity.knnGraph(spark, dir)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+    val mutualN = knnE.intersect(
+      knnE.select(col("b").as("a"), col("a").as("b"))).count()
+    val asN = asRow.getAs[Long]("n_edges")
+    val asOk = !asRow.isNullAt(asRow.fieldIndex("assortativity")) && {
+      val r = asRow.getAs[Double]("assortativity")
+      r >= -1.0 && r <= 1.0
+    }
+    report("assortativity_bounds",
+      asN == mutualN && asN % 2 == 0 && asOk,
+      s"n_edges=$asN mutual=$mutualN r=${asRow.get(asRow.fieldIndex("assortativity"))}")
+
+    // 13. dedup_cascade funnel: full independent re-derivation of all four
+    //     stage counts (set-union formulation instead of the operator's
+    //     join-filter chain) + funnel monotonicity and stage chaining.
+    //     This is the direct sf1/sf3 signal for the one differential whose
+    //     DuckDB oracle is temp-disk-bound at sf1.
+    val docsK = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("k"))
+    val n0i = docsK.count()
+    val s1i = docsK.groupBy(col("k")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1i = s1i.count()
+    val compA = operators.Dedup.components(spark, dir)
+    val s1ic = s1i.join(compA, Seq("doc_id"), "left")
+    val s2i = s1ic.filter(col("component_root").isNull).select(col("doc_id"))
+      .unionByName(s1ic.filter(col("component_root").isNotNull)
+        .groupBy(col("component_root")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n2i = s2i.count()
+    val semA = operators.Similarity.semanticClusters(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster_root"))
+    val s2ic = s2i.join(semA, Seq("doc_id"), "left")
+    val n3i = s2ic.filter(col("cluster_root").isNull).count() +
+      s2ic.filter(col("cluster_root").isNotNull)
+        .select(col("cluster_root")).distinct().count()
+    val funnel = operators.Dedup.cascade(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("docs_in"), r.getAs[Long]("docs_out"))).toMap
+    val wantFunnel = Map(
+      "1_exact" -> (n0i, n1i), "2_minhash" -> (n1i, n2i),
+      "3_semantic" -> (n2i, n3i))
+    report("cascade_funnel", funnel == wantFunnel &&
+      n0i >= n1i && n1i >= n2i && n2i >= n3i && n3i >= 1,
+      s"got=${funnel.toSeq.sortBy(_._1)} want=${wantFunnel.toSeq.sortBy(_._1)}")
+    s1i.unpersist(); s2i.unpersist()
+
+    // 14. sim_modularity internal consistency against the independently
+    //     recomputed edge base: total_deg = 2m and is constant across
+    //     rows, Σ deg_sum = total_deg, Σ e_in ≤ m, 2·e_in ≤ deg_sum per
+    //     community (internal edges contribute 2 to the community degree),
+    //     node partition covers the graph, each row's float Q-term matches
+    //     a recomputation from its OWN integer columns to 1 ulp, and the
+    //     modularity total lands in Newman's [-1, 1].
+    val modRows = operators.Similarity.modularity(spark, dir).collect()
+    val tds = modRows.map(_.getAs[Long]("total_deg")).distinct
+    val sumDeg = modRows.map(_.getAs[Long]("deg_sum")).sum
+    val sumEin = modRows.map(_.getAs[Long]("e_in")).sum
+    val sumNodes = modRows.map(_.getAs[Long]("n_nodes")).sum
+    val undNodes = undDeg.count()
+    val perRowOk = modRows.forall { r =>
+      val (ein, ds, td) = (r.getAs[Long]("e_in"), r.getAs[Long]("deg_sum"),
+        r.getAs[Long]("total_deg"))
+      val want = (ein * 2).toDouble / td -
+        (ds.toDouble / td) * (ds.toDouble / td)
+      2 * ein <= ds &&
+        math.abs(r.getAs[Double]("modularity") - want) <= math.ulp(1.0)
+    }
+    val qTot = modRows.map(_.getAs[Double]("modularity")).sum
+    report("modularity_consistency",
+      tds.length == 1 && tds.head == 2 * undM && sumDeg == tds.head &&
+        sumEin <= undM && sumNodes == undNodes && perRowOk &&
+        qTot >= -1.0 && qTot <= 1.0,
+      s"communities=${modRows.length} m=$undM total_deg=${tds.mkString(",")} " +
+        s"sum_e_in=$sumEin nodes=$sumNodes/$undNodes Q=$qTot")
+    undG.unpersist()
 
     spark.stop()
     if (failed) sys.exit(1)

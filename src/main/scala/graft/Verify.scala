@@ -40,6 +40,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // staged decompositions of the temp-disk-bound sf1 differentials —
+    // read by tools/compare.py under GRAFT_STAGED_ORACLE=1; the driver's
+    // sf0.01 gate keeps using oracle_sql.json untouched
+    Files.writeString(Paths.get(s"$outDir/oracle_stage_sql.json"),
+      StagedOracles.json)
     // release the dedup-tier persisted tables (shingle index, MinHash
     // signatures) — the long-lived-session analog of dropping a pipeline
     // stage's intermediate tables when the stage ends

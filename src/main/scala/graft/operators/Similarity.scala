@@ -1616,7 +1616,7 @@ object Similarity {
        |ORDER BY community""".stripMargin
 
   private val PrIters = 3
-  private val PrMass = 1000000L // per-node starting mass, in integer micro-units
+  private[graft] val PrMass = 1000000L // per-node starting mass, in integer micro-units
 
   /** PageRank over the [[knnGraph]] in INTEGER mass units — the authority
     * score that picks canonical documents inside near-dup neighborhoods
@@ -1890,11 +1890,21 @@ object Similarity {
   def kcore(spark: SparkSession, dir: String): DataFrame =
     kcoreWithThreshold(spark, dir, LocalPeelEdges)
 
+  /** Max peeled-set rows the distributed peel will pull to the driver per
+    * level (≤ ~8 MB of longs — a free broadcast build). Levels that peel
+    * MORE than this stay fully distributed: on a 10⁹-vertex graph the
+    * first level routinely removes a large fraction of |V|, and an
+    * un-gated collect of that set is a driver OOM (the round-10 flag). */
+  private[graft] val PeelBroadcastRows = 1000000
+
   /** [[kcore]] with an explicit local-finish threshold — 0 forces the
     * pure distributed peel, Long.MaxValue the pure single-task peel;
-    * Round10Spec holds the two regimes' results identical. */
+    * Round10Spec holds the two regimes' results identical.
+    * `broadcastGate` (default [[PeelBroadcastRows]]) caps the per-level
+    * driver collect; 0 forces the shuffle-anti-join fallback every level. */
   private[graft] def kcoreWithThreshold(spark: SparkSession, dir: String,
-      localThreshold: Long): DataFrame = {
+      localThreshold: Long,
+      broadcastGate: Int = PeelBroadcastRows): DataFrame = {
     import spark.implicits._
     var edges = mutualEdges(spark, dir).localCheckpoint(eager = false)
     var cnt = edges.count() // materialize the base once
@@ -1906,12 +1916,18 @@ object Similarity {
     // 9.8 s cost was job overhead, not compute). So:
     //
     //  - ABOVE [[LocalPeelEdges]]: level-synchronous distributed peel.
-    //    Each level collects the PEELED set (deg < k — the small,
-    //    monotonically-shrinking side; Σ over all levels ≤ |V|) into a
-    //    LocalRelation whose broadcast build is free, applies it as two
-    //    broadcast anti-joins (no shuffle), and truncates lineage every
-    //    [[PeelsPerJob]] levels. Emptiness of the peeled set doubles as
-    //    the convergence probe. (A lazily-chained keep-set-broadcast batch
+    //    Each level probes the PEELED set (deg < k — the small,
+    //    monotonically-shrinking side; Σ over all levels ≤ |V|) with
+    //    limit(gate+1).collect() — the driver never receives more than
+    //    `broadcastGate`+1 rows, whatever the level peels. Under the gate
+    //    the set becomes a LocalRelation whose broadcast build is free,
+    //    applied as two broadcast anti-joins (no shuffle); OVER the gate
+    //    (mass-peel levels of a huge sparse graph, where deg<k can be a
+    //    large fraction of |V|) the same aggregate is checkpointed on the
+    //    executors and applied as two shuffle anti-joins — slower per
+    //    level, but driver memory stays O(gate). Lineage truncates every
+    //    [[PeelsPerJob]] levels. Emptiness of the probe doubles as the
+    //    convergence check. (A lazily-chained keep-set-broadcast batch
     //    was measured SLOWER: exchange reuse doesn't cross job boundaries,
     //    so every build job re-executed all earlier levels' aggregates.)
     //  - AT OR BELOW the threshold: the remaining subgraph fits ONE task
@@ -1928,15 +1944,26 @@ object Similarity {
     var converged = cnt == 0L
     var sinceTruncation = 0
     while (!converged && cnt > localThreshold) {
-      val removed = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") < CoreK).select(col("a")).collect()
-      if (removed.isEmpty) converged = true
+      val peeled = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < CoreK).select(col("a"))
+      // limit(gate+1) bounds what reaches the driver: if the level peels
+      // ≤ gate vertices this IS the whole set, otherwise the extra row
+      // only signals "too big — stay distributed"
+      val probe = peeled.limit(broadcastGate + 1).collect()
+      if (probe.isEmpty) converged = true
       else {
-        val rm = broadcast(spark.createDataFrame(
-          java.util.Arrays.asList(removed: _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("rid",
-              edges.schema("a").dataType)))))
+        val rm =
+          if (probe.length <= broadcastGate)
+            broadcast(spark.createDataFrame(
+              java.util.Arrays.asList(probe: _*),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("rid",
+                  edges.schema("a").dataType)))))
+          else
+            // over-gate level: re-run the same aggregate executor-side and
+            // pin it (one job) so the two anti-joins share one copy —
+            // nothing corpus-sized ever lands on the driver
+            peeled.select(col("a").as("rid")).localCheckpoint()
         edges = edges
           .join(rm, col("a") === col("rid"), "left_anti")
           .join(rm.select(col("rid").as("rid2")),

@@ -60,8 +60,14 @@ class Round10Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val distributed = result(0L) // every level runs the broadcast-anti-join path
     val local = result(Long.MaxValue) // one mapPartitions does everything
+    // broadcastGate = 0 forces the over-gate fallback EVERY level: the
+    // peeled set is never collected, the anti-joins run as shuffle joins
+    // against the executor-side checkpoint (the 100 TB mass-peel path)
+    val shuffled = Similarity.kcoreWithThreshold(spark, dir, 0L, broadcastGate = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(distributed === local)
     assert(default === local)
+    assert(shuffled === local)
     assert(local.nonEmpty)
     // and the shared fixpoint property
     local.foreach { case (id, deg) =>

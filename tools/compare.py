@@ -21,20 +21,38 @@ JSON_OUT = sys.argv[3] if len(sys.argv) > 3 else None
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-con = duckdb.connect()
-# Heavy oracles (the all-pairs CTE class) spill DuckDB temp; the default
-# .tmp landed on a small volume and killed the round-9 sf1 differentials
-# for dedup_cascade / sim_modularity with disk-full. Point temp at the big
-# volume (override with GRAFT_DUCKDB_TMP) and cap memory so spilling
-# engages before the OS OOMs the process.
-tmpdir = os.environ.get("GRAFT_DUCKDB_TMP", "/root/duckdb_tmp")
+# Heavy oracles (the all-pairs / recursive-closure CTE class) spill DuckDB
+# temp. Temp goes next to the verify OUTPUT dir by default — the same
+# volume the Spark dumps prove is writable and sized for this sweep —
+# overridable with GRAFT_DUCKDB_TMP; memory is capped so spilling engages
+# before the OS OOMs the process. NOTE: relocation alone is NOT sufficient
+# for the two monolithic all-pairs-composition oracles (dedup_cascade,
+# sim_modularity) at sf>=1 — their single-statement plans can exceed any
+# single volume (rounds 9-10 died disk-full). For those, run with
+# GRAFT_STAGED_ORACLE=1: each heavy subtree is materialized sequentially
+# as an on-disk table (temp freed between stages) from the staged
+# decomposition Verify dumps alongside the monolithic SQL.
+tmpdir = os.environ.get("GRAFT_DUCKDB_TMP",
+                        os.path.join(os.path.abspath(OUT), "duckdb_tmp"))
 os.makedirs(tmpdir, exist_ok=True)
+STAGED = os.environ.get("GRAFT_STAGED_ORACLE", "") == "1"
+# staged runs use an on-disk database so CTAS stages land compactly
+# (columnar, compressed) instead of as temp spill
+con = duckdb.connect(os.path.join(tmpdir, "stage.db") if STAGED else ":memory:")
 con.execute(f"PRAGMA temp_directory='{tmpdir}'")
 con.execute(f"PRAGMA memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+staged = {}
+if STAGED:
+    try:
+        staged = json.load(open(f"{OUT}/oracle_stage_sql.json"))
+        print(f"STAGED oracles for: {sorted(staged)}")
+    except FileNotFoundError:
+        print("GRAFT_STAGED_ORACLE=1 but no oracle_stage_sql.json; "
+              "falling back to monolithic")
 # comma-separated query names whose oracles are cost-prohibitive at this
 # scale (the all-pairs CTE class at sf1) — skipped entirely and left OUT of
 # the JSON report, mirroring the committed 207-entry sf1 artifact shape;
@@ -45,6 +63,7 @@ if skip:
     oracle = {k: v for k, v in oracle.items() if k not in skip}
 fails, passes, warns = [], [], []
 shapes = {}
+built_stages = {}
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -59,7 +78,17 @@ for name in sorted(oracle):
     try:
         got = norm(con.execute(
             f"SELECT * FROM read_parquet('{dump}/*.parquet')").fetchdf())
-        want = norm(con.execute(sql).fetchdf())
+        if name in staged:
+            for tbl, ssql in staged[name]["stages"]:
+                # stages are shared across staged queries (stage_sem feeds
+                # both cascade and modularity) — materialize each once
+                if built_stages.get(tbl) != ssql:
+                    con.execute(f"CREATE OR REPLACE TABLE {tbl} AS {ssql}")
+                    con.execute("CHECKPOINT")
+                    built_stages[tbl] = ssql
+            want = norm(con.execute(staged[name]["final"]).fetchdf())
+        else:
+            want = norm(con.execute(sql).fetchdf())
     except Exception as e:
         fails.append((name, f"query error: {e}"))
         continue
