@@ -95,7 +95,7 @@ object Dedup {
         .distinct()
     }
 
-  private val shingleIndexSql: String =
+  private[graft] val shingleIndexSql: String =
     s"""tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
        |        FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ${hash60Sql("s.shingle")} AS h
@@ -138,7 +138,7 @@ object Dedup {
     }
 
   /** Shared CTE suffix: `shf` = the df-capped index over `sh`. */
-  private val cappedShingleIndexSql: String =
+  private[graft] val cappedShingleIndexSql: String =
     s"""shf AS (SELECT sh.doc_id, sh.h FROM sh
        |        JOIN (SELECT h FROM sh GROUP BY h
        |              HAVING COUNT(*) <= $DfCap) r USING (h))""".stripMargin
