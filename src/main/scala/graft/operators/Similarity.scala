@@ -1627,9 +1627,13 @@ object Similarity {
     * out-edge, and gets a 0.15·[[PrMass]] teleport — floor-div on
     * non-negative longs is identical everywhere, and the inbound long sum
     * is associative. [[PrIters]] fixed iterations; each generation is
-    * `localCheckpoint`ed (the components lesson: without lineage
+    * `localCheckpoint`ed LAZILY (the components lesson: without lineage
     * truncation, driver-side analysis — re-embedding the LSH subtree per
-    * round — dominates execution). At 100 TB: one join per iteration keyed
+    * round — dominates execution; eager=false keeps that truncation but
+    * folds the per-round materialization jobs into the single final
+    * action — each round's block set is computed exactly once on first
+    * use and cached, so the unrolled chain costs one job, not
+    * [[PrIters]]+1). At 100 TB: one join per iteration keyed
     * on vec_id, mass table is node-bounded, edges re-read from their
     * materialized table. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
@@ -1641,7 +1645,7 @@ object Similarity {
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .withColumn("outdeg",
         count(lit(1)).over(Window.partitionBy(col("src"))))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nodes = corpus(spark, dir).select(col("vec_id"))
     var rank = nodes.select(col("vec_id"), lit(PrMass).as("mass"))
     (1 to PrIters).foreach { _ =>
@@ -1653,7 +1657,7 @@ object Similarity {
         .join(contrib.select(col("dst").as("vec_id"), col("in_mass")), Seq("vec_id"), "left")
         .select(col("vec_id"),
           (lit(PrMass * 15 / 100) + coalesce(col("in_mass"), lit(0L))).as("mass"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     rank.select(col("vec_id"), col("mass").as("rank_mass"))
   }
