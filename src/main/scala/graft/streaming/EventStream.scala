@@ -32,15 +32,37 @@ object EventStream {
   def hourlyAgg(events: DataFrame): DataFrame =
     EventTime.hourlyAgg(events.withWatermark("ts", "2 hours"))
 
-  /** Streaming exact dedup: first occurrence per (user_id, event_type) with
-    * duplicate arrivals inside the watermark horizon dropped — state is one
-    * key per distinct pair, evicted as the watermark passes (the streaming
-    * face of the dedup tier; content dedup would key on a fingerprint
-    * column, exactly like `Dedup.fingerprint`). */
+  /** Streaming EXACT dedup: first occurrence per (user_id, event_type),
+    * every later arrival dropped no matter how late. Precision on state:
+    * because the dedup key does NOT include the event-time column,
+    * `dropDuplicates` keeps one state row per distinct key FOREVER — the
+    * watermark here bounds downstream operators, not this state. That is
+    * the correct trade when the key space is bounded (distinct
+    * (user, event_type) pairs ≪ event count) and exactness is required;
+    * when the key space grows with the stream, use
+    * [[dedupStreamBounded]] (the streaming face of the dedup tier;
+    * content dedup would key on a fingerprint column, exactly like
+    * `Dedup.fingerprint`). */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type")
+
+  /** Streaming BOUNDED-STATE dedup: `dropDuplicatesWithinWatermark`
+    * guarantees suppression of duplicates that arrive within the 2-hour
+    * watermark delay of the first occurrence and EVICTS each key's state
+    * once the watermark passes it — state is O(keys active in the
+    * horizon), not O(all keys ever seen). The documented trade: a
+    * duplicate arriving after its key was evicted is re-admitted (emitted
+    * again), so this is at-least-once dedup — exactly the contract a
+    * 100 TB/day ingest dedup wants, where duplicates come from bounded
+    * retry/redelivery windows and unbounded key state is the thing that
+    * kills the job. StreamDedupSpec pins both halves: suppression inside
+    * the horizon AND re-admission after eviction. */
+  def dedupStreamBounded(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Stream-stream interval join: the same click→purchase attribution as
     * the batch query (`EventTime.clickAttribution`), with watermarks on both

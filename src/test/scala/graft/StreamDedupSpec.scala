@@ -62,4 +62,48 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(streamed.size == batchKeys.size, "must keep exactly one row per key")
     streamed.foreach(t => assert(batchRows.contains(t), s"foreign row $t"))
   }
+
+  test("bounded dedup suppresses within the horizon and re-admits after eviction") {
+    // The two halves of dropDuplicatesWithinWatermark's contract, pinned:
+    //  (a) a duplicate arriving within the 2 h delay of its key's first
+    //      occurrence is dropped;
+    //  (b) once the watermark passes a key's eviction point, the SAME key
+    //      is re-admitted — bounded state trades exactness for O(horizon)
+    //      memory, and this spec is the record of that trade (if a Spark
+    //      upgrade silently changed eviction semantics, (b) fails).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ev(id: Long, user: Long, tpe: String, offsetMin: Int) =
+      (id, new java.sql.Timestamp(base.getTime + offsetMin * 60000L), user, tpe, 1.0, "")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.dedupStreamBounded(df)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_bounded")
+      .start()
+    try {
+      // (a) key (1, click) first at t+0, dup at t+30min — inside the horizon
+      input.addData(ev(1, 1, "click", 0), ev(2, 2, "click", 0))
+      q.processAllAvailable()
+      input.addData(ev(3, 1, "click", 30))
+      q.processAllAvailable()
+      // advance the watermark far past the eviction point (t0 + 2 h):
+      // watermark = max event time − 2 h, committed at batch END, so one
+      // more batch after the advancing event makes eviction effective
+      input.addData(ev(4, 3, "click", 600)) // t+10 h → watermark t+8 h
+      q.processAllAvailable()
+      input.addData(ev(5, 3, "view", 601)) // flush batch: commit watermark
+      q.processAllAvailable()
+      // (b) key (1, click) again at t+10h02 — state was evicted → re-admit
+      input.addData(ev(6, 1, "click", 602))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_bounded").select("event_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept.contains(1L) && !kept.contains(3L),
+        s"within-horizon duplicate must be suppressed: $kept")
+      assert(kept.contains(6L),
+        s"post-eviction arrival of an old key must be re-admitted: $kept")
+      assert(kept == Set(1L, 2L, 4L, 5L, 6L), s"got $kept")
+    } finally q.stop()
+  }
 }
