@@ -30,6 +30,24 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
+  /** Row gate for broadcasting the corpus-vector side of a
+    * candidate→vector equi-join. The candidate relation is 1-2 orders of
+    * magnitude LARGER than the corpus (Σ|bucket|² rows of two ids vs n
+    * rows of a 64-dim vector), so as long as the vectors fit an executor
+    * (≤ ~262k rows ≈ 140 MB of doubles) shipping them everywhere beats
+    * the planner's above-threshold alternative — a sort-merge join that
+    * SORTS the candidate relation once per vector side (the sf3 regime
+    * flip: embeddings crossed the 10 MB auto-broadcast line and the kNN
+    * artifact build went superlinear, 28.5 s → 540 s for 4.7× the
+    * candidates). Above the gate the hint is withheld: a billion-vector
+    * corpus genuinely cannot broadcast, and the scale path is the
+    * planner's shuffle join over the bucketed band artifacts. Values are
+    * plan-invariant either way (same joins, same cosine), so the gate
+    * can never change a result — only the exchange shape. */
+  private[graft] val VecBroadcastRows = 1L << 18
+  private def vecSide(e: DataFrame, n: Long): DataFrame =
+    if (n <= VecBroadcastRows) broadcast(e) else e
+
   /** Exact brute-force cosine top-k for the first [[NumQueries]] vectors.
     * Materialized: the declared query AND the recall evaluation (which uses
     * it as ground truth against all three indexes) read the same table. */
@@ -428,7 +446,8 @@ object Similarity {
   /** The producer pipeline (plan contract pinned in PlanSpec). */
   private[graft] def embeddingCosinePairsBuild(spark: SparkSession, dir: String): DataFrame = {
       val e = corpus(spark, dir)
-      val bits = bandBits(e.count())
+      val n = e.count()
+      val bits = bandBits(n)
       val bands = srpBands(spark, dir, "sim_srp_bands_pair",
         if (bits == 4) PairTables else NumTables, bits)
       val cand = bands.as("x")
@@ -438,9 +457,11 @@ object Similarity {
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
         .distinct()
       cand
-        .join(e.select(col("vec_id"), col("v").as("va")), col("vec_a") === col("vec_id"))
+        .join(vecSide(e.select(col("vec_id"), col("v").as("va")), n),
+          col("vec_a") === col("vec_id"))
         .drop("vec_id")
-        .join(e.select(col("vec_id"), col("v").as("vb")), col("vec_b") === col("vec_id"))
+        .join(vecSide(e.select(col("vec_id"), col("v").as("vb")), n),
+          col("vec_b") === col("vec_id"))
         .select(col("vec_a"), col("vec_b"), cosineFast(col("va"), col("vb")).as("cos_sim"))
         .filter(col("cos_sim") >= PairTau)
     }
@@ -852,9 +873,10 @@ object Similarity {
 
   private[graft] def knnGraphBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
+    val n = e.count()
     // both self-join sides read the materialized band table
     val bands = srpBands(spark, dir, "sim_srp_bands", NumTables,
-      bandBits(e.count()))
+      bandBits(n))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
@@ -864,9 +886,11 @@ object Similarity {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand
-      .join(e.select(col("vec_id").as("sv"), col("v").as("va")), col("src_id") === col("sv"))
+      .join(vecSide(e.select(col("vec_id").as("sv"), col("v").as("va")), n),
+        col("src_id") === col("sv"))
       .drop("sv")
-      .join(e.select(col("vec_id").as("nv"), col("v").as("vb")), col("neighbor_id") === col("nv"))
+      .join(vecSide(e.select(col("vec_id").as("nv"), col("v").as("vb")), n),
+        col("neighbor_id") === col("nv"))
       .drop("nv")
       .select(col("src_id").as("vec_id"), col("neighbor_id"),
         cosineFast(col("va"), col("vb")).as("cos_sim"))
