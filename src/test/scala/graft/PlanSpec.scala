@@ -128,6 +128,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("candidate->vector verification joins broadcast the vector side under the gate") {
+    // The round-11 regime pin: below VecBroadcastRows the vecSide hint must
+    // hold the candidate->vector joins in broadcast-hash form. Without the
+    // hint, a corpus crossing the 10 MB auto-broadcast threshold silently
+    // flips BOTH joins to sort-merge and sorts the (orders-of-magnitude
+    // larger) candidate relation once per side — the sf3 blow-up (540 s ->
+    // 46 s when pinned). Assert the producer plans have zero SortMergeJoin:
+    // every join is either the band-key self-join (hash) or a broadcast.
+    for ((name, df) <- Seq(
+        "knnGraphBuild" -> operators.Similarity.knnGraphBuild(spark, TestSpark.Sf001),
+        "embeddingCosinePairsBuild" ->
+          operators.Similarity.embeddingCosinePairsBuild(spark, TestSpark.Sf001))) {
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: a candidate->vector join left the broadcast regime:\n${p.take(1200)}")
+      assert(p.contains("BroadcastHashJoin"), s"$name: expected broadcast joins")
+    }
+  }
+
   test("bucketed roundtrip joins bucket-to-bucket: no shuffle below the join") {
     // both sides stored bucketBy(8, key): with broadcast disabled (at real
     // scale neither fact side broadcasts) the SMJ runs on bucket
