@@ -45,7 +45,7 @@ object Similarity {
     * plan-invariant either way (same joins, same cosine), so the gate
     * can never change a result — only the exchange shape. */
   private[graft] val VecBroadcastRows = 1L << 18
-  private def vecSide(e: DataFrame, n: Long): DataFrame =
+  private[graft] def vecSide(e: DataFrame, n: Long): DataFrame =
     if (n <= VecBroadcastRows) broadcast(e) else e
 
   /** Exact brute-force cosine top-k for the first [[NumQueries]] vectors.

@@ -146,6 +146,16 @@ class PlanSpec extends AnyFunSuite {
         s"$name: a candidate->vector join left the broadcast regime:\n${p.take(1200)}")
       assert(p.contains("BroadcastHashJoin"), s"$name: expected broadcast joins")
     }
+    // the other half of the gate: ABOVE VecBroadcastRows the hint is
+    // withheld — a corpus that large cannot broadcast, and forcing it
+    // would OOM executors; the relation must come back plan-unchanged
+    val e = graft.Tables.embeddings(spark, TestSpark.Sf001).select("vec_id")
+    val over = operators.Similarity.vecSide(e, operators.Similarity.VecBroadcastRows + 1)
+    assert(over.queryExecution.logical == e.queryExecution.logical,
+      "over-gate vecSide must not attach a broadcast hint")
+    val under = operators.Similarity.vecSide(e, operators.Similarity.VecBroadcastRows)
+    assert(under.queryExecution.logical.toString.contains("Hint"),
+      "under-gate vecSide must attach the broadcast hint")
   }
 
   test("bucketed roundtrip joins bucket-to-bucket: no shuffle below the join") {
