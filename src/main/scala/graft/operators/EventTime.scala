@@ -1093,16 +1093,23 @@ object EventTime {
     * computed from cumulative integer sums ((cum·10000) div total), never
     * summed floats, so the Lorenz curve is exactly reproducible (and the
     * last row is exactly 10000). The per-user aggregate shrinks events by
-    * orders of magnitude before the rank; the global ntile window sorts the
-    * USER relation (at extreme scale: range-partitioned percent_rank — same
-    * output, no single-partition sort). */
-  def powerUsers(spark: SparkSession, dir: String): DataFrame = {
+    * orders of magnitude before the rank, but user cardinality at 100 TB
+    * is still 10⁸-10⁹ rows — borderline for one sorted partition — so the
+    * decile assignment is row-gated by [[TwoPass.ntileDesc]] like the
+    * corpus windows (single-task ntile below the gate, exact two-pass
+    * rank form above it; Round12Spec holds the regimes identical). The
+    * ten-row cumulative window after the decile aggregate stays global by
+    * design — its cardinality is the decile count. */
+  def powerUsers(spark: SparkSession, dir: String): DataFrame =
+    powerUsersWithGate(spark, dir, TwoPass.WindowGateRows)
+
+  private[graft] def powerUsersWithGate(
+      spark: SparkSession, dir: String, gate: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-    val wd = Window.orderBy(col("n_events").desc, col("user_id"))
-    val deciles = perUser
-      .withColumn("decile", ntile(10).over(wd))
+    val deciles = TwoPass
+      .ntileDesc(perUser, "n_events", "user_id", 10, "decile", gate)
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
     val tot = deciles.agg(sum(col("n_events")).as("total_events"))

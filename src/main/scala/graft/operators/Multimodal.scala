@@ -384,18 +384,19 @@ object Multimodal {
     * floor(preceding_bytes / target) — deterministic, one window pass, and
     * within one item-size of the greedy packer everywhere). Output is the
     * manifest a loader indexes: per shard, the item count, byte size, and
-    * the doc_id range (contiguous by construction). The prefix sum is a
-    * global ordered window here; at 100 TB it becomes the standard two-pass
-    * distributed prefix sum (per-partition totals, then offsets) — same
-    * arithmetic, no single-partition sort. Payload bytes never move: the
-    * window carries only (doc_id, n_bytes). */
-  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    features(spark, dir)
-      .select(col("doc_id"), col("n_bytes"))
-      .withColumn("cum_before", coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+    * the doc_id range (contiguous by construction). The prefix sum is
+    * row-gated by [[TwoPass.prefixSum]]: the single-task global window
+    * below the gate, the two-pass distributed form (per-bucket subtotals
+    * + broadcast offsets — same integer arithmetic) above it; Round12Spec
+    * holds the regimes value-identical. Payload bytes never move either
+    * way: the window carries only (doc_id, n_bytes). */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifestWithGate(spark, dir, TwoPass.WindowGateRows)
+
+  private[graft] def shardManifestWithGate(
+      spark: SparkSession, dir: String, gate: Long): DataFrame = {
+    val base = features(spark, dir).select(col("doc_id"), col("n_bytes"))
+    TwoPass.prefixSum(base, "doc_id", "n_bytes", "cum_before", gate)
       .withColumn("shard_id", expr(s"cum_before div $ShardBytes"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_items"),

@@ -292,13 +292,20 @@ object Sampling {
     * key is the oracle-checked `quality_score` with doc_id tiebreak, so the
     * assignment is exactly reproducible; phase stats aggregate integers
     * (token sums) and order-independent min/max — no float accumulation.
-    * The per-doc relation is corpus-sized: the global ntile sorts it once
-    * (at extreme scale: range-partitioned percent_rank, same output). */
-  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    * The per-doc relation is corpus-sized, so the tile assignment is
+    * row-gated by [[TwoPass.ntileDesc]]: the single-task global ntile
+    * below the gate (the oracle-serving plan at every tested scale), the
+    * exact two-pass rank form (score-bucketed row_number + broadcast
+    * bucket offsets + Spark's own tile arithmetic as a projection) above
+    * it; Round12Spec holds the regimes value-identical. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumWithGate(spark, dir, TwoPass.WindowGateRows)
+
+  private[graft] def curriculumWithGate(
+      spark: SparkSession, dir: String, gate: Long): DataFrame = {
     val q = TextAnalysis.qualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val w = Window.orderBy(col("quality_score").desc, col("doc_id"))
-    q.withColumn("phase", ntile(CurriculumPhases).over(w))
+    TwoPass.ntileDesc(q, "quality_score", "doc_id", CurriculumPhases, "phase", gate)
       .groupBy(col("phase"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),

@@ -574,16 +574,19 @@ object TextAnalysis {
     * contiguous shards of ~[[ShardTokenBudget]] tokens — how a training
     * pipeline cuts a corpus into equal-budget chunks for distributed
     * tokenization/packing. shard_id = floor(preceding-cumulative-tokens /
-    * budget): a running-sum window, one global order pass (at 100 TB the
-    * same computation runs per partition-range with offsets — the window
-    * form is the semantic spec). */
-  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    Tables.documents(spark, dir)
+    * budget): an exclusive running sum, row-gated by [[TwoPass.prefixSum]]
+    * — the single-task global window below the gate (the oracle-serving
+    * plan at every tested scale), the two-pass distributed prefix sum
+    * (per-bucket subtotals + broadcast offsets) above it. Round12Spec
+    * holds the regimes value-identical. */
+  def tokenShards(spark: SparkSession, dir: String): DataFrame =
+    tokenShardsWithGate(spark, dir, TwoPass.WindowGateRows)
+
+  private[graft] def tokenShardsWithGate(
+      spark: SparkSession, dir: String, gate: Long): DataFrame = {
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    TwoPass.prefixSum(base, "doc_id", "n_tokens", "cum_before", gate)
       .select(col("doc_id"), col("n_tokens"),
         (col("cum_before") / ShardTokenBudget).cast("long").as("shard_id"))
   }
