@@ -113,6 +113,40 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("b-bit audit sample regime: forced k > 1 keeps the superset " +
+    "invariant, bounds the candidate set, and samples the truth honestly") {
+    import graft.functions.TextFns.hash60Long
+    val dir = TestSpark.Sf001
+    val nDocs = Tables.documents(spark, dir).count()
+    val target = 100L
+    val k = (nDocs + target - 1) / target
+    assert(k > 1, s"forcing target=$target must engage the sample (n=$nDocs)")
+    val sampled = operators.Dedup.bbitMinhashWithTarget(spark, dir, target)
+      .collect().map(r => r.getAs[String]("method") -> r).toMap
+    val full = operators.Dedup.bbitMinhash(spark, dir)
+      .collect().map(r => r.getAs[String]("method") -> r).toMap
+    val (sb, sf) = (sampled("bbit2"), sampled("full"))
+    // superset invariant survives the sample (same doc universe both sides)
+    assert(sb.getAs[Long]("n_candidates") >= sf.getAs[Long]("n_candidates"))
+    assert(sb.getAs[Long]("tp") >= sf.getAs[Long]("tp"))
+    assert(sb.getAs[Long]("recall_bp") >= sf.getAs[Long]("recall_bp"))
+    for (r <- Seq(sb, sf); c <- Seq("recall_bp", "precision_bp"))
+      assert(r.getAs[Long](c) >= 0L && r.getAs[Long](c) <= 10000L)
+    // the sample BOUNDS the audit: strictly fewer candidates than the
+    // full-corpus audit (which at this scale runs unsampled, k = 1)
+    assert(sb.getAs[Long]("n_candidates") <
+      full("bbit2").getAs[Long]("n_candidates"))
+    // honesty: n_truth must be EXACTLY the exact-Jaccard pairs whose BOTH
+    // endpoints pass the hash predicate — recomputed driver-side from the
+    // unsampled truth relation and an independent JVM hash implementation
+    def in(id: Long): Boolean = hash60Long(s"bbit:$id") % k == 0
+    val wantTruth = operators.Dedup.ngramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .count(r => in(r.getLong(0)) && in(r.getLong(1))).toLong
+    assert(sb.getAs[Long]("n_truth") === wantTruth)
+    assert(sf.getAs[Long]("n_truth") === wantTruth)
+  }
+
   test("overGate probe never pulls more than gate+1 rows and flips " +
     "exactly at the gate") {
     import spark.implicits._
