@@ -1117,18 +1117,22 @@ object Relational {
     * ties the max size within its own price point (equal price + larger
     * size dominates; exact ties are mutually non-dominating and all
     * survive). Price compares in exact DECIMAL cents. One sort instead of
-    * a self-join; at scale the global window becomes a range-partitioned
-    * sort with per-partition running-max merge — still one pass. */
-  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    * a self-join — and the running max is row-gated by
+    * [[TwoPass.prefixMaxExclusiveRange]]: the single-task global window
+    * below the gate, per-bucket range frames + broadcast cross-bucket
+    * prefix maxes above it (Round12Spec holds the regimes identical). */
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    skylineWithGate(spark, dir, TwoPass.WindowGateRows)
+
+  private[graft] def skylineWithGate(
+      spark: SparkSession, dir: String, gate: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"),
         (dec(col("p_retailprice")) * 100).cast("long").as("price_cents"),
         col("p_size"))
-    val wCheaper = Window.orderBy(col("price_cents"))
-      .rangeBetween(Window.unboundedPreceding, -1)
     val wSame = Window.partitionBy(col("price_cents"))
-    p.withColumn("m_cheaper", max(col("p_size")).over(wCheaper))
+    TwoPass.prefixMaxExclusiveRange(p, "price_cents", "p_size", "m_cheaper", gate)
       .withColumn("m_same", max(col("p_size")).over(wSame))
       .filter((col("m_cheaper").isNull || col("m_cheaper") < col("p_size")) &&
         col("p_size") === col("m_same"))

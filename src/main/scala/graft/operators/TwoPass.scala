@@ -95,6 +95,57 @@ object TwoPass {
       .drop("__bid", "__local", "__off")
   }
 
+  /** EXCLUSIVE running max of `valCol` over an INTEGER `orderCol` order
+    * with a RANGE frame ending one below the current key — max over all
+    * rows whose key ≤ current−1, ties at the current key excluded (the
+    * skyline dominance test). Emitted as nullable long `outCol` (null ⇔
+    * no strictly-smaller key exists). Integer keys matter: the bucketed
+    * form relies on "row in an earlier bucket ⇒ key ≤ current−1", which
+    * equal-width integer bucketing gives exactly. */
+  private[graft] def prefixMaxExclusiveRange(df: DataFrame, orderCol: String,
+      valCol: String, outCol: String,
+      gate: Long = WindowGateRows): DataFrame =
+    if (!overGate(df, gate)) {
+      val w = Window.orderBy(col(orderCol))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      df.withColumn(outCol, max(col(valCol)).over(w).cast("long"))
+    } else distributedPrefixMax(df, orderCol, valCol, outCol)
+
+  /** The over-gate form: per-bucket range-frame running max + broadcast
+    * exclusive cross-bucket prefix maxes (max is associative — the same
+    * two passes as the prefix sum). */
+  private[graft] def distributedPrefixMax(df: DataFrame, orderCol: String,
+      valCol: String, outCol: String,
+      buckets: Int = PrefixBuckets): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df
+      .agg(min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long"))
+      .collect().head
+    if (stats.isNullAt(0))
+      return df.withColumn(outCol, lit(null).cast("long"))
+    val lo = stats.getLong(0)
+    val width = math.max(1L, (stats.getLong(1) - lo) / buckets + 1)
+    val tagged = df.withColumn("__bid",
+      expr(s"(cast($orderCol as bigint) - (${lo}L)) div ${width}L"))
+    val maxes = tagged.groupBy(col("__bid"))
+      .agg(max(col(valCol)).cast("long").as("__mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // exclusive running max across buckets; the first bucket has none
+    val prefix: Seq[(Long, Option[Long])] = maxes.map(_._1).zip(
+      maxes.map(_._2).scanLeft(Option.empty[Long]) {
+        (acc, m) => Some(acc.fold(m)(math.max(_, m)))
+      }).toSeq
+    val offDf = prefix.toDF("__bid", "__pmx")
+    val w = Window.partitionBy(col("__bid")).orderBy(col(orderCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("__lmx", max(col(valCol)).over(w).cast("long"))
+      .join(broadcast(offDf), Seq("__bid"))
+      .withColumn(outCol, greatest(col("__lmx"), col("__pmx")))
+      .drop("__bid", "__lmx", "__pmx")
+  }
+
   /** Global `ntile(k)` over (`orderCol` DESC, `tieCol` ASC), emitted as
     * int column `outCol` — exactly Spark's NTile bucket arithmetic (the
     * first n % k tiles take ⌈n/k⌉ rows). */

@@ -10,9 +10,21 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - BroadcastNestedLoopJoin: only where a broadcast-batch × corpus scan
   *     is the intended plan (brute-force scoring, LSH plane projection),
   *     and never more than the whitelisted count.
+  *   - Single-partition SORTS (a global window/sort funneling a relation
+  *     through one task): only over the enumerated reduced-size-class
+  *     relations, and never more per query than today.
   */
 class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  /** One planning pass shared by every audit below. */
+  private lazy val plans: Map[String, String] =
+    SparkEntry.declared.map { q =>
+      val p =
+        try PlanChecks.formatted(q.fn(spark, TestSpark.Sf0001))
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+      q.name -> p
+    }.toMap
 
   /** query → max allowed BNLJ nodes (broadcast small-batch designs). */
   private val bnlAllowed: Map[String, Int] = Map(
@@ -62,17 +74,56 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("no declared query plans a cartesian product; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.declared.foreach { q =>
-      val plan =
-        try q.fn(spark, TestSpark.Sf0001).queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-        catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+    plans.foreach { case (name, plan) =>
       if (plan.contains("CartesianProduct"))
-        offenders += s"${q.name}: CartesianProduct"
+        offenders += s"$name: CartesianProduct"
       val bnl = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size
-      if (bnl > bnlAllowed.getOrElse(q.name, 0))
-        offenders += s"${q.name}: $bnl BNLJ (allowed ${bnlAllowed.getOrElse(q.name, 0)})"
+      if (bnl > bnlAllowed.getOrElse(name, 0))
+        offenders += s"$name: $bnl BNLJ (allowed ${bnlAllowed.getOrElse(name, 0)})"
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  /** query → max single-partition sorts, each with its size-class
+    * argument. Everything here sorts a REDUCED relation (or is the
+    * under-gate regime of a row-gated window whose over-gate form is
+    * separately asserted exchange-free in Round12Spec). A new query — or
+    * a refactor that regrows a global window over a corpus-sized relation
+    * — fails the audit below until it is gated or argued onto this list. */
+  private val singlePartitionSortsAllowed: Map[String, Int] = Map(
+    // row-gated windows (TwoPass): the audit plans the DEFAULT path at
+    // sf0.001, which is the documented under-gate single-task regime;
+    // Round12Spec pins the over-gate plan at zero single-partition sorts
+    "text_token_shards" -> 1,
+    "mm_shard_manifest" -> 1,
+    "sample_curriculum" -> 1,
+    "rel_skyline" -> 1, // gated running-max over the part relation
+    "events_power_users" -> 2, // gated ntile + the ten-row decile cumsum
+    // calendar/day cardinality (thousands of rows at any corpus size)
+    "analytics_mom_growth" -> 1, // month-cardinality lag window
+    "events_new_users" -> 1, // day-cardinality cumulative sum
+    "events_survival" -> 1, // distinct-lifetime (≤ observed days) curve
+    // key/user-cardinality metric relations (the pinned-percentile
+    // family: 10⁸-10⁹ narrow rows at 100 TB — documented in SCALE.md as
+    // size-class-matched; the sort carries (key, count) pairs only)
+    "events_rfm" -> 3, // three pinned-quintile threshold windows
+    "events_time_to_convert" -> 1, // pinned percentile over converters
+    "meta_skew_report" -> 1, // per-key-count diagnostic quantiles
+    // domain cardinality (thousands of sources at web scale)
+    "sample_token_budget" -> 1) // the solved water-level window
+
+  test("single-partition sorts only over the enumerated reduced-size-class " +
+    "relations") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    plans.foreach { case (name, plan) =>
+      val n = PlanChecks.singlePartitionSorts(plan)
+      val allowed = singlePartitionSortsAllowed.getOrElse(name, 0)
+      if (n > allowed)
+        offenders += s"$name: $n single-partition sorts (allowed $allowed)"
+    }
+    assert(offenders.isEmpty,
+      "global single-task sorts crept in — gate them (TwoPass) or argue " +
+        "the relation's size class onto the allowlist:\n" +
+        offenders.mkString("\n"))
   }
 }

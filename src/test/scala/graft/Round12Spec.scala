@@ -47,6 +47,9 @@ class Round12Spec extends AnyFunSuite {
       assertSame(s"events_power_users@$dir",
         EventTime.powerUsers(spark, dir),
         EventTime.powerUsersWithGate(spark, dir, 0L))
+      assertSame(s"rel_skyline@$dir",
+        operators.Relational.skyline(spark, dir),
+        operators.Relational.skylineWithGate(spark, dir, 0L))
     }
   }
 
@@ -57,16 +60,17 @@ class Round12Spec extends AnyFunSuite {
         "text_token_shards" -> TextAnalysis.tokenShardsWithGate(spark, dir, 0L),
         "mm_shard_manifest" -> Multimodal.shardManifestWithGate(spark, dir, 0L),
         "sample_curriculum" -> Sampling.curriculumWithGate(spark, dir, 0L),
-        "events_power_users" -> EventTime.powerUsersWithGate(spark, dir, 0L))) {
+        "events_power_users" -> EventTime.powerUsersWithGate(spark, dir, 0L),
+        "rel_skyline" -> operators.Relational.skylineWithGate(spark, dir, 0L))) {
       val p = formatted(df)
-      val single =
-        if (name == "events_power_users")
-          // the ten-row cumulative decile window stays global by design —
-          // exactly one SinglePartition exchange, over the decile relation
-          """Exchange SinglePartition""".r.findAllIn(p).size <= 1
-        else !p.contains("Exchange SinglePartition")
-      assert(single, s"$name over-gate plan kept a single-partition " +
-        s"exchange:\n${p.take(1500)}")
+      val spSorts = PlanChecks.singlePartitionSorts(p)
+      val allowed =
+        // the ten-row cumulative decile window stays global by design —
+        // its cardinality is the decile count, not the user count
+        if (name == "events_power_users") 1 else 0
+      assert(spSorts <= allowed,
+        s"$name over-gate plan kept $spSorts single-partition sorts " +
+          s"(allowed $allowed):\n${p.take(1500)}")
       assert(p.contains("hashpartitioning(__bid"),
         s"$name over-gate plan lost the per-bucket window partitioning")
     }
@@ -110,6 +114,30 @@ class Round12Spec extends AnyFunSuite {
       val got = TwoPass.distributedPrefixSum(df, "id", "v", "c")
         .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === want, s"case $ci")
+    }
+  }
+
+  test("distributedPrefixMax equals the global exclusive-range running " +
+    "max on ties, bucket boundaries, and single rows") {
+    import spark.implicits._
+    val cases = Seq(
+      // heavy ties incl. ties at what will be bucket boundaries
+      (1 to 60).map(i => ((i / 3).toLong, (i * 7 % 13).toLong)),
+      Seq((100L, 5L), (100L, 9L), (101L, 1L), (1000000L, 2L)), // sparse
+      Seq((42L, 5L))) // one row
+    for ((rows, ci) <- cases.zipWithIndex) {
+      val df = rows.toDF("k", "v")
+      val w = Window.orderBy(col("k"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val want = df.withColumn("m", max(col("v")).over(w).cast("long"))
+        .select("k", "v", "m").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).sorted
+      val got = TwoPass.distributedPrefixMax(df, "k", "v", "m")
+        .select("k", "v", "m").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).sorted
+      assert(got.toSeq === want.toSeq, s"case $ci")
     }
   }
 
