@@ -217,14 +217,21 @@ object ScaleCheck {
     // 11. triangles vs the wedge relation: a vertex of undirected degree d
     //     participates in at most C(d,2) triangles (each uses a distinct
     //     neighbor pair), and Σ_v participation = 3 × (triangle count) —
-    //     divisible by 3 exactly.
+    //     divisible by 3 exactly. Persisted: the three-way self-join is
+    //     the most expensive relation in these gates, and it feeds the
+    //     violation count, the sum AND the report's vertex count — the
+    //     sum and count fold into ONE aggregate so nothing runs thrice.
     val tri = operators.Similarity.triangles(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val triBad = tri.join(undDeg, Seq("vec_id"), "left")
       .filter(col("ud").isNull || col("n_triangles") < 1 ||
         col("n_triangles") > col("ud") * (col("ud") - 1) / 2).count()
-    val triSum = tri.agg(coalesce(sum(col("n_triangles")), lit(0L))).collect().head.getLong(0)
+    val triAgg = tri.agg(coalesce(sum(col("n_triangles")), lit(0L)),
+      count(lit(1))).collect().head
+    val (triSum, triN) = (triAgg.getLong(0), triAgg.getLong(1))
     report("triangles_wedge_bound", triBad == 0L && triSum % 3 == 0L,
-      s"vertices=${tri.count()} wedge_violations=$triBad sum=$triSum (mod3=${triSum % 3})")
+      s"vertices=$triN wedge_violations=$triBad sum=$triSum (mod3=${triSum % 3})")
+    tri.unpersist()
 
     // 12. assortativity: a Pearson correlation, so |r| ≤ 1 (6-dp rounding
     //     cannot leave the interval); the edge base must be the mutual-kNN
@@ -237,13 +244,18 @@ object ScaleCheck {
     val mutualN = knnE.intersect(
       knnE.select(col("b").as("a"), col("a").as("b"))).count()
     val asN = asRow.getAs[Long]("n_edges")
-    val asOk = !asRow.isNullAt(asRow.fieldIndex("assortativity")) && {
-      val r = asRow.getAs[Double]("assortativity")
-      r >= -1.0 && r <= 1.0
-    }
+    val asIdx = asRow.fieldIndex("assortativity")
+    val asVal = if (asRow.isNullAt(asIdx)) None else Some(asRow.getDouble(asIdx))
+    // NaN is the DEGENERATE case, not a bound violation: on a
+    // degree-regular graph the Pearson denominator is zero and Spark
+    // yields NaN — an undefined r is correct there, so it passes with its
+    // own message instead of failing the -1..1 comparison
+    val asDegenerate = asVal.exists(_.isNaN)
+    val asOk = asVal.exists(r => r.isNaN || (r >= -1.0 && r <= 1.0))
     report("assortativity_bounds",
       asN == mutualN && asN % 2 == 0 && asOk,
-      s"n_edges=$asN mutual=$mutualN r=${asRow.get(asRow.fieldIndex("assortativity"))}")
+      s"n_edges=$asN mutual=$mutualN r=${asVal.map(_.toString).getOrElse("NULL")}" +
+        (if (asDegenerate) " (degree-regular graph: r undefined — PASS)" else ""))
 
     // 13. dedup_cascade funnel: full independent re-derivation of all four
     //     stage counts (set-union formulation instead of the operator's
@@ -311,6 +323,63 @@ object ScaleCheck {
       s"communities=${modRows.length} m=$undM total_deg=${tds.mkString(",")} " +
         s"sum_e_in=$sumEin nodes=$sumNodes/$undNodes Q=$qTot")
     undG.unpersist()
+
+    // 15. vecSide regime guard (round-11 directive: the sf3 broadcast
+    //     flip was silent for two rounds because only totals were
+    //     watched). Under the gate (corpus ≤ VecBroadcastRows) the kNN
+    //     artifact build must plan ZERO sort-merge joins on the
+    //     candidate→vector seams (the sv/nv aliases) — a sort-merge there
+    //     means the regime flipped and the candidate relation is being
+    //     sorted per side again. Over the gate the shuffle join IS the
+    //     designed plan; the gate then only records the regime.
+    val underVecGate = nVec <= operators.Similarity.VecBroadcastRows
+    val knnPlan = operators.Similarity.knnGraphBuild(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val smjVecSeams = knnPlan.split("\n\n")
+      .count(b => b.matches("""(?s)\(\d+\) SortMergeJoin.*""") &&
+        (b.contains("[sv#") || b.contains("[nv#")))
+    report("vecside_regime",
+      !underVecGate || smjVecSeams == 0,
+      s"n_vec=$nVec gate=${operators.Similarity.VecBroadcastRows} " +
+        s"regime=${if (underVecGate) "broadcast" else "shuffle"} " +
+        s"smj_vector_seams=$smjVecSeams")
+
+    // 16. row-gated windows: the forced-distributed two-pass form must be
+    //     value-identical to the default regime ON THIS SCALE'S DATA (the
+    //     unit spec pins sf0.001/sf0.01; this extends the evidence to
+    //     every swept scale — integer arithmetic both ways, so any
+    //     difference is a real bucketing/offset bug).
+    def sameRel(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): (Boolean, Long) = {
+      val extra = a.exceptAll(b).limit(1).count() + b.exceptAll(a).limit(1).count()
+      val (na, nb) = (a.count(), b.count())
+      (extra == 0 && na == nb && na > 0, na)
+    }
+    val windowRegimes = Seq(
+      "text_token_shards" ->
+        ((operators.TextAnalysis.tokenShards(spark, dir),
+          operators.TextAnalysis.tokenShardsWithGate(spark, dir, 0L))),
+      "mm_shard_manifest" ->
+        ((operators.Multimodal.shardManifest(spark, dir),
+          operators.Multimodal.shardManifestWithGate(spark, dir, 0L))),
+      "sample_curriculum" ->
+        ((operators.Sampling.curriculum(spark, dir),
+          operators.Sampling.curriculumWithGate(spark, dir, 0L))),
+      "events_power_users" ->
+        ((operators.EventTime.powerUsers(spark, dir),
+          operators.EventTime.powerUsersWithGate(spark, dir, 0L))),
+      "rel_skyline" ->
+        ((operators.Relational.skyline(spark, dir),
+          operators.Relational.skylineWithGate(spark, dir, 0L))))
+    val regimeResults = windowRegimes.map { case (n, (a, b)) =>
+      val (ok, rows) = sameRel(a, b)
+      (n, ok, rows)
+    }
+    report("window_regimes",
+      regimeResults.forall(_._2),
+      regimeResults.map { case (n, ok, rows) =>
+        s"$n=${if (ok) "ok" else "DIFF"}($rows)" }.mkString(" "))
 
     spark.stop()
     if (failed) sys.exit(1)
