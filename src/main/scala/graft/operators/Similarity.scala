@@ -1971,6 +1971,17 @@ object Similarity {
     // assumption).
     var converged = cnt == 0L
     var sinceTruncation = 0
+    // over-gate peeled sets pinned executor-side, released at the next
+    // lineage truncation: an eager localCheckpoint here was never
+    // reclaimed (round-11 advice) — its blocks outlived every level that
+    // referenced them. A persist is releasable; once `edges` has been
+    // re-checkpointed past the anti-joins, unpersisting the old sets can
+    // at worst force a deterministic re-aggregation from that checkpoint.
+    var pinnedRms = List.empty[org.apache.spark.sql.DataFrame]
+    def releasePinned(): Unit = {
+      pinnedRms.foreach(_.unpersist())
+      pinnedRms = Nil
+    }
     while (!converged && cnt > localThreshold) {
       val peeled = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") < CoreK).select(col("a"))
@@ -1987,11 +1998,16 @@ object Similarity {
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField("rid",
                   edges.schema("a").dataType)))))
-          else
+          else {
             // over-gate level: re-run the same aggregate executor-side and
             // pin it (one job) so the two anti-joins share one copy —
             // nothing corpus-sized ever lands on the driver
-            peeled.select(col("a").as("rid")).localCheckpoint()
+            val pinned = peeled.select(col("a").as("rid"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            pinned.count() // materialize now, while `edges` is current
+            pinnedRms ::= pinned
+            pinned
+          }
         edges = edges
           .join(rm, col("a") === col("rid"), "left_anti")
           .join(rm.select(col("rid").as("rid2")),
@@ -2001,9 +2017,17 @@ object Similarity {
         if (sinceTruncation >= PeelsPerJob) {
           edges = edges.localCheckpoint(eager = false)
           cnt = edges.count()
+          releasePinned() // lineage truncated — the sets are unreferenced
           sinceTruncation = 0
         }
       }
+    }
+    if (pinnedRms.nonEmpty) {
+      // exited with pinned sets still in lineage: truncate once more so
+      // the release below cannot force a recompute of the final result
+      edges = edges.localCheckpoint(eager = false)
+      cnt = edges.count()
+      releasePinned()
     }
     if (!converged) {
       edges = edges.select(col("a").cast("long"), col("b").cast("long"))

@@ -37,8 +37,20 @@ tmpdir = os.environ.get("GRAFT_DUCKDB_TMP",
 os.makedirs(tmpdir, exist_ok=True)
 STAGED = os.environ.get("GRAFT_STAGED_ORACLE", "") == "1"
 # staged runs use an on-disk database so CTAS stages land compactly
-# (columnar, compressed) instead of as temp spill
-con = duckdb.connect(os.path.join(tmpdir, "stage.db") if STAGED else ":memory:")
+# (columnar, compressed) instead of as temp spill. The file is scoped per
+# scale factor AND recreated per run: with a shared GRAFT_DUCKDB_TMP, two
+# concurrent sweeps at different SFs would otherwise share one database
+# and clobber each other's stage_* tables and parquet views mid-run (and
+# stale stage tables from prior runs would accumulate).
+if STAGED:
+    stage_db = os.path.join(tmpdir,
+                            f"stage_{os.path.basename(SF.rstrip('/'))}.db")
+    for leftover in (stage_db, stage_db + ".wal"):
+        if os.path.exists(leftover):
+            os.remove(leftover)
+    con = duckdb.connect(stage_db)
+else:
+    con = duckdb.connect(":memory:")
 con.execute(f"PRAGMA temp_directory='{tmpdir}'")
 con.execute(f"PRAGMA memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
 for t in TABLES:
