@@ -48,13 +48,28 @@ if STAGED:
     for leftover in (stage_db, stage_db + ".wal"):
         if os.path.exists(leftover):
             os.remove(leftover)
-    con = duckdb.connect(stage_db)
 else:
-    con = duckdb.connect(":memory:")
-con.execute(f"PRAGMA temp_directory='{tmpdir}'")
-con.execute(f"PRAGMA memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
-for t in TABLES:
-    con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    stage_db = None
+
+
+def connect():
+    """(Re)open the oracle connection. A hard Out-of-Memory error inside
+    DuckDB leaves the buffer pool poisoned for the life of the connection
+    — at sf3 one genuinely-infeasible 16 GiB closure stage then made 47
+    later trivial queries die on 8-BYTE allocations. Reconnecting resets
+    the pool; staged CTAS tables persist in the on-disk stage database,
+    so nothing already built is lost."""
+    c = duckdb.connect(stage_db if STAGED else ":memory:")
+    c.execute(f"PRAGMA temp_directory='{tmpdir}'")
+    c.execute(
+        f"PRAGMA memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
+    for t in TABLES:
+        c.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+con = connect()
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 staged = {}
@@ -76,6 +91,9 @@ if skip:
 fails, passes, warns = [], [], []
 shapes = {}
 built_stages = {}
+# stage SQL -> error: a stage that already OOM'd is not rebuilt for the
+# next query sharing it — its consumers all record the same honest err
+failed_stages = {}
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -87,22 +105,51 @@ for name in sorted(oracle):
     if not glob.glob(f"{dump}/*.parquet"):
         fails.append((name, "no spark dump"))
         continue
-    try:
+    def attempt(fresh):
         got = norm(con.execute(
             f"SELECT * FROM read_parquet('{dump}/*.parquet')").fetchdf())
         if name in staged:
             for tbl, ssql in staged[name]["stages"]:
+                if (tbl, ssql) in failed_stages:
+                    raise RuntimeError(
+                        f"stage {tbl} previously failed: "
+                        f"{failed_stages[(tbl, ssql)]}")
                 # stages are shared across staged queries (stage_sem feeds
                 # both cascade and modularity) — materialize each once
                 if built_stages.get(tbl) != ssql:
-                    con.execute(f"CREATE OR REPLACE TABLE {tbl} AS {ssql}")
-                    con.execute("CHECKPOINT")
-                    built_stages[tbl] = ssql
+                    try:
+                        con.execute(f"CREATE OR REPLACE TABLE {tbl} AS {ssql}")
+                        con.execute("CHECKPOINT")
+                        built_stages[tbl] = ssql
+                    except Exception as se:
+                        # only a FRESH-pool failure is the stage's honest
+                        # verdict; a failure on a possibly-poisoned pool
+                        # deserves the retry below
+                        if fresh:
+                            failed_stages[(tbl, ssql)] = str(se)
+                        raise
             want = norm(con.execute(staged[name]["final"]).fetchdf())
         else:
             want = norm(con.execute(sql).fetchdf())
+        return got, want
+
+    try:
+        try:
+            got, want = attempt(fresh=False)
+        except Exception as e:
+            if ("Out of Memory" not in str(e)
+                    and "bad allocation" not in str(e)):
+                raise
+            # reset the poisoned buffer pool and retry once; a second OOM
+            # on a fresh pool is the honest cost-bound verdict
+            con = connect()
+            got, want = attempt(fresh=True)
     except Exception as e:
         fails.append((name, f"query error: {e}"))
+        # an OOM can leave the pool pinned — reconnect so the NEXT query
+        # starts clean either way
+        if "Out of Memory" in str(e) or "bad allocation" in str(e):
+            con = connect()
         continue
     if list(got.columns) != list(want.columns):
         fails.append((name, f"columns differ: spark={list(got.columns)} oracle={list(want.columns)}"))
