@@ -396,7 +396,10 @@ object Multimodal {
   private[graft] def shardManifestWithGate(
       spark: SparkSession, dir: String, gate: Long): DataFrame = {
     val base = features(spark, dir).select(col("doc_id"), col("n_bytes"))
-    TwoPass.prefixSum(base, "doc_id", "n_bytes", "cum_before", gate)
+    // regime probe on the raw doc ids (1:1 with the feature rows) — the
+    // gate check must not pay the decode projection twice
+    TwoPass.prefixSum(base, "doc_id", "n_bytes", "cum_before", gate,
+      probe = Some(Tables.documents(spark, dir).select(col("doc_id"))))
       .withColumn("shard_id", expr(s"cum_before div $ShardBytes"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_items"),

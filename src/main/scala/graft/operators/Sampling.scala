@@ -305,7 +305,10 @@ object Sampling {
       spark: SparkSession, dir: String, gate: Long): DataFrame = {
     val q = TextAnalysis.qualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    TwoPass.ntileDesc(q, "quality_score", "doc_id", CurriculumPhases, "phase", gate)
+    // regime probe on the raw doc ids (1:1 with q) — the gate check must
+    // not pay the per-doc quality tokenization twice
+    TwoPass.ntileDesc(q, "quality_score", "doc_id", CurriculumPhases, "phase",
+      gate, probe = Some(Tables.documents(spark, dir).select(col("doc_id"))))
       .groupBy(col("phase"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),

@@ -586,7 +586,10 @@ object TextAnalysis {
       spark: SparkSession, dir: String, gate: Long): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-    TwoPass.prefixSum(base, "doc_id", "n_tokens", "cum_before", gate)
+    // regime probe on the raw doc ids (1:1 with base) — the gate check
+    // must not pay the tokenization the query itself is about to do
+    TwoPass.prefixSum(base, "doc_id", "n_tokens", "cum_before", gate,
+      probe = Some(Tables.documents(spark, dir).select(col("doc_id"))))
       .select(col("doc_id"), col("n_tokens"),
         (col("cum_before") / ShardTokenBudget).cast("long").as("shard_id"))
   }

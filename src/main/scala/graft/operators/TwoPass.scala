@@ -46,7 +46,11 @@ object TwoPass {
   private[graft] val PrefixBuckets = 32
 
   /** Regime probe, the peel-gate idiom: the driver never receives more
-    * than gate+1 rows, whatever the relation holds. */
+    * than gate+1 rows, whatever the relation holds. Callers whose
+    * windowed relation is expensive to produce (per-doc tokenization)
+    * pass a cheap 1:1 `probe` relation instead — the probe decides the
+    * REGIME only, never a value, so the single requirement is equal row
+    * counts. */
   private[graft] def overGate(df: DataFrame, gate: Long): Boolean =
     df.limit(gate.min(Int.MaxValue - 2L).toInt + 1).count() > gate
 
@@ -54,8 +58,9 @@ object TwoPass {
     * long key) order, emitted as long column `outCol`. */
   private[graft] def prefixSum(df: DataFrame, orderCol: String,
       valCol: String, outCol: String,
-      gate: Long = WindowGateRows): DataFrame =
-    if (!overGate(df, gate)) {
+      gate: Long = WindowGateRows,
+      probe: Option[DataFrame] = None): DataFrame =
+    if (!overGate(probe.getOrElse(df), gate)) {
       val w = Window.orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, -1)
       df.withColumn(outCol,
@@ -104,8 +109,9 @@ object TwoPass {
     * equal-width integer bucketing gives exactly. */
   private[graft] def prefixMaxExclusiveRange(df: DataFrame, orderCol: String,
       valCol: String, outCol: String,
-      gate: Long = WindowGateRows): DataFrame =
-    if (!overGate(df, gate)) {
+      gate: Long = WindowGateRows,
+      probe: Option[DataFrame] = None): DataFrame =
+    if (!overGate(probe.getOrElse(df), gate)) {
       val w = Window.orderBy(col(orderCol))
         .rangeBetween(Window.unboundedPreceding, -1)
       df.withColumn(outCol, max(col(valCol)).over(w).cast("long"))
@@ -151,8 +157,9 @@ object TwoPass {
     * first n % k tiles take ⌈n/k⌉ rows). */
   private[graft] def ntileDesc(df: DataFrame, orderCol: String,
       tieCol: String, k: Int, outCol: String,
-      gate: Long = WindowGateRows): DataFrame =
-    if (!overGate(df, gate)) {
+      gate: Long = WindowGateRows,
+      probe: Option[DataFrame] = None): DataFrame =
+    if (!overGate(probe.getOrElse(df), gate)) {
       val w = Window.orderBy(col(orderCol).desc, col(tieCol))
       df.withColumn(outCol, ntile(k).over(w))
     } else distributedNtileDesc(df, orderCol, tieCol, k, outCol)
