@@ -258,10 +258,13 @@ object GenData {
     * file into place. Single-file is a sandbox-layout constraint, not the
     * scale path — a cluster run would drop the coalesce and write each
     * table as a directory. */
-  def writeSf(spark: SparkSession, sf: Double, outDir: String): Unit = {
+  def writeSf(spark: SparkSession, sf: Double, outDir: String,
+      only: Option[Set[String]] = None): Unit = {
     val out = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(out)
-    tables(spark, sf).foreach { case (name, df) =>
+    tables(spark, sf)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, df) =>
       val scratch = out.resolve("_" + name)
       // SMALL ROW GROUPS (2 MB, not the 128 MB default): a single-file table
       // whose one row group spans the whole file reads back as ONE Spark
@@ -295,6 +298,10 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.map(_.toDouble).getOrElse(1.0)
     val outDir = args.drop(1).headOption.getOrElse(s"localdata/sf$sf")
+    // optional comma-separated table subset — e.g. "embeddings" for the
+    // sf6/sf10 ANN-artifact scaling probes, where generating a 660 MB
+    // lineitem nobody reads would dominate the run
+    val only = args.drop(2).headOption.map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -305,7 +312,7 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeSf(spark, sf, outDir)
+    writeSf(spark, sf, outDir, only)
     spark.stop()
   }
 }

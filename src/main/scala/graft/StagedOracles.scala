@@ -23,12 +23,16 @@ import graft.operators.{Dedup, Similarity}
   * staged subtree's verbatim text swapped for its stage-table read
   * ([[swap]] refuses surgery when the subtree is not found verbatim), and
   * each stage's SQL is either the standalone oracle of that subtree or
-  * itself the same textual surgery applied one level down (stage_sem
-  * reads stage_cospairs exactly where the monolithic text embeds the
-  * cosine-pair subtree). Nothing is re-derived from the Spark
-  * implementation. `tools/compare.py` executes these under
-  * `GRAFT_STAGED_ORACLE=1` for the sf≥1 sweeps; the driver's own gate
-  * keeps using the untouched monolithic `oracleSql`.
+  * itself the same textual surgery applied one level down. Nothing is
+  * re-derived from the Spark implementation. ONE deliberate exception
+  * since round 13: the semantic-closure stage (`stage_sem`) replaces the
+  * monolithic recursive reachability — quadratic in component size, the
+  * sf3 cost-bound trio of round 12 — with a linear iterative closure
+  * whose equivalence is certified by an in-oracle convergence assertion
+  * plus committed hash-matching sweeps at every scale the recursive form
+  * still fits (see [[SemRounds]] scaladoc). `tools/compare.py` executes
+  * these under `GRAFT_STAGED_ORACLE=1` for the sf≥1 sweeps; the driver's
+  * own gate keeps using the untouched monolithic `oracleSql`.
   */
 final case class StagedOracle(stages: Seq[(String, String)], finalSql: String)
 
@@ -54,14 +58,90 @@ object StagedOracles {
     * reads it twice (both UNION directions of `sym`). */
   private val stCos = "stage_cospairs" -> Similarity.embeddingCosinePairsSql
 
-  /** Semantic clusters (vec_id, cluster_root, cluster_size): the
-    * monolithic [[Similarity.semanticClustersSql]] with its embedded
-    * cosine-pair subtree redirected to [[stCos]] — the reachability
-    * closure itself (the irreducible quadratic part on a giant component)
-    * stays exactly the oracle's own text. */
-  private val stSem = "stage_sem" -> swap(Similarity.semanticClustersSql,
-    s"p AS (\n${Similarity.embeddingCosinePairsSql}\n)",
-    "p AS (SELECT * FROM stage_cospairs)")
+  /** Semantic-closure stage pipeline (ends in table `stage_sem` with the
+    * same (vec_id, cluster_root, cluster_size) schema every downstream
+    * final reads).
+    *
+    * Round 12 staged the monolithic `WITH RECURSIVE` reachability
+    * verbatim, and at sf3 it was the last cost-bound oracle left: on a
+    * giant component the recursive `reach` relation is Σ|component|²
+    * rows (~3.6×10⁹ at sf3's 60k-node giant component) — >93 GiB in
+    * DuckDB however it is staged, because the ALGORITHM is quadratic,
+    * not the staging. Round 13 replaces that one stage (per the round-12
+    * verdict's own prescription) with an equivalent LINEAR-space
+    * iterative closure, computed entirely inside DuckDB from the same
+    * staged pair table — min-label propagation with pointer jumping
+    * (hook + compress), [[SemRounds]] materialized rounds:
+    *
+    *   lblₜ₊₁(v) = min(h(v), h(h(v)))  where
+    *   h(v)      = min(lblₜ(v), min over (v,u) ∈ sym of lblₜ(u))
+    *
+    * Equivalence is certified three ways rather than textually:
+    *   1. labels start at id, only decrease, and only ever hold ids of
+    *      same-component nodes, so the component minimum m is a fixpoint
+    *      label (lbl(m) = m always) and an edge-uniform labeling is
+    *      exactly {component → its min id} — the monolithic
+    *      `MIN(r) OVER reach` value;
+    *   2. a convergence stage (`stage_sem_fix`) ERRORS via DuckDB
+    *      `error()` if any edge still joins two labels after
+    *      [[SemRounds]] rounds — an unconverged labeling can never be
+    *      served silently (the consumers then record honest errs);
+    *   3. at every scale where the recursive form fits (sf0.01/0.1/1)
+    *      the staged sweep hash-matches the same Spark dumps the
+    *      driver's monolithic gate certifies (committed sweeps).
+    *
+    * Each round doubles the label-pointer reach (f ← 2f+2 on a path), so
+    * [[SemRounds]] = 24 covers components of diameter ~2²⁵ — backstopped
+    * by certification 2, never by hope. Per-round cost is one edge-table
+    * join + two node-table self-joins: linear, a few MB at sf3. */
+  private val SemRounds = 24
+
+  /** The monolithic oracle's own `sym`/`nodes` text, with the pair CTE
+    * redirected to [[stCos]] — hook edges. */
+  private val stSemSym = "stage_sem_sym" ->
+    """SELECT vec_a AS a, vec_b AS b FROM stage_cospairs
+      |UNION SELECT vec_b, vec_a FROM stage_cospairs""".stripMargin
+
+  private val stSemLbl0 = "stage_sem_lbl_0" ->
+    "SELECT DISTINCT a AS id, a AS lbl FROM stage_sem_sym"
+
+  private def semRound(i: Int): (String, String) =
+    s"stage_sem_lbl_$i" ->
+      s"""WITH cur AS (SELECT id, lbl FROM stage_sem_lbl_${i - 1}),
+         |hook AS (SELECT e.a AS id, MIN(c.lbl) AS nlbl
+         |         FROM stage_sem_sym e JOIN cur c ON c.id = e.b
+         |         GROUP BY e.a),
+         |h AS (SELECT cur.id, LEAST(cur.lbl, COALESCE(hook.nlbl, cur.lbl)) AS lbl
+         |      FROM cur LEFT JOIN hook ON hook.id = cur.id)
+         |SELECT h.id, LEAST(h.lbl, COALESCE(p.lbl, h.lbl)) AS lbl
+         |FROM h LEFT JOIN h p ON p.id = h.lbl""".stripMargin
+
+  /** Fails the WHOLE stage pipeline (and so every consumer, honestly) if
+    * the labeling is not an edge-uniform fixpoint. */
+  private val stSemFix = "stage_sem_fix" ->
+    s"""SELECT CASE WHEN cnt = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE error('stage_sem: closure not converged after $SemRounds rounds — raise StagedOracles.SemRounds')
+       |       END AS unconverged_edges
+       |FROM (SELECT COUNT(*) AS cnt
+       |      FROM stage_sem_sym e
+       |      JOIN stage_sem_lbl_$SemRounds a ON a.id = e.a
+       |      JOIN stage_sem_lbl_$SemRounds b ON b.id = e.b
+       |      WHERE a.lbl <> b.lbl) t""".stripMargin
+
+  /** The monolithic tail (comp → sizes → projection), verbatim shape,
+    * reading the converged labeling instead of the recursive `reach`. */
+  private val stSem = "stage_sem" ->
+    s"""WITH comp AS (SELECT id, lbl AS comp FROM stage_sem_lbl_$SemRounds),
+       |sz AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+       |SELECT id AS vec_id, comp.comp AS cluster_root, cluster_size
+       |FROM comp JOIN sz USING (comp)
+       |ORDER BY vec_id""".stripMargin
+
+  /** Every stage `stage_sem` needs, in dependency order ([[stCos]]
+    * first: the edges are the SAME staged pair table round 12 used). */
+  private val semStages: Seq[(String, String)] =
+    Seq(stCos, stSemSym, stSemLbl0) ++
+      (1 to SemRounds).map(semRound) ++ Seq(stSemFix, stSem)
 
   /** Lexical near-dup components over the MinHash-LSH pair closure —
     * verbatim the standalone `dedup_components` oracle. */
@@ -116,7 +196,7 @@ object StagedOracles {
     * community-bounded aggregates; both heavy subtrees are embedded as
     * direct `($sql)` parenthesized subqueries. */
   private[graft] val modularityStaged: StagedOracle = StagedOracle(
-    stages = Seq(stKnng, stCos, stSem),
+    stages = Seq(stKnng) ++ semStages,
     finalSql = swap(
       swap(Similarity.modularitySql, s"(${Similarity.knnGraphSql})", "stage_knng"),
       s"(${Similarity.semanticClustersSql})", "stage_sem"))
@@ -137,7 +217,7 @@ object StagedOracles {
     require(tail > semSwapped.indexOf(marker),
       "staged-oracle surgery: cascade body not after the closure head")
     StagedOracle(
-      stages = Seq(stCos, stSem, stComp),
+      stages = semStages ++ Seq(stComp),
       finalSql =
         "WITH comp AS (SELECT doc_id, component_root FROM stage_comp),\n" +
           semSwapped.substring(tail))
@@ -154,7 +234,7 @@ object StagedOracles {
     "sim_knn_graph" -> StagedOracle(Seq(stKnng),
       "SELECT vec_id, neighbor_id, rank, cos_sim FROM stage_knng " +
         "ORDER BY vec_id, rank"),
-    "sim_semantic_clusters" -> StagedOracle(Seq(stCos, stSem),
+    "sim_semantic_clusters" -> StagedOracle(semStages,
       "SELECT vec_id, cluster_root, cluster_size FROM stage_sem " +
         "ORDER BY vec_id"),
     "sim_pagerank" -> StagedOracle(Seq(stKnng),

@@ -1106,10 +1106,21 @@ object EventTime {
   private[graft] def powerUsersWithGate(
       spark: SparkSession, dir: String, gate: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perUser = Tables.events(spark, dir)
+    val events = Tables.events(spark, dir)
+    val perUser = events
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    // regime probe: perUser is itself an aggregate, so a limit-probe on it
+    // cannot short-circuit (it would pay the full groupBy once more just
+    // to pick the regime — round-12 ADVICE). Estimate the post-agg
+    // cardinality with a map-side HLL over the pre-agg key instead: one
+    // scan, no full shuffle. HLL error only ever flips the regime near
+    // the gate, and the regimes are value-identical (Round12Spec), so the
+    // estimate can never change a result.
+    val over = gate < 1L || events
+      .agg(approx_count_distinct(col("user_id")).as("u"))
+      .head.getLong(0) > gate
     val deciles = TwoPass
-      .ntileDesc(perUser, "n_events", "user_id", 10, "decile", gate)
+      .ntileDescRegime(perUser, "n_events", "user_id", 10, "decile", over)
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
     val tot = deciles.agg(sum(col("n_events")).as("total_events"))

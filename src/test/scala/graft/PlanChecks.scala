@@ -34,7 +34,10 @@ object PlanChecks {
          if name.contains("Exchange") && spIds.contains(id)) {
       val parent = (i - 1 to 0 by -1).iterator
         .flatMap(j => tree(j)).find(_._1 < ind).map(_._2)
-      if (parent.exists(_.startsWith("Sort"))) hits += 1
+      // exact match: "SortAggregate" / "SortMergeJoin" parents are NOT
+      // global sorts and must not count (round-12 ADVICE — startsWith
+      // overcounted on such plan shapes)
+      if (parent.contains("Sort")) hits += 1
     }
     hits
   }

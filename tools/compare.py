@@ -95,6 +95,16 @@ built_stages = {}
 # next query sharing it — its consumers all record the same honest err
 failed_stages = {}
 
+
+class StageFailed(RuntimeError):
+    """Short-circuit for a stage that already failed on a FRESH pool.
+
+    Distinct type so the OOM-retry test below never matches it: the
+    embedded original error text usually says 'Out of Memory', and before
+    round 13 every later consumer of a failed stage therefore paid a
+    pointless reconnect + a second doomed attempt (+ another reconnect).
+    """
+
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     return df.reset_index(drop=True)
@@ -111,7 +121,7 @@ for name in sorted(oracle):
         if name in staged:
             for tbl, ssql in staged[name]["stages"]:
                 if (tbl, ssql) in failed_stages:
-                    raise RuntimeError(
+                    raise StageFailed(
                         f"stage {tbl} previously failed: "
                         f"{failed_stages[(tbl, ssql)]}")
                 # stages are shared across staged queries (stage_sem feeds
@@ -137,7 +147,8 @@ for name in sorted(oracle):
         try:
             got, want = attempt(fresh=False)
         except Exception as e:
-            if ("Out of Memory" not in str(e)
+            if isinstance(e, StageFailed) or (
+                    "Out of Memory" not in str(e)
                     and "bad allocation" not in str(e)):
                 raise
             # reset the poisoned buffer pool and retry once; a second OOM
@@ -147,8 +158,10 @@ for name in sorted(oracle):
     except Exception as e:
         fails.append((name, f"query error: {e}"))
         # an OOM can leave the pool pinned — reconnect so the NEXT query
-        # starts clean either way
-        if "Out of Memory" in str(e) or "bad allocation" in str(e):
+        # starts clean either way (a StageFailed short-circuit never
+        # touched the pool, so it skips the reconnect too)
+        if not isinstance(e, StageFailed) and (
+                "Out of Memory" in str(e) or "bad allocation" in str(e)):
             con = connect()
         continue
     if list(got.columns) != list(want.columns):
