@@ -120,7 +120,7 @@ object StagedOracles {
     * the labeling is not an edge-uniform fixpoint. */
   private val stSemFix = "stage_sem_fix" ->
     s"""SELECT CASE WHEN cnt = 0 THEN CAST(0 AS BIGINT)
-       |       ELSE error('stage_sem: closure not converged after $SemRounds rounds — raise StagedOracles.SemRounds')
+       |       ELSE error('semantic closure not converged after $SemRounds rounds - raise StagedOracles.SemRounds')
        |       END AS unconverged_edges
        |FROM (SELECT COUNT(*) AS cnt
        |      FROM stage_sem_sym e

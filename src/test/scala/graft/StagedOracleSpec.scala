@@ -46,12 +46,15 @@ class StagedOracleSpec extends AnyFunSuite {
       assert(sqls.size === 1, s"stage $t has ${sqls.size} distinct builds")
     }
     // dependency order holds inside every stage list: a stage referencing
-    // another stage table appears after it
+    // another stage table appears after it (word-boundary match —
+    // "stage_sem" must not trip on "stage_sem_sym"/"stage_sem_lbl_*")
     StagedOracles.all.foreach { case (name, so) =>
       val names = so.stages.map(_._1)
       so.stages.zipWithIndex.foreach { case ((t, sql), i) =>
         names.drop(i + 1).foreach { later =>
-          assert(!sql.contains(later), s"$name: stage $t reads later stage $later")
+          val hit = ("\\b" + java.util.regex.Pattern.quote(later) + "\\b").r
+            .findFirstIn(sql).isDefined
+          assert(!hit, s"$name: stage $t reads later stage $later")
         }
       }
     }
@@ -80,14 +83,63 @@ class StagedOracleSpec extends AnyFunSuite {
       .replace("stage_sem", s"(${Similarity.semanticClustersSql})")
     assert(restored === Similarity.modularitySql)
     assert(so.stages.toMap.apply("stage_knng") === Similarity.knnGraphSql)
-    // stage_sem is the monolithic semantic-cluster oracle with its
-    // embedded cosine-pair subtree redirected to stage_cospairs
-    assert(so.stages.toMap.apply("stage_sem")
-      .replace("p AS (SELECT * FROM stage_cospairs)",
-        s"p AS (\n${Similarity.embeddingCosinePairsSql}\n)") ===
-      Similarity.semanticClustersSql)
     assert(so.stages.toMap.apply("stage_cospairs") ===
       Similarity.embeddingCosinePairsSql)
+  }
+
+  test("stage_sem iterative-closure pipeline: edges from the verbatim " +
+    "pair stage, converged-or-error fixpoint, monolithic tail shape") {
+    // round 13 replaced the quadratic WITH RECURSIVE stage (the sf3
+    // cost-bound trio) with hook+compress min-label propagation; textual
+    // inversion no longer applies to THIS stage, so the spec certifies
+    // its structure instead (value equivalence is certified by the
+    // in-oracle error() fixpoint assertion + the committed staged sweeps
+    // at every scale where the recursive form still fits)
+    val stages = StagedOracles.all("sim_semantic_clusters").stages
+    val byName = stages.toMap
+    // edges: both UNION directions of the SAME staged pair table the
+    // round-12 form read — the input relation is unchanged
+    assert(byName("stage_sem_sym") ===
+      """SELECT vec_a AS a, vec_b AS b FROM stage_cospairs
+        |UNION SELECT vec_b, vec_a FROM stage_cospairs""".stripMargin)
+    assert(byName("stage_sem_lbl_0") ===
+      "SELECT DISTINCT a AS id, a AS lbl FROM stage_sem_sym")
+    // every propagation round present, each reading only its predecessor
+    val rounds = stages.map(_._1).filter(_.matches("stage_sem_lbl_[1-9]\\d*"))
+    assert(rounds.size >= 16, s"too few rounds for log2-diameter margin: $rounds")
+    rounds.foreach { r =>
+      val i = r.stripPrefix("stage_sem_lbl_").toInt
+      val sql = byName(r)
+      assert(sql.contains(s"stage_sem_lbl_${i - 1}"), s"$r missing input")
+      assert(sql.contains("LEAST") && sql.contains("MIN(c.lbl)"),
+        s"$r lost the hook/compress arithmetic")
+    }
+    val last = rounds.map(_.stripPrefix("stage_sem_lbl_").toInt).max
+    // the fixpoint assertion errors (never silently serves) on any edge
+    // still joining two labels after the last round
+    val fix = byName("stage_sem_fix")
+    assert(fix.contains("error(") && fix.contains(s"stage_sem_lbl_$last")
+      && fix.contains("a.lbl <> b.lbl"))
+    assert(stages.map(_._1).indexOf("stage_sem_fix") <
+      stages.map(_._1).indexOf("stage_sem"),
+      "the fixpoint assertion must run before stage_sem is built")
+    // the final labeling-to-clusters tail mirrors the monolithic text
+    // (same grouping, same projection, same ORDER BY)
+    val sem = byName("stage_sem")
+    assert(sem.contains(s"stage_sem_lbl_$last"))
+    assert(sem.contains("sz AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)"))
+    assert(sem.contains("SELECT id AS vec_id, comp.comp AS cluster_root, cluster_size"))
+    assert(sem.trim.endsWith("ORDER BY vec_id"))
+    assert(Similarity.semanticClustersSql.contains(
+      "sz AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)"))
+    // the three closure consumers share the identical pipeline bytes
+    for (q <- Seq("sim_modularity", "dedup_cascade")) {
+      val other = StagedOracles.all(q).stages.toMap
+      (Seq("stage_sem_sym", "stage_sem_lbl_0", "stage_sem_fix", "stage_sem")
+        ++ rounds).foreach { t =>
+        assert(other.get(t).contains(byName(t)), s"$q stage $t diverged")
+      }
+    }
   }
 
   test("cascade staged final's body is byte-identical to the monolithic " +
