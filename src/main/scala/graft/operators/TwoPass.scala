@@ -72,6 +72,24 @@ object TwoPass {
       math.max(PrefixBuckets.toLong,
         (n + RowsPerBucket - 1) / RowsPerBucket)).toInt
 
+  /** Skew refinement (ntile form only): a bucket holding more than
+    * [[RefineFactor]]× the average-or-target row count gets ONE
+    * equal-width sub-split — by the UNIQUE tie column when every row
+    * shares one order value (the Zipf case: the modal `n_events = 1`
+    * mass, where in-bucket order is tie-order and the split is exact),
+    * by the order-value range otherwise. At most [[RefineMaxBuckets]]
+    * buckets refine (skew by definition concentrates; a when-chain per
+    * refined bucket keeps the projection codegen-small) into at most
+    * [[RefineMaxSubs]] sub-buckets each, sized so the driver-side
+    * (bucket, sub) offset table stays ≤ ~2×[[MaxPrefixBuckets]] rows.
+    * Residual corners (mass at one exact value sharing a bucket with
+    * other values after one re-split, or >64 simultaneously-hot buckets)
+    * are accepted and stay correct — refinement changes bucket SIZES,
+    * never a rank. */
+  private[graft] val RefineFactor = 4L
+  private[graft] val RefineMaxBuckets = 64
+  private[graft] val RefineMaxSubs = 4096
+
   /** Regime probe, the peel-gate idiom: the driver never receives more
     * than gate+1 rows, whatever the relation holds. Callers whose
     * windowed relation is expensive to produce (per-doc tokenization)
@@ -251,12 +269,77 @@ object TwoPass {
       .when(isnan(s), lit(0)) // Spark orders NaN greatest → first
       .otherwise(least(greatest(bidRaw, lit(0)), lit(b - 1)))
     val tagged = df.withColumn("__bid", bid)
-    val counts = tagged.groupBy(col("__bid"))
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = counts.map(_._2).sum
-    val offDf = counts.map(_._1)
-      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq.toDF("__bid", "__roff")
+    // bucket census: size, order-value class mix (NaN / NULL / finite
+    // range), and tie range — everything the skew refinement needs
+    val t = col(tieCol).cast("long")
+    val census = tagged.groupBy(col("__bid")).agg(
+        count(lit(1)).as("c"),
+        count(when(isnan(s), 1)).as("cnan"),
+        count(when(s.isNull, 1)).as("cnull"),
+        min(sFin).as("fmin"), max(sFin).as("fmax"),
+        min(t).as("tmin"), max(t).as("tmax"))
+      .collect().map { r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)),
+          if (r.isNullAt(7)) None else Some(r.getLong(7)))
+      }
+    val n = census.map(_._2).sum
+    // a bucket is hot when it holds RefineFactor× the expected share; the
+    // target keeps Σ sub-buckets ≤ b, so the offset table stays bounded
+    val avgTarget = math.max(RowsPerBucket, n / b + 1)
+    val hot = census.filter(_._2 > RefineFactor * avgTarget)
+      .sortBy(-_._2).take(RefineMaxBuckets)
+    val subFor = hot.flatMap {
+      case (hb, c, cnan, cnull, fmin, fmax, tmin, tmax) =>
+        val subs = math.min(RefineMaxSubs.toLong,
+          (c + avgTarget - 1) / avgTarget).toInt
+        val pure = cnan == c || cnull == c ||
+          (cnan == 0 && cnull == 0 && fmin == fmax)
+        if (pure) {
+          // one indistinguishable order value: in-bucket order IS tie
+          // order, so an equal-width split of the (unique, integer) tie
+          // key is exact — the Zipf modal-value case
+          (tmin, tmax) match {
+            case (Some(tlo), Some(thi)) if thi > tlo =>
+              val tw = (thi - tlo) / subs + 1
+              Some(hb -> least(greatest(
+                floor((t - lit(tlo)) / lit(tw)).cast("int"), lit(0)),
+                lit(subs - 1)))
+            case _ => None // untypable/constant tie: leave unrefined
+          }
+        } else (fmin, fmax) match {
+          // mixed bucket: re-split the finite order range once, keeping
+          // the class order NaN (greatest, first) < finite desc < NULL
+          case (Some(flo), Some(fhi)) =>
+            val m = math.max(1, subs - 2)
+            val wf = (fhi - flo) / m
+            val subFin =
+              if (wf > 0) least(greatest(
+                floor((lit(fhi) - s) / lit(wf)).cast("int"), lit(0)),
+                lit(m - 1)) + lit(1)
+              else lit(1)
+            Some(hb -> when(isnan(s), lit(0))
+              .when(s.isNull, lit(m + 1)).otherwise(subFin))
+          case _ => None // no finite rows but not pure: impossible
+        }
+    }
+    val subExpr = subFor.foldLeft(lit(0)) { case (acc, (hb, sub)) =>
+      when(col("__bid") === hb, sub).otherwise(acc)
+    }
+    val tagged2 = tagged.withColumn("__sub", subExpr)
+    // unrefined inputs skip the recount: the census already has the sizes
+    val counts: Seq[((Int, Int), Long)] =
+      if (subFor.isEmpty) census.map(x => ((x._1, 0), x._2)).toSeq.sortBy(_._1)
+      else tagged2.groupBy(col("__bid"), col("__sub"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().toSeq
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).sortBy(_._1)
+    val offRows = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .map { case ((ob, os), off) => (ob, os, off) }
+    val offDf = offRows.toDF("__bid", "__sub", "__roff")
     val q = n / k
     val r = n % k
     val cut = r * (q + 1)
@@ -267,13 +350,13 @@ object TwoPass {
       if (q == 0L) col("__rn").cast("int")
       else when(col("__rn") <= cut, expr(s"(__rn - 1) div ${q + 1}L") + 1)
         .otherwise(lit(r) + expr(s"(__rn - 1 - ${cut}L) div ${q}L") + 1)
-    val w = Window.partitionBy(col("__bid"))
+    val w = Window.partitionBy(col("__bid"), col("__sub"))
       .orderBy(col(orderCol).desc, col(tieCol))
-    tagged
+    tagged2
       .withColumn("__lrn", row_number().over(w))
-      .join(broadcast(offDf), Seq("__bid"))
+      .join(broadcast(offDf), Seq("__bid", "__sub"))
       .withColumn("__rn", col("__roff") + col("__lrn"))
       .withColumn(outCol, tile.cast("int"))
-      .drop("__bid", "__lrn", "__roff", "__rn")
+      .drop("__bid", "__sub", "__lrn", "__roff", "__rn")
   }
 }

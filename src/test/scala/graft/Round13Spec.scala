@@ -112,6 +112,38 @@ class Round13Spec extends AnyFunSuite {
     assert(gotT === wantT, "skewed-key ntile: regimes differ")
   }
 
+  test("ntile skew refinement: a 240k-tie modal value in its OWN bucket " +
+    "(pure, tie-split) keeps exact Spark ntile values") {
+    import spark.implicits._
+    // 240k rows at exactly 50.0 (bucket 0 alone — pure), 60k spread [0,1]
+    val df = spark.range(300000L).toDF("id")
+      .withColumn("score",
+        when(col("id") < 240000L, lit(50.0))
+          .otherwise((col("id") % 1000).cast("double") / 1000.0))
+    val want = df.withColumn("t",
+      ntile(10).over(Window.orderBy(col("score").desc, col("id"))))
+    val got = TwoPass.distributedNtileDesc(df, "score", "id", 10, "t")
+    assert(got.columns.toSeq === want.columns.toSeq)
+    assert(want.exceptAll(got).count() === 0L &&
+      got.exceptAll(want).count() === 0L && got.count() === 300000L)
+  }
+
+  test("ntile skew refinement: a modal value SHARING its bucket with " +
+    "other values (mixed, score re-split) keeps exact Spark ntile values") {
+    import spark.implicits._
+    // modal 1.0 (240k ties) lands in the same equal-width bucket as the
+    // 2.0-4.x tail → the mixed re-split path
+    val df = spark.range(300000L).toDF("id")
+      .withColumn("score",
+        when(col("id") < 240000L, lit(1.0))
+          .otherwise((col("id") % 100).cast("double") + 2.0))
+    val want = df.withColumn("t",
+      ntile(7).over(Window.orderBy(col("score").desc, col("id"))))
+    val got = TwoPass.distributedNtileDesc(df, "score", "id", 7, "t")
+    assert(want.exceptAll(got).count() === 0L &&
+      got.exceptAll(want).count() === 0L && got.count() === 300000L)
+  }
+
   test("NULL order keys fail loudly in the distributed form (the " +
     "regimes would silently diverge on null-first vs NPE)") {
     import spark.implicits._
