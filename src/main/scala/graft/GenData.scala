@@ -259,12 +259,24 @@ object GenData {
     * scale path — a cluster run would drop the coalesce and write each
     * table as a directory. */
   def writeSf(spark: SparkSession, sf: Double, outDir: String,
-      only: Option[Set[String]] = None): Unit = {
+      only: Option[Set[String]] = None, multiFile: Boolean = false): Unit = {
     val out = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(out)
     tables(spark, sf)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, df) =>
+      if (multiFile) {
+        // probe-scale corpora (10⁷+ rows): `coalesce(1)` COLLAPSES the
+        // upstream generation into one task (it is not a shuffle), so the
+        // single-file layout would generate 10⁷ × 64-dim hashes on one
+        // core. Spark reads a directory named `<table>.parquet`
+        // identically; only the DuckDB differential needs real single
+        // files, and the probe corpora never meet the oracle.
+        df.write.mode("overwrite")
+          .option("parquet.block.size", (8 * 1024 * 1024).toString)
+          .parquet(out.resolve(name + ".parquet").toString)
+        println(s"wrote $name (multi-file)")
+      } else {
       val scratch = out.resolve("_" + name)
       // SMALL ROW GROUPS (2 MB, not the 128 MB default): a single-file table
       // whose one row group spans the whole file reads back as ONE Spark
@@ -292,6 +304,7 @@ object GenData {
         .reverseIterator
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
       println(s"wrote $name")
+      }
     }
   }
 
@@ -312,7 +325,8 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeSf(spark, sf, outDir, only)
+    writeSf(spark, sf, outDir, only,
+      multiFile = sys.env.get("GRAFT_GEN_MULTIFILE").contains("1"))
     spark.stop()
   }
 }

@@ -381,6 +381,85 @@ object ScaleCheck {
       regimeResults.map { case (n, ok, rows) =>
         s"$n=${if (ok) "ok" else "DIFF"}($rows)" }.mkString(" "))
 
+    // 17. forced skew refinement (round-13 directives #2/#3): the real
+    //     per-user activity distribution — heavily tied counts, the
+    //     modal-value shape the census refinement exists for — through
+    //     all three distributed forms with forced small buckets and a
+    //     unit refine target, asserting exceptAll-equality with the
+    //     single-task window AND that the hot-bucket path actually
+    //     ENGAGED (value equality alone passes whether or not the
+    //     refinement code ran; RefineStats.refined is the receipt).
+    //     Persisted: the distributed forms re-evaluate their input 3-4×
+    //     by documented contract.
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUsers = perUser.count()
+    val wantT = perUser.withColumn("t", ntile(10).over(
+      Window.orderBy(col("n_events").desc, col("user_id"))))
+    val (gotT, ntStats) = operators.TwoPass.distributedNtileDescStats(
+      perUser, "n_events", "user_id", 10, "t",
+      buckets = 256, minRefineRows = 1L)
+    val (ntOk, _) = sameRel(wantT, gotT)
+    // the prefix forms need a UNIQUE integer key: pack (n_events,
+    // user_id) — the key inherits the count distribution's clustering
+    // (every user with the modal count lands in one narrow key band)
+    // while user_id keeps it unique
+    val packed = perUser.select(
+      (col("n_events") * 1000000000L + col("user_id")).as("k"),
+      col("n_events").as("v"))
+    val wS = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wantS = packed.withColumn("c",
+      coalesce(sum(col("v")).over(wS).cast("long"), lit(0L)))
+    val (gotS, sStats) = operators.TwoPass.distributedPrefixSumStats(
+      packed, "k", "v", "c", buckets = 256, minRefineRows = 1L)
+    val (sOk, _) = sameRel(wantS, gotS)
+    val wM = Window.orderBy(col("k"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wantM = packed.withColumn("m", max(col("v")).over(wM).cast("long"))
+    val (gotM, mStats) = operators.TwoPass.distributedPrefixMaxStats(
+      packed, "k", "v", "m", buckets = 256, minRefineRows = 1L)
+    val (mOk, _) = sameRel(wantM, gotM)
+    // engagement asserted from ~100 users up (below that even the modal
+    // count may not repeat 4×; equality still must hold)
+    val engaged = ntStats.refined >= 1 && sStats.refined >= 1 &&
+      mStats.refined >= 1
+    report("skew_refinement",
+      ntOk && sOk && mOk && (nUsers < 100 || engaged),
+      s"users=$nUsers ntile=${if (ntOk) "ok" else "DIFF"}" +
+        s"(refined=${ntStats.refined},maxGroup=${ntStats.maxGroup}) " +
+        s"prefixSum=${if (sOk) "ok" else "DIFF"}(refined=${sStats.refined}," +
+        s"maxGroup=${sStats.maxGroup}) " +
+        s"prefixMax=${if (mOk) "ok" else "DIFF"}(refined=${mStats.refined}," +
+        s"maxGroup=${mStats.maxGroup})")
+    perUser.unpersist()
+
+    // 18. band-geometry occupancy (round-13 verdict's one `weak` item):
+    //     the BUILT SRP band artifact must satisfy the invariant the
+    //     adaptive geometry promises — per table, n ≤ 256·2^bits
+    //     (expected bucket occupancy ≤ 256) — with realized skew
+    //     reported (max bucket, Σ|b|²/n candidate amplification).
+    //     bandBits itself now throws past 256·2^24 instead of freezing,
+    //     so the silent frozen-geometry regime cannot recur; this gate
+    //     additionally proves the chosen bits honors the bound on real
+    //     data at every swept scale.
+    val occ = operators.Similarity.bandOccupancy(spark, dir).collect()
+    val occOk = occ.nonEmpty && occ.forall { r =>
+      r.getAs[Long]("n_vectors") <= r.getAs[Long]("occ_bound") &&
+        r.getAs[Long]("max_occ") >= 1L
+    }
+    val occAmp = occ.map(r => r.getAs[Long]("sum_sq").toDouble /
+      math.max(1L, r.getAs[Long]("n_vectors"))).maxOption.getOrElse(0.0)
+    report("band_occupancy", occOk,
+      s"tables=${occ.length} " +
+        s"bits=${occ.headOption.map(_.getAs[Int]("bits")).getOrElse(-1)} " +
+        s"n=${occ.headOption.map(_.getAs[Long]("n_vectors")).getOrElse(0L)} " +
+        s"bound=${occ.headOption.map(_.getAs[Long]("occ_bound")).getOrElse(0L)} " +
+        s"max_occ=${occ.map(_.getAs[Long]("max_occ")).maxOption.getOrElse(0L)} " +
+        f"amp=$occAmp%.1f")
+
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -1115,10 +1115,15 @@ object EventTime {
     // cardinality with a map-side HLL over the pre-agg key instead: one
     // scan, no full shuffle. HLL error only ever flips the regime near
     // the gate, and the regimes are value-identical (Round12Spec), so the
-    // estimate can never change a result.
-    val over = gate < 1L || events
-      .agg(approx_count_distinct(col("user_id")).as("u"))
-      .head.getLong(0) > gate
+    // estimate can never change a result. The HLL scan itself is guarded
+    // by a cheap upper bound first (round-13 ADVICE: don't pay a fixed
+    // full scan on the common small-scale path): distinct users ≤ event
+    // rows, so when a limit-probe shows ≤ gate rows the regime is
+    // already decided and the HLL aggregate never runs.
+    val over = gate < 1L ||
+      (TwoPass.overGate(events, gate) && events
+        .agg(approx_count_distinct(col("user_id")).as("u"))
+        .head().getLong(0) > gate)
     val deciles = TwoPass
       .ntileDescRegime(perUser, "n_events", "user_id", 10, "decile", over)
       .groupBy(col("decile"))
