@@ -24,10 +24,11 @@ import graft.operators.{Dedup, Similarity}
   * ([[swap]] refuses surgery when the subtree is not found verbatim), and
   * each stage's SQL is either the standalone oracle of that subtree or
   * itself the same textual surgery applied one level down. Nothing is
-  * re-derived from the Spark implementation. ONE deliberate exception
-  * since round 13: the semantic-closure stage (`stage_sem`) replaces the
-  * monolithic recursive reachability — quadratic in component size, the
-  * sf3 cost-bound trio of round 12 — with a linear iterative closure
+  * re-derived from the Spark implementation. TWO deliberate exceptions:
+  * the semantic-closure stage (`stage_sem`, round 13) and the lexical
+  * component-closure stage (`stage_comp`, round 15 — the sf3 disk-bound
+  * class of round 14) each replace a monolithic recursive reachability —
+  * quadratic in component size — with the same linear iterative closure
   * whose equivalence is certified by an in-oracle convergence assertion
   * plus committed hash-matching sweeps at every scale the recursive form
   * still fits (see [[SemRounds]] scaladoc). `tools/compare.py` executes
@@ -96,20 +97,20 @@ object StagedOracles {
     * join + two node-table self-joins: linear, a few MB at sf3. */
   private val SemRounds = 24
 
-  /** The monolithic oracle's own `sym`/`nodes` text, with the pair CTE
-    * redirected to [[stCos]] — hook edges. */
-  private val stSemSym = "stage_sem_sym" ->
-    """SELECT vec_a AS a, vec_b AS b FROM stage_cospairs
-      |UNION SELECT vec_b, vec_a FROM stage_cospairs""".stripMargin
+  // Prefix-parameterized builders for the iterative closure pipeline —
+  // round 15 reuses the round-13 hook+compress machinery (verbatim text,
+  // only the stage-name prefix and the edge columns differ) for the
+  // LEXICAL closure, so both closures share one certified implementation.
 
-  private val stSemLbl0 = "stage_sem_lbl_0" ->
-    "SELECT DISTINCT a AS id, a AS lbl FROM stage_sem_sym"
+  private def jumpLbl0(prefix: String): (String, String) =
+    s"${prefix}_lbl_0" ->
+      s"SELECT DISTINCT a AS id, a AS lbl FROM ${prefix}_sym"
 
-  private def semRound(i: Int): (String, String) =
-    s"stage_sem_lbl_$i" ->
-      s"""WITH cur AS (SELECT id, lbl FROM stage_sem_lbl_${i - 1}),
+  private def jumpRound(prefix: String)(i: Int): (String, String) =
+    s"${prefix}_lbl_$i" ->
+      s"""WITH cur AS (SELECT id, lbl FROM ${prefix}_lbl_${i - 1}),
          |hook AS (SELECT e.a AS id, MIN(c.lbl) AS nlbl
-         |         FROM stage_sem_sym e JOIN cur c ON c.id = e.b
+         |         FROM ${prefix}_sym e JOIN cur c ON c.id = e.b
          |         GROUP BY e.a),
          |h AS (SELECT cur.id, LEAST(cur.lbl, COALESCE(hook.nlbl, cur.lbl)) AS lbl
          |      FROM cur LEFT JOIN hook ON hook.id = cur.id)
@@ -118,15 +119,28 @@ object StagedOracles {
 
   /** Fails the WHOLE stage pipeline (and so every consumer, honestly) if
     * the labeling is not an edge-uniform fixpoint. */
-  private val stSemFix = "stage_sem_fix" ->
-    s"""SELECT CASE WHEN cnt = 0 THEN CAST(0 AS BIGINT)
-       |       ELSE error('semantic closure not converged after $SemRounds rounds - raise StagedOracles.SemRounds')
-       |       END AS unconverged_edges
-       |FROM (SELECT COUNT(*) AS cnt
-       |      FROM stage_sem_sym e
-       |      JOIN stage_sem_lbl_$SemRounds a ON a.id = e.a
-       |      JOIN stage_sem_lbl_$SemRounds b ON b.id = e.b
-       |      WHERE a.lbl <> b.lbl) t""".stripMargin
+  private def jumpFix(prefix: String, label: String): (String, String) =
+    s"${prefix}_fix" ->
+      s"""SELECT CASE WHEN cnt = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE error('$label closure not converged after $SemRounds rounds - raise StagedOracles.SemRounds')
+         |       END AS unconverged_edges
+         |FROM (SELECT COUNT(*) AS cnt
+         |      FROM ${prefix}_sym e
+         |      JOIN ${prefix}_lbl_$SemRounds a ON a.id = e.a
+         |      JOIN ${prefix}_lbl_$SemRounds b ON b.id = e.b
+         |      WHERE a.lbl <> b.lbl) t""".stripMargin
+
+  /** The monolithic oracle's own `sym`/`nodes` text, with the pair CTE
+    * redirected to [[stCos]] — hook edges. */
+  private val stSemSym = "stage_sem_sym" ->
+    """SELECT vec_a AS a, vec_b AS b FROM stage_cospairs
+      |UNION SELECT vec_b, vec_a FROM stage_cospairs""".stripMargin
+
+  private val stSemLbl0 = jumpLbl0("stage_sem")
+
+  private def semRound(i: Int): (String, String) = jumpRound("stage_sem")(i)
+
+  private val stSemFix = jumpFix("stage_sem", "semantic")
 
   /** The monolithic tail (comp → sizes → projection), verbatim shape,
     * reading the converged labeling instead of the recursive `reach`. */
@@ -143,9 +157,73 @@ object StagedOracles {
     Seq(stCos, stSemSym, stSemLbl0) ++
       (1 to SemRounds).map(semRound) ++ Seq(stSemFix, stSem)
 
-  /** Lexical near-dup components over the MinHash-LSH pair closure —
-    * verbatim the standalone `dedup_components` oracle. */
-  private val stComp = "stage_comp" -> Dedup.componentsSql
+  /** Verified MinHash-LSH near-dup pairs (doc_a, doc_b, est_jaccard,
+    * jaccard) — verbatim the standalone `dedup_minhash_lsh` oracle; the
+    * subtree the whole lexical-closure family (and the recall evaluation)
+    * embeds and re-references. */
+  private val stLsh = "stage_lshpairs" -> Dedup.minhashLshSql
+
+  /** Lexical closure stage pipeline (ends in table `stage_comp` with the
+    * same (doc_id, component_root) relation the monolithic recursive
+    * `componentsSql` computes).
+    *
+    * Round 14's sf3 sweep showed the LEXICAL closure is the same disk
+    * time-bomb the semantic closure was in round 12: the monolithic
+    * `WITH RECURSIVE reach` relation is Σ|component|² rows AND re-derives
+    * the full MinHash-LSH subtree inside the same out-of-core plan —
+    * `dedup_cluster_keep` alone spilled >57 GB of DuckDB temp at sf3 and
+    * died of `No space left on device` on the round-14 disk. The fix is
+    * the SAME second deliberate exception round 13 certified for
+    * `stage_sem`: replace the quadratic recursive reachability with the
+    * linear hook+compress min-label propagation ([[jumpRound]] — shared
+    * text, only the stage prefix differs), over edges read from the
+    * staged pair table. Equivalence is certified the same three ways:
+    *   1. labels start at id, only decrease, and only ever hold ids of
+    *      same-component docs, so an edge-uniform labeling is exactly
+    *      {component → its min doc_id} — the monolithic `MIN(r)` value;
+    *   2. `stage_comp_fix` ERRORS via DuckDB `error()` if any edge still
+    *      joins two labels after [[SemRounds]] rounds — an unconverged
+    *      labeling can never be served silently;
+    *   3. at every scale where the recursive form fits (sf0.01/0.1/1)
+    *      the staged sweep hash-matches the same Spark dumps the
+    *      driver's monolithic gate certifies (committed sweeps). */
+  private val stCompSym = "stage_comp_sym" ->
+    """SELECT doc_a AS a, doc_b AS b FROM stage_lshpairs
+      |UNION SELECT doc_b, doc_a FROM stage_lshpairs""".stripMargin
+
+  /** The monolithic tail: with a converged labeling, `MIN(r) OVER reach`
+    * is the label itself, projected in the monolithic column names. */
+  private val stComp = "stage_comp" ->
+    s"""SELECT id AS doc_id, lbl AS component_root
+       |FROM stage_comp_lbl_$SemRounds
+       |ORDER BY doc_id""".stripMargin
+
+  /** Every stage `stage_comp` needs, in dependency order ([[stLsh]]
+    * first: the edges are the same verified pair relation the monolithic
+    * `p` CTE embeds). */
+  private val compStages: Seq[(String, String)] =
+    Seq(stLsh, stCompSym, jumpLbl0("stage_comp")) ++
+      (1 to SemRounds).map(jumpRound("stage_comp")) ++
+      Seq(jumpFix("stage_comp", "lexical"), stComp)
+
+  /** Shared surgery for the closure-head consumers: the monolithic
+    * `WITH RECURSIVE <core>,\ncomp AS (MIN(r)…),` head — byte-located,
+    * never pattern-matched — is replaced as a unit by a read of
+    * [[stComp]]; everything from `tailStart` on is byte-identical to the
+    * monolithic oracle. */
+  private def compHeadSwap(sql: String, tailStart: String): String = {
+    val head = s"WITH RECURSIVE ${Dedup.componentsCoreSql},\n" +
+      "comp AS (SELECT id AS doc_id, MIN(r) AS component_root\n" +
+      "         FROM reach GROUP BY id),\n"
+    require(sql.startsWith(head),
+      "staged-oracle surgery: closure head not found verbatim")
+    // indexOf would be wrong here: the head EMBEDS minhashLshSql, whose
+    // own `sz AS (` CTE shadows the tail marker
+    require(sql.substring(head.length).startsWith(tailStart),
+      "staged-oracle surgery: body does not follow the closure head")
+    "WITH comp AS (SELECT doc_id, component_root FROM stage_comp),\n" +
+      sql.substring(head.length)
+  }
 
   /** The `WITH sh, shf,` prefix every shingle-family oracle starts with. */
   private val shfPrefix: String =
@@ -204,9 +282,9 @@ object StagedOracles {
   /** dedup_cascade = exact-hash stage + component closure + semantic
     * closure. The semantic subtree is a `(\n$sql\n)` subquery; the
     * component closure is the `WITH RECURSIVE … reach … comp AS (…)` head,
-    * replaced as a unit by the staged `dedup_components` oracle table
-    * (same relation: `componentsSql` is exactly that head + the MIN(r)
-    * aggregate + ORDER BY). */
+    * replaced as a unit by the staged `stage_comp` relation (since round
+    * 15 the iterative [[compStages]] pipeline — same relation, linear
+    * space). */
   private[graft] val cascadeStaged: StagedOracle = {
     val semSwapped = swap(Dedup.cascadeSql,
       s"(\n${Similarity.semanticClustersSql}\n)", "stage_sem")
@@ -217,7 +295,7 @@ object StagedOracles {
     require(tail > semSwapped.indexOf(marker),
       "staged-oracle surgery: cascade body not after the closure head")
     StagedOracle(
-      stages = semStages ++ Seq(stComp),
+      stages = semStages ++ compStages,
       finalSql =
         "WITH comp AS (SELECT doc_id, component_root FROM stage_comp),\n" +
           semSwapped.substring(tail))
@@ -261,7 +339,22 @@ object StagedOracles {
       swap(
         swap(Dedup.modalityAgreementSql,
           s"(\n${Dedup.ngramJaccardSql}\n)", "stage_lexpairs"),
-        s"(\n${Similarity.embeddingCosinePairsSql}\n)", "stage_cospairs")))
+        s"(\n${Similarity.embeddingCosinePairsSql}\n)", "stage_cospairs")),
+    // the lexical-closure family (round 15): sf3-disk-bound monolithically
+    "dedup_minhash_lsh" -> StagedOracle(Seq(stLsh),
+      "SELECT doc_a, doc_b, est_jaccard, jaccard FROM stage_lshpairs " +
+        "ORDER BY doc_a, doc_b"),
+    "dedup_lsh_recall" -> StagedOracle(Seq(stSh, stShf, stLex, stLsh),
+      swap(
+        swap(Dedup.lshRecallSql,
+          s"(\n${Dedup.ngramJaccardSql}\n)", "stage_lexpairs"),
+        s"(\n${Dedup.minhashLshSql}\n)", "stage_lshpairs")),
+    "dedup_components" -> StagedOracle(compStages,
+      "SELECT doc_id, component_root FROM stage_comp ORDER BY doc_id"),
+    "dedup_cluster_keep" -> StagedOracle(compStages,
+      compHeadSwap(Dedup.clusterKeepSql, "sz AS (")),
+    "dedup_cluster_reps" -> StagedOracle(compStages,
+      compHeadSwap(Dedup.clusterRepsSql, "q AS (")))
 
   /** JSON for `oracle_stage_sql.json`:
     * `{query: {"stages": [[table, sql]…], "final": sql}}`. */

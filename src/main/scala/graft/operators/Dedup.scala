@@ -1163,8 +1163,10 @@ object Dedup {
 
 
   /** Shared recursive-CTE core: transitive closure of the near-dup pair
-    * graph as `reach(id, r)`; consumers aggregate MIN(r) per id. */
-  private val componentsCoreSql: String =
+    * graph as `reach(id, r)`; consumers aggregate MIN(r) per id.
+    * `private[graft]`: [[graft.StagedOracles]] swaps this head out as a
+    * verbatim unit for the staged iterative closure at sf≥1. */
+  private[graft] val componentsCoreSql: String =
     s"""p AS (
        |$minhashLshSql
        |),

@@ -15,9 +15,13 @@ class StagedOracleSpec extends AnyFunSuite {
     "dedup_cascade", "sim_modularity", "sim_knn_graph",
     "sim_semantic_clusters", "sim_pagerank", "sim_triangles", "sim_kcore",
     "sim_neighbor_jaccard", "sim_assortativity", "dedup_weighted_jaccard",
-    "dedup_threshold_sweep", "dedup_bbit_minhash", "dedup_modality_agreement")
+    "dedup_threshold_sweep", "dedup_bbit_minhash", "dedup_modality_agreement",
+    // round 15: the lexical-closure family — sf3 disk-bound monolithically
+    // (the recursive reach relation spilled >57 GB of DuckDB temp)
+    "dedup_minhash_lsh", "dedup_lsh_recall", "dedup_components",
+    "dedup_cluster_keep", "dedup_cluster_reps")
 
-  test("staged map covers exactly the sf1 DuckDB-cost-bound class") {
+  test("staged map covers exactly the DuckDB-cost-bound class") {
     assert(StagedOracles.all.keySet === exclusionClass)
     StagedOracles.all.foreach { case (name, so) =>
       assert(so.stages.nonEmpty, name)
@@ -25,10 +29,12 @@ class StagedOracleSpec extends AnyFunSuite {
       // later stages — e.g. stage_sh feeds stage_shf, never the final)
       assert(so.finalSql.contains(so.stages.last._1),
         s"$name final never reads ${so.stages.last._1}")
-      // every staged query except the trivial closure-output reads must
-      // keep a final far smaller than re-inlining any heavy subtree
-      assert(!so.finalSql.contains("regexp_split_to_array"),
-        s"$name final re-inlines the shingle scan")
+      // every staged final must keep clear of the QUADRATIC subtrees: the
+      // shingle inverted-index scan and the embedding pair scan. (A linear
+      // per-doc projection — dedup_cluster_reps' quality score — may
+      // still tokenize; the cost class is the self-joins, not the scan.)
+      assert(!so.finalSql.contains(Dedup.shingleIndexSql),
+        s"$name final re-inlines the shingle index")
       assert(!so.finalSql.contains("embedding::DOUBLE[]"),
         s"$name final re-inlines the embedding scan")
     }
@@ -150,7 +156,98 @@ class StagedOracleSpec extends AnyFunSuite {
     val fromS1 = monoTail.substring(monoTail.indexOf("s1 AS ("))
     assert(so.finalSql ===
       "WITH comp AS (SELECT doc_id, component_root FROM stage_comp),\n" + fromS1)
-    assert(so.stages.toMap.apply("stage_comp") === Dedup.componentsSql)
+  }
+
+  test("stage_comp iterative-closure pipeline: edges from the verbatim " +
+    "LSH pair stage, converged-or-error fixpoint, monolithic tail shape") {
+    // round 15 ports the round-13 stage_sem replacement to the LEXICAL
+    // closure (the sf3 disk-bound class of round 14) — same structural
+    // certification: value equivalence via the in-oracle error() fixpoint
+    // assertion + committed staged sweeps at every scale the recursive
+    // form fits (sf0.01/0.1/1)
+    val stages = StagedOracles.all("dedup_components").stages
+    val byName = stages.toMap
+    // the edge relation is the verbatim standalone LSH-pairs oracle, both
+    // UNION directions — exactly the monolithic core's p/sym CTEs
+    assert(byName("stage_lshpairs") === Dedup.minhashLshSql)
+    assert(byName("stage_comp_sym") ===
+      """SELECT doc_a AS a, doc_b AS b FROM stage_lshpairs
+        |UNION SELECT doc_b, doc_a FROM stage_lshpairs""".stripMargin)
+    assert(Dedup.componentsSql.contains(
+      "sym AS (SELECT doc_a AS a, doc_b AS b FROM p\n" +
+        "        UNION SELECT doc_b, doc_a FROM p)"))
+    assert(byName("stage_comp_lbl_0") ===
+      "SELECT DISTINCT a AS id, a AS lbl FROM stage_comp_sym")
+    // every propagation round present, each reading only its predecessor,
+    // byte-identical to the certified sem rounds modulo the prefix
+    val rounds = stages.map(_._1).filter(_.matches("stage_comp_lbl_[1-9]\\d*"))
+    assert(rounds.size >= 16, s"too few rounds for log2-diameter margin: $rounds")
+    val semByName = StagedOracles.all("sim_semantic_clusters").stages.toMap
+    rounds.foreach { r =>
+      val i = r.stripPrefix("stage_comp_lbl_").toInt
+      val sql = byName(r)
+      assert(sql.contains(s"stage_comp_lbl_${i - 1}"), s"$r missing input")
+      assert(sql === semByName(s"stage_sem_lbl_$i")
+        .replace("stage_sem", "stage_comp"),
+        s"$r diverged from the certified sem round")
+    }
+    val last = rounds.map(_.stripPrefix("stage_comp_lbl_").toInt).max
+    val fix = byName("stage_comp_fix")
+    assert(fix.contains("error(") && fix.contains(s"stage_comp_lbl_$last")
+      && fix.contains("a.lbl <> b.lbl"))
+    assert(stages.map(_._1).indexOf("stage_comp_fix") <
+      stages.map(_._1).indexOf("stage_comp"),
+      "the fixpoint assertion must run before stage_comp is built")
+    // the final labeling-to-components tail projects the monolithic
+    // column names in the monolithic order
+    assert(byName("stage_comp") ===
+      s"""SELECT id AS doc_id, lbl AS component_root
+         |FROM stage_comp_lbl_$last
+         |ORDER BY doc_id""".stripMargin)
+    assert(Dedup.componentsSql.contains(
+      "SELECT id AS doc_id, MIN(r) AS component_root"))
+    // every lexical-closure consumer shares the identical pipeline bytes
+    for (q <- Seq("dedup_cluster_keep", "dedup_cluster_reps", "dedup_cascade")) {
+      val other = StagedOracles.all(q).stages.toMap
+      (Seq("stage_lshpairs", "stage_comp_sym", "stage_comp_lbl_0",
+        "stage_comp_fix", "stage_comp") ++ rounds).foreach { t =>
+        assert(other.get(t).contains(byName(t)), s"$q stage $t diverged")
+      }
+    }
+  }
+
+  test("lexical-closure consumer finals are the monolithic bodies with " +
+    "only the closure head swapped for the stage_comp read") {
+    val head = s"WITH RECURSIVE ${Dedup.componentsCoreSql},\n" +
+      "comp AS (SELECT id AS doc_id, MIN(r) AS component_root\n" +
+      "         FROM reach GROUP BY id),\n"
+    def headSwapped(mono: String, tailStart: String): String = {
+      assert(mono.startsWith(head), "closure head not verbatim")
+      assert(mono.substring(head.length).startsWith(tailStart))
+      "WITH comp AS (SELECT doc_id, component_root FROM stage_comp),\n" +
+        mono.substring(head.length)
+    }
+    assert(StagedOracles.all("dedup_cluster_keep").finalSql ===
+      headSwapped(Dedup.clusterKeepSql, "sz AS ("))
+    assert(StagedOracles.all("dedup_cluster_reps").finalSql ===
+      headSwapped(Dedup.clusterRepsSql, "q AS ("))
+    assert(StagedOracles.all("dedup_components").finalSql ===
+      "SELECT doc_id, component_root FROM stage_comp ORDER BY doc_id")
+    // and the monolithic components oracle produces those columns
+    assert(Dedup.componentsSql.contains("doc_id") &&
+      Dedup.componentsSql.contains("component_root"))
+  }
+
+  test("LSH-pairs and recall staged finals invert back to the monolithic " +
+    "oracles") {
+    assert(StagedOracles.all("dedup_minhash_lsh").finalSql ===
+      "SELECT doc_a, doc_b, est_jaccard, jaccard FROM stage_lshpairs " +
+        "ORDER BY doc_a, doc_b")
+    assert(Dedup.minhashLshSql.contains("SELECT doc_a, doc_b, est_jaccard,"))
+    val rec = StagedOracles.all("dedup_lsh_recall").finalSql
+      .replace("stage_lexpairs", s"(\n${Dedup.ngramJaccardSql}\n)")
+      .replace("stage_lshpairs", s"(\n${Dedup.minhashLshSql}\n)")
+    assert(rec === Dedup.lshRecallSql)
   }
 
   test("shingle-family finals invert back to the monolithic oracles") {
