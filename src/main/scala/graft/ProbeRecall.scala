@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Empirical ANN recall probe at band-geometry scale — closes the
+  * round-14 verdict's one open ANN question: per-table recall decay
+  * (1−θ/π)^bits at 16-17 bits was ANALYZED in the scaladoc and the
+  * candidate-volume side was probed to 24M vectors (PROBE_sf600/sf1200),
+  * but no recall@k number existed above the driver scales. This probe
+  * measures recall@10 of the SRP families against exact brute-force
+  * ground truth on the SAME probe corpora, across the geometry matrix
+  * that decides the production trade:
+  *
+  *   - `8xA`   adaptive bits, 8 tables, single-probe (the lshTopK family)
+  *   - `8xAm`  adaptive bits, 8 tables, multi-probe Hamming-1 (the
+  *             multiProbeTopK family — budget grows with bits by design)
+  *   - `16xA` / `32xA` adaptive bits, grown table budget — the
+  *             "grow NumTables with n" alternative the round-14 scaladoc
+  *             documents for deployments needing the single-probe
+  *             families recall-flat past high bit widths (extension
+  *             planes from the disjoint third catalog block)
+  *   - `8x16`  frozen 16 bits — recall the frozen-geometry
+  *             counterfactual would keep, bought at the 1.81× candidate
+  *             volume PROBE_sf1200 measured
+  *
+  * Recall here is candidate recall, which for these families EQUALS
+  * returned-top-k recall: the production re-rank is exact cosine with
+  * the ground truth's own tie order (see Similarity.recallProbeAt).
+  *
+  * Usage: tools/run_main.sh graft.ProbeRecall <sfDir> [nQueries] [geom ...]
+  *   geom = "<tables>x<bits>" with bits "A" for adaptive, suffix "m" for
+  *   multi-probe; default matrix: 8xA 8xAm 16xA
+  * Prints one JSON line per geometry. Artifacts land in the per-JVM temp
+  * root, so every geometry times a COLD band build (ground truth builds
+  * once and is shared).
+  */
+object ProbeRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.error("usage: ProbeRecall <sfDir> [nQueries] [geom ...]"))
+    val nQ = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    val geoms = {
+      val g = args.drop(2).toSeq
+      if (g.nonEmpty) g else Seq("8xA", "8xAm", "16xA")
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = Tables.embeddings(spark, sfDir).count()
+    val adaptiveBits = operators.Similarity.bandBits(n)
+
+    val t0 = System.nanoTime()
+    operators.Similarity.probeGroundTruth(spark, sfDir, nQ).count()
+    val gtSec = (System.nanoTime() - t0) / 1e9
+
+    geoms.foreach { g =>
+      val multi = g.endsWith("m")
+      val core = if (multi) g.dropRight(1) else g
+      val Array(tStr, bStr) = core.split("x")
+      val tables = tStr.toInt
+      val bits = if (bStr == "A") adaptiveBits else bStr.toInt
+      val t1 = System.nanoTime()
+      val rows = operators.Similarity
+        .recallProbeAt(spark, sfDir, bits, tables, multi, nQ)
+        .collect()
+      val sec = (System.nanoTime() - t1) / 1e9
+      val k = operators.Similarity.K
+      val recall = rows.map(_.getAs[Long]("hits")).sum.toDouble /
+        (rows.length.toLong * k)
+      val minRecall = rows.map(_.getAs[Double]("recall_at_k"))
+        .minOption.getOrElse(0.0)
+      val cands = rows.map(_.getAs[Long]("n_cand"))
+      val meanCand = if (rows.isEmpty) 0.0 else cands.sum.toDouble / rows.length
+      println(s"""{"probe":"recall","sf_dir":"$sfDir","geom":"$g",""" +
+        s""""n_vectors":$n,"bits":$bits,"tables":$tables,""" +
+        s""""multiprobe":$multi,"n_queries":${rows.length},"k":$k,""" +
+        s""""recall_at_k":$recall,"min_recall":$minRecall,""" +
+        s""""mean_cand_per_query":$meanCand,""" +
+        s""""max_cand_per_query":${cands.maxOption.getOrElse(0L)},""" +
+        s""""gt_sec":$gtSec,"probe_sec":$sec}""")
+    }
+    spark.stop()
+  }
+}

@@ -246,14 +246,26 @@ object Similarity {
     b
   }
 
+  /** First plane index of the grown-table block: the original round-9
+    * block ends at [[NumTables]]·16 = 128, the round-14 bit-extension
+    * block at 128 + [[NumTables]]·([[MaxBits]]−16) = 192; tables ≥
+    * [[NumTables]] draw [[MaxBits]] planes each from 192 up. */
+  private[graft] val ExtTableBase: Int =
+    NumTables * PlaneStride + NumTables * (MaxBits - PlaneStride)
+
   /** Plane index for table t, bit j — the identity that keeps the
     * catalog append-only: j < [[PlaneStride]] is the original round-9
     * block (t·16 + j, indices 0..127, byte-identical at every scale ever
     * swept); j ≥ 16 addresses the round-14 extension block starting at
     * [[NumTables]]·16 = 128, 8 planes per table, so no extension plane
-    * collides with any original one. */
+    * collides with any original one. Tables ≥ [[NumTables]] (the
+    * grown-table recall alternative, probed by [[recallProbeAt]]) draw
+    * from a third block starting at [[ExtTableBase]] — again disjoint,
+    * so growing the table budget only ADDS planes and every artifact
+    * built with ≤ 8 tables is byte-identical under any budget. */
   private[graft] def planeIdx(t: Int, j: Int): Int =
-    if (j < PlaneStride) t * PlaneStride + j
+    if (t >= NumTables) ExtTableBase + (t - NumTables) * MaxBits + j
+    else if (j < PlaneStride) t * PlaneStride + j
     else NumTables * PlaneStride + t * (MaxBits - PlaneStride) + (j - PlaneStride)
 
   private def bandBitsSqlCase(c: String): String =
@@ -365,6 +377,85 @@ object Similarity {
         sum(col("occ") * col("occ")).as("sum_sq"))
       .withColumn("bits", lit(bits))
       .withColumn("occ_bound", lit(256L << bits))
+
+  /** Exact top-[[K]] ground truth for the first `nQ` vectors — the
+    * recall probe's baseline, same plan shape as [[bruteForceTopK]] but
+    * with a probe-sized query batch (the production query, pinned to
+    * [[NumQueries]], stays oracle-comparable; the probe needs enough
+    * queries for a recall number with a usable confidence interval).
+    * Window partitions by query_id, so parallelism is nQ tasks of one
+    * n-row sort each — at 24M vectors × 64 queries that is a bounded
+    * 1.5G-row shuffle, the probe's one deliberate heavy pass. */
+  private[graft] def probeGroundTruth(spark: SparkSession, dir: String,
+      nQ: Int): DataFrame =
+    Artifacts.table(spark, dir, s"probe_bf_topk_q$nQ") {
+      val e = corpus(spark, dir)
+      val q = e.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosineFast(col("qv"), col("v")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("cos_sim"))
+    }
+
+  /** EMPIRICAL recall@[[K]] of an SRP geometry against exact ground
+    * truth — the measurement the round-14 verdict named as the one open
+    * ANN question (occupancy/candidate volume was probed to 24M vectors;
+    * recall at 16-17 bits was analyzed, never measured). One row per
+    * query: (query_id, hits, n_cand, recall_at_k).
+    *
+    * Key identity making this exact AND cheap: the production families
+    * re-rank candidates by EXACT cosine with the same (cos DESC,
+    * neighbor_id) tie order as the ground truth, so a true neighbor is in
+    * the returned top-k iff it is in the CANDIDATE set (any candidate
+    * out-ranking it would out-rank it in the exact truth too). Recall is
+    * therefore |candidates ∩ exact top-k| / k — a semi-join against the
+    * band artifact, no re-rank pass needed. `n_cand` is the per-query
+    * candidate count, the query-side cost the recall is bought with.
+    *
+    * `multiprobe` mirrors [[multiProbeTopK]]'s budget: each query also
+    * probes the `bits` Hamming-1 neighbors of its key in every table. */
+  private[graft] def recallProbeAt(spark: SparkSession, dir: String,
+      bits: Int, tables: Int, multiprobe: Boolean, nQ: Int): DataFrame = {
+    require(bits >= 1 && bits <= MaxBits,
+      s"recallProbeAt: bits=$bits outside the plane catalog [1, $MaxBits]")
+    val gt = probeGroundTruth(spark, dir, nQ)
+    val bands = srpBands(spark, dir, s"probe_bands_${tables}x$bits",
+      tables, bits)
+    val qKeys = bands.filter(col("vec_id") < nQ)
+    val qb =
+      if (!multiprobe)
+        qKeys.select(col("vec_id").as("query_id"), col("tbl").as("qtbl"),
+          col("bkey").as("qkey"))
+      else
+        qKeys.select(col("vec_id").as("query_id"), col("tbl").as("qtbl"),
+          explode(array((col("bkey") +: (0 until bits).map(i =>
+            expr(s"bkey ^ ${1L << i}").cast("long"))): _*)).as("qkey"))
+    val cand = bands.join(broadcast(qb),
+      col("tbl") === col("qtbl") && col("bkey") === col("qkey") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+      .persist()
+    val perQ = cand.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val hits = gt.select(col("query_id"), col("neighbor_id"))
+      .join(cand, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    val out = gt.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        (coalesce(col("h"), lit(0L)).cast("double") / K).as("recall_at_k"))
+    out
+  }
 
   /** Multi-table SRP-LSH + exact cosine re-rank: candidates are vectors
     * sharing any of [[NumTables]] band keys with the query, deduplicated,
