@@ -80,13 +80,23 @@ object ProbeRecall {
         .minOption.getOrElse(0.0)
       val cands = rows.map(_.getAs[Long]("n_cand"))
       val meanCand = if (rows.isEmpty) 0.0 else cands.sum.toDouble / rows.length
+      // recall vs true-neighbor cosine: the θ-decay curve (reuses the
+      // band artifact this geometry just built — no extra band pass)
+      val theta = operators.Similarity
+        .recallThetaProfile(spark, sfDir, bits, tables, multi, nQ)
+        .collect()
+        .map(r => s"""{"cos":${r.getAs[Double]("cos_bucket")},""" +
+          s""""n":${r.getAs[Long]("n_truth")},""" +
+          s""""recall":${r.getAs[Double]("recall")}}""")
+        .mkString("[", ",", "]")
       println(s"""{"probe":"recall","sf_dir":"$sfDir","geom":"$g",""" +
         s""""n_vectors":$n,"bits":$bits,"tables":$tables,""" +
         s""""multiprobe":$multi,"n_queries":${rows.length},"k":$k,""" +
         s""""recall_at_k":$recall,"min_recall":$minRecall,""" +
         s""""mean_cand_per_query":$meanCand,""" +
         s""""max_cand_per_query":${cands.maxOption.getOrElse(0L)},""" +
-        s""""gt_sec":$gtSec,"probe_sec":$sec}""")
+        s""""gt_sec":$gtSec,"probe_sec":$sec,""" +
+        s""""recall_by_cos":$theta}""")
     }
     spark.stop()
   }

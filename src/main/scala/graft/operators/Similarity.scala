@@ -457,6 +457,47 @@ object Similarity {
     out
   }
 
+  /** Recall bucketed by the TRUE neighbor's cosine — the measurement that
+    * decides WHICH workloads an SRP geometry serves at scale. Per-plane
+    * agreement is p = 1−θ/π, so per-table recall p^bits collapses for
+    * wide-θ (generic-kNN) neighbors as bits grow while staying usable for
+    * tight-θ (near-duplicate) ones; the round-14 scaladoc ANALYZED this,
+    * this profile MEASURES it: each exact top-k pair lands in a 0.05-wide
+    * cosine bucket, flagged hit/miss by candidate membership (the same
+    * identity as [[recallProbeAt]]: exact re-rank makes candidate recall
+    * equal returned recall). Output: (cos_bucket, n_truth, hits, recall)
+    * — the empirical recall-vs-θ curve at this geometry. */
+  private[graft] def recallThetaProfile(spark: SparkSession, dir: String,
+      bits: Int, tables: Int, multiprobe: Boolean, nQ: Int): DataFrame = {
+    val gt = probeGroundTruth(spark, dir, nQ)
+    val bands = srpBands(spark, dir, s"probe_bands_${tables}x$bits",
+      tables, bits)
+    val qKeys = bands.filter(col("vec_id") < nQ)
+    val qb =
+      if (!multiprobe)
+        qKeys.select(col("vec_id").as("query_id"), col("tbl").as("qtbl"),
+          col("bkey").as("qkey"))
+      else
+        qKeys.select(col("vec_id").as("query_id"), col("tbl").as("qtbl"),
+          explode(array((col("bkey") +: (0 until bits).map(i =>
+            expr(s"bkey ^ ${1L << i}").cast("long"))): _*)).as("qkey"))
+    val cand = bands.join(broadcast(qb),
+      col("tbl") === col("qtbl") && col("bkey") === col("qkey") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    gt.join(cand.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .select(
+        (floor(col("cos_sim") * 20) / 20.0).as("cos_bucket"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("cos_bucket"))
+      .agg(count(lit(1)).as("n_truth"), sum(col("hit")).as("hits"))
+      .select(col("cos_bucket"), col("n_truth"), col("hits"),
+        (col("hits").cast("double") / col("n_truth")).as("recall"))
+      .orderBy(col("cos_bucket"))
+  }
+
   /** Multi-table SRP-LSH + exact cosine re-rank: candidates are vectors
     * sharing any of [[NumTables]] band keys with the query, deduplicated,
     * then re-ranked with exact cosine. Approximate — recall vs

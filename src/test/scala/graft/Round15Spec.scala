@@ -74,4 +74,22 @@ class Round15Spec extends AnyFunSuite {
       assert(grown(q)._2 >= c, s"query $q: grown tables lost candidates")
     }
   }
+
+  test("recallThetaProfile partitions the exact truth: bucket counts sum " +
+    "to nQ*K and bucket hits sum to the per-query hit total") {
+    val dir = TestSpark.Sf0001
+    val bits = Similarity.bandBits(Tables.embeddings(spark, dir).count())
+    val prof = Similarity.recallThetaProfile(spark, dir, bits, 8,
+      multiprobe = false, nQ = 16).collect()
+    val perQ = Similarity.recallProbeAt(spark, dir, bits, 8,
+      multiprobe = false, nQ = 16).collect()
+    assert(prof.map(_.getAs[Long]("n_truth")).sum === 16L * Similarity.K)
+    assert(prof.map(_.getAs[Long]("hits")).sum ===
+      perQ.map(_.getAs[Long]("hits")).sum)
+    prof.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_truth"))
+    }
+  }
 }
