@@ -109,7 +109,12 @@ def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     return df.reset_index(drop=True)
 
-for name in sorted(oracle):
+progress = os.environ.get("GRAFT_COMPARE_PROGRESS", "") == "1"
+for qi, name in enumerate(sorted(oracle), 1):
+    if progress:
+        # one flushed line per query so a killed long sweep (OOM at sf6)
+        # shows exactly where it died and how far it got
+        print(f"[{qi}/{len(oracle)}] {name}", flush=True)
     sql = oracle[name]
     dump = f"{OUT}/{name}"
     if not glob.glob(f"{dump}/*.parquet"):
