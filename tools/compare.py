@@ -88,6 +88,13 @@ skip = set(filter(None, os.environ.get("GRAFT_COMPARE_SKIP", "").split(",")))
 if skip:
     print(f"SKIP {len(skip)} (oracle-cost-bound): {sorted(skip)}")
     oracle = {k: v for k, v in oracle.items() if k not in skip}
+# comma-separated allowlist for ISOLATED re-runs (a disk-bound query gets
+# the whole volume to itself, the round-14 adjudication protocol); the
+# JSON report then holds just these queries for a documented merge
+only = set(filter(None, os.environ.get("GRAFT_COMPARE_ONLY", "").split(",")))
+if only:
+    print(f"ONLY {len(only)}: {sorted(only)}")
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails, passes, warns = [], [], []
 shapes = {}
 built_stages = {}
