@@ -38,9 +38,13 @@ object ProbeRecall {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.error("usage: ProbeRecall <sfDir> [nQueries] [geom ...]"))
-    val nQ = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    // the second positional arg is nQueries only when numeric — a
+    // geometry there (`ProbeRecall <dir> 8xA`) must not die on toInt
+    val rest = args.drop(1).toSeq
+    val nQArg = rest.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
+    val nQ = nQArg.getOrElse(64)
     val geoms = {
-      val g = args.drop(2).toSeq
+      val g = if (nQArg.isDefined) rest.drop(1) else rest
       if (g.nonEmpty) g else Seq("8xA", "8xAm", "16xA")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -69,8 +73,13 @@ object ProbeRecall {
       val tables = tStr.toInt
       val bits = if (bStr == "A") adaptiveBits else bStr.toInt
       val t1 = System.nanoTime()
+      // one candidate set per geometry, persisted across BOTH
+      // aggregations (per-query recall + θ-profile) and dropped after
+      val cand = operators.Similarity
+        .probeCandidates(spark, sfDir, bits, tables, multi, nQ)
+        .persist()
       val rows = operators.Similarity
-        .recallProbeAt(spark, sfDir, bits, tables, multi, nQ)
+        .recallProbeAt(spark, sfDir, cand, nQ)
         .collect()
       val sec = (System.nanoTime() - t1) / 1e9
       val k = operators.Similarity.K
@@ -81,13 +90,26 @@ object ProbeRecall {
       val cands = rows.map(_.getAs[Long]("n_cand"))
       val meanCand = if (rows.isEmpty) 0.0 else cands.sum.toDouble / rows.length
       // recall vs true-neighbor cosine: the θ-decay curve (reuses the
-      // band artifact this geometry just built — no extra band pass)
+      // persisted candidate set — no second band probe join)
       val theta = operators.Similarity
-        .recallThetaProfile(spark, sfDir, bits, tables, multi, nQ)
+        .recallThetaProfile(spark, sfDir, cand, nQ)
         .collect()
         .map(r => s"""{"cos":${r.getAs[Double]("cos_bucket")},""" +
           s""""n":${r.getAs[Long]("n_truth")},""" +
           s""""recall":${r.getAs[Double]("recall")}}""")
+        .mkString("[", ",", "]")
+      cand.unpersist()
+      // planted-pair recall at the near-duplicate operating point
+      // (round-15 verdict "What's missing" #2): >=128 synthetic pairs
+      // per 0.05 cosine bucket across 0.70-0.95, exact planted cosine
+      val perCell = math.max(1, (128 + nQ - 1) / nQ)
+      val planted = operators.Similarity
+        .plantedThetaRecall(spark, sfDir, bits, tables, multi, nQ, perCell)
+        .collect()
+        .map(r => s"""{"cos":${r.getAs[Double]("cos_target")},""" +
+          s""""n":${r.getAs[Long]("n_pairs")},""" +
+          s""""recall":${r.getAs[Double]("recall")},""" +
+          s""""mean_cos_actual":${r.getAs[Double]("mean_cos_actual")}}""")
         .mkString("[", ",", "]")
       println(s"""{"probe":"recall","sf_dir":"$sfDir","geom":"$g",""" +
         s""""n_vectors":$n,"bits":$bits,"tables":$tables,""" +
@@ -96,7 +118,8 @@ object ProbeRecall {
         s""""mean_cand_per_query":$meanCand,""" +
         s""""max_cand_per_query":${cands.maxOption.getOrElse(0L)},""" +
         s""""gt_sec":$gtSec,"probe_sec":$sec,""" +
-        s""""recall_by_cos":$theta}""")
+        s""""recall_by_cos":$theta,""" +
+        s""""planted_recall_by_cos":$planted}""")
     }
     spark.stop()
   }

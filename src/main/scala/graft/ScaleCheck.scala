@@ -473,8 +473,11 @@ object ScaleCheck {
     val rBits = operators.Similarity.bandBits(nVec)
     val rq = 32
     def recallOf(tables: Int, multi: Boolean): (Double, Double, Long) = {
-      val rows = operators.Similarity
-        .recallProbeAt(spark, dir, rBits, tables, multi, rq).collect()
+      val cand = operators.Similarity
+        .probeCandidates(spark, dir, rBits, tables, multi, rq).persist()
+      val rows =
+        try operators.Similarity.recallProbeAt(spark, dir, cand, rq).collect()
+        finally cand.unpersist()
       val rec = rows.map(_.getAs[Long]("hits")).sum.toDouble /
         (rows.length.toLong * operators.Similarity.K)
       val minR = rows.map(_.getAs[Double]("recall_at_k")).minOption.getOrElse(0.0)

@@ -51,13 +51,70 @@ object StagedOracles {
 
   /** Exact kNN graph (vec_id, neighbor_id, rank, cos_sim) — the subtree
     * every graph-metric oracle (pagerank, triangles, k-core, neighbor
-    * Jaccard, assortativity, modularity) embeds and then re-references. */
-  private val stKnng = "stage_knng" -> Similarity.knnGraphSql
+    * Jaccard, assortativity, modularity) embeds and then re-references.
+    *
+    * Since round 16 the graph is itself built in FOUR sequential
+    * sub-stages rather than one monolithic CTAS: at sf6 the monolithic
+    * `stage_knng` (verbatim [[Similarity.knnGraphSql]]) held the band
+    * self-join's DISTINCT, two 64-DOUBLE-list hash joins, and the top-k
+    * window sort in ONE out-of-core plan and died after >62 GB of temp
+    * on a 74 GB volume (round-15 adjudication, SCALE.md). Each sub-stage
+    * below is the corresponding CTE block of the SAME monolithic text
+    * ([[Similarity.knnGraphHeadSql]]/[[Similarity.knnGraphCandSql]]/
+    * [[Similarity.knnGraphScoredSql]]/[[Similarity.knnGraphTailSql]] —
+    * knnGraphSql is their byte-identical concatenation, Round16Spec),
+    * with upstream CTEs redirected to the previous stage table; the
+    * inter-stage relations are id/score tuples (16-24 B/row columnar),
+    * never the vector lists, and each phase's temp is freed before the
+    * next starts. */
+  private val stKnngBands = "stage_knng_bands" ->
+    (Similarity.knnGraphHeadSql + "\nSELECT vec_id, tbl, bkey FROM bands")
+
+  private val stKnngCand = "stage_knng_cand" ->
+    ("WITH bands AS (SELECT vec_id, tbl, bkey FROM stage_knng_bands),\n" +
+      Similarity.knnGraphCandSql + "\nSELECT vec_id, neighbor_id FROM cand")
+
+  private val stKnngScored = "stage_knng_scored" ->
+    ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+      "cand AS (SELECT vec_id, neighbor_id FROM stage_knng_cand),\n" +
+      Similarity.knnGraphScoredSql +
+      "\nSELECT vec_id, neighbor_id, cos_sim FROM scored")
+
+  private val stKnng = "stage_knng" ->
+    ("WITH scored AS (SELECT vec_id, neighbor_id, cos_sim FROM stage_knng_scored),\n" +
+      Similarity.knnGraphTailSql)
+
+  /** The full kNN-graph stage pipeline every graph-metric consumer runs. */
+  private val knngStages: Seq[(String, String)] =
+    Seq(stKnngBands, stKnngCand, stKnngScored, stKnng)
 
   /** Thresholded cosine near-dup pairs (vec_a, vec_b, cos_sim) — embedded
     * by the semantic-closure and modality-agreement oracles; the closure
-    * reads it twice (both UNION directions of `sym`). */
-  private val stCos = "stage_cospairs" -> Similarity.embeddingCosinePairsSql
+    * reads it twice (both UNION directions of `sym`).
+    *
+    * Built in THREE sequential sub-stages since round 16 (the same
+    * surgery as the kNN stage above, for the same reason: the monolithic
+    * CTAS held the band self-join's DISTINCT and two vector-list joins
+    * in one out-of-core plan and was the last sf6 disk-bound cell).
+    * Each sub-stage is the corresponding block of the SAME monolithic
+    * text ([[Similarity.cosinePairsHeadSql]]/[[Similarity.cosinePairsCandSql]]/
+    * [[Similarity.cosinePairsTailSql]] — embeddingCosinePairsSql is
+    * their byte-identical concatenation, StagedOracleSpec). */
+  private val stCospBands = "stage_cosp_bands" ->
+    (Similarity.cosinePairsHeadSql + "\nSELECT vec_id, tbl, bkey FROM bands")
+
+  private val stCospCand = "stage_cosp_cand" ->
+    ("WITH bands AS (SELECT vec_id, tbl, bkey FROM stage_cosp_bands),\n" +
+      Similarity.cosinePairsCandSql + "\nSELECT vec_a, vec_b FROM cand")
+
+  private val stCos = "stage_cospairs" ->
+    ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+      "cand AS (SELECT vec_a, vec_b FROM stage_cosp_cand)\n" +
+      Similarity.cosinePairsTailSql)
+
+  /** The full cosine-pair stage pipeline every consumer runs. */
+  private val cosPairsStages: Seq[(String, String)] =
+    Seq(stCospBands, stCospCand, stCos)
 
   /** Semantic-closure stage pipeline (ends in table `stage_sem` with the
     * same (vec_id, cluster_root, cluster_size) schema every downstream
@@ -154,7 +211,7 @@ object StagedOracles {
   /** Every stage `stage_sem` needs, in dependency order ([[stCos]]
     * first: the edges are the SAME staged pair table round 12 used). */
   private val semStages: Seq[(String, String)] =
-    Seq(stCos, stSemSym, stSemLbl0) ++
+    cosPairsStages ++ Seq(stSemSym, stSemLbl0) ++
       (1 to SemRounds).map(semRound) ++ Seq(stSemFix, stSem)
 
   /** Verified MinHash-LSH near-dup pairs (doc_a, doc_b, est_jaccard,
@@ -268,13 +325,35 @@ object StagedOracles {
   private val stLex = "stage_lexpairs" ->
     swap(Dedup.ngramJaccardSql, shfPrefix, shfRead)
 
+  /** The three b-bit-audit relations the bbit metrics tail re-references
+    * (bcand 5x, fcand 5x, truth 10x — DuckDB inlines plain CTEs per
+    * reference, and bcand alone is ~56M pairs at sf6, so the monolithic
+    * final held ten concurrent self-join/DISTINCT spill states and died
+    * of disk in the round-15 sf6 sweep). Each is its CTE block of the
+    * monolithic text ([[Dedup.bbitSigCtesSql]] etc. — bbitMinhashSql is
+    * their byte-identical concatenation, Round16Spec), with the shingle
+    * index and pair-intersection inputs redirected to their stages; the
+    * staged final's twelve scalar aggregates then read tables. */
+  private val stBbitBcand = "stage_bbit_bcand" ->
+    (s"$shShfRead\n${Dedup.bbitSigCtesSql},\n${Dedup.bbitBcandCtesSql}\n" +
+      "SELECT doc_a, doc_b FROM bcand")
+
+  private val stBbitFcand = "stage_bbit_fcand" ->
+    (s"$shShfRead\n${Dedup.bbitSigCtesSql},\n${Dedup.bbitFcandCtesSql}\n" +
+      "SELECT doc_a, doc_b FROM fcand")
+
+  private val stBbitTruth = "stage_bbit_truth" ->
+    (s"$shShfRead\n${Dedup.bbitSigCtesSql},\n" +
+      swap(Dedup.bbitTruthCtesSql, interDef, interRead) +
+      "\nSELECT doc_a, doc_b FROM truth")
+
   // ---- staged decompositions, keyed like [[SparkEntry.oracleSql]] ----
 
   /** sim_modularity = und(knnGraph) × assign(semanticClusters) × two
     * community-bounded aggregates; both heavy subtrees are embedded as
     * direct `($sql)` parenthesized subqueries. */
   private[graft] val modularityStaged: StagedOracle = StagedOracle(
-    stages = Seq(stKnng) ++ semStages,
+    stages = knngStages ++ semStages,
     finalSql = swap(
       swap(Similarity.modularitySql, s"(${Similarity.knnGraphSql})", "stage_knng"),
       s"(${Similarity.semanticClustersSql})", "stage_sem"))
@@ -309,33 +388,51 @@ object StagedOracles {
   def all: Map[String, StagedOracle] = Map(
     "sim_modularity" -> modularityStaged,
     "dedup_cascade" -> cascadeStaged,
-    "sim_knn_graph" -> StagedOracle(Seq(stKnng),
+    "sim_knn_graph" -> StagedOracle(knngStages,
       "SELECT vec_id, neighbor_id, rank, cos_sim FROM stage_knng " +
         "ORDER BY vec_id, rank"),
+    "sim_knn_classifier" -> StagedOracle(knngStages,
+      swap(Similarity.knnClassifierSql,
+        s"(\n${Similarity.knnGraphSql}\n)", "stage_knng")),
     "sim_semantic_clusters" -> StagedOracle(semStages,
       "SELECT vec_id, cluster_root, cluster_size FROM stage_sem " +
         "ORDER BY vec_id"),
-    "sim_pagerank" -> StagedOracle(Seq(stKnng),
+    "sim_pagerank" -> StagedOracle(knngStages,
       swap(Similarity.pagerankSql, s"(${Similarity.knnGraphSql})", "stage_knng")),
-    "sim_triangles" -> StagedOracle(Seq(stKnng),
+    "sim_triangles" -> StagedOracle(knngStages,
       swap(Similarity.trianglesSql, s"(${Similarity.knnGraphSql})", "stage_knng")),
-    "sim_kcore" -> StagedOracle(Seq(stKnng),
+    "sim_kcore" -> StagedOracle(knngStages,
       swap(Similarity.kcoreSql, s"(\n${Similarity.knnGraphSql}\n)", "stage_knng")),
-    "sim_neighbor_jaccard" -> StagedOracle(Seq(stKnng),
+    "sim_neighbor_jaccard" -> StagedOracle(knngStages,
       swap(Similarity.neighborJaccardSql,
         s"(\n${Similarity.knnGraphSql}\n)", "stage_knng")),
-    "sim_assortativity" -> StagedOracle(Seq(stKnng),
+    "sim_assortativity" -> StagedOracle(knngStages,
       swap(Similarity.assortativitySql,
         s"(\n${Similarity.knnGraphSql}\n)", "stage_knng")),
+    "sample_leakage_safe_split" -> StagedOracle(compStages,
+      swap(graft.operators.Sampling.leakageSafeSplitSql,
+        s"(\n${Dedup.componentsSql}\n)", "stage_comp")),
     "dedup_weighted_jaccard" -> StagedOracle(Seq(stSh, stShf),
       swap(Dedup.weightedJaccardSql, shfPrefix, shfRead)),
     "dedup_threshold_sweep" -> StagedOracle(Seq(stSh, stShf, stInter),
       swap(swap(Dedup.thresholdSweepSql, shfPrefix, shfRead),
         interDef, interRead)),
-    "dedup_bbit_minhash" -> StagedOracle(Seq(stSh, stShf, stInter),
-      swap(swap(Dedup.bbitMinhashSql, shfPrefix, shShfRead),
-        interDef, interRead)),
-    "dedup_modality_agreement" -> StagedOracle(Seq(stSh, stShf, stLex, stCos),
+    // the truth block EMBEDS interDef, so the final swaps the whole
+    // blocks (bb+bcand, fbands+fcand, sz+inter+truth) for stage reads —
+    // the remaining sig CTEs stay defined but unreferenced (DuckDB never
+    // evaluates an unreferenced plain CTE)
+    "dedup_bbit_minhash" -> StagedOracle(
+      Seq(stSh, stShf, stInter, stBbitBcand, stBbitFcand, stBbitTruth),
+      swap(swap(swap(swap(
+        Dedup.bbitMinhashSql, shfPrefix, shShfRead),
+        Dedup.bbitBcandCtesSql,
+        "bcand AS (SELECT doc_a, doc_b FROM stage_bbit_bcand)"),
+        Dedup.bbitFcandCtesSql,
+        "fcand AS (SELECT doc_a, doc_b FROM stage_bbit_fcand)"),
+        Dedup.bbitTruthCtesSql,
+        "truth AS (SELECT doc_a, doc_b FROM stage_bbit_truth)")),
+    "dedup_modality_agreement" -> StagedOracle(
+      Seq(stSh, stShf, stLex) ++ cosPairsStages,
       swap(
         swap(Dedup.modalityAgreementSql,
           s"(\n${Dedup.ngramJaccardSql}\n)", "stage_lexpairs"),

@@ -593,17 +593,51 @@ object Dedup {
     metrics("bbit2", bcand).unionByName(metrics("full", fcand))
   }
 
-  val bbitMinhashSql: String = {
+  // The CTE blocks of [[bbitMinhashSql]], exposed individually so
+  // StagedOracles can materialize each heavy candidate relation as its
+  // own sequential DuckDB stage at sf>=6: the metrics tail references
+  // `bcand`/`fcand` 5x each and `truth` 10x, DuckDB inlines plain CTEs
+  // per reference, and at sf6 `bcand` alone is ~56M pairs (the 2-bit
+  // bands collide by design — that loss is the thing measured), so the
+  // ONE monolithic plan held ten concurrent self-join+DISTINCT spill
+  // states and died of disk (round-15 sweep, >48 GB observed in the
+  // round-16 bisect). bbitMinhashSql itself is the byte-identical
+  // concatenation of these blocks (Round16Spec pins the assembly).
+
+  /** shb/sigc/sk/sig: the sampled [[NumPerms]]-perm signature pipeline. */
+  private[graft] val bbitSigCtesSql: String = {
     val minCols = (0 until NumPerms)
       .map(i => s"MIN((${permA(i)} * base + ${permB(i)}) % $MersenneP) AS h$i")
       .mkString(",\n       ")
     val sigList = (0 until NumPerms).map(i => s"h$i").mkString("[", ", ", "]")
+    s"""shb AS (SELECT doc_id, h % $MersenneP AS base FROM sh),
+       |sigc AS (SELECT doc_id,
+       |       $minCols
+       |       FROM shb GROUP BY doc_id),
+       |sk AS (SELECT (COUNT(*) + ${BbitSampleTarget - 1}) // $BbitSampleTarget
+       |         AS k FROM documents),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM sigc CROSS JOIN sk
+       |        WHERE ${hash60Sql("'bbit:' || CAST(doc_id AS VARCHAR)")} % k = 0)""".stripMargin
+  }
+
+  /** bb/bcand: the b-bit ([[BbitBits]]-bit) banded candidate self-join. */
+  private[graft] val bbitBcandCtesSql: String = {
     val rowsPerBand = NumPerms / NumBands
-    val nPacks = (rowsPerBand + 1) / 2
     val bmask1 = 1L << BbitBits
     val bkeyExpr = (0 until rowsPerBand).map(j =>
       s"(sig[b*$rowsPerBand + ${j + 1}] % $bmask1) * ${1L << (BbitBits * j)}")
       .mkString(" + ")
+    s"""bb AS (SELECT doc_id, b, $bkeyExpr AS bkey
+       |       FROM sig, UNNEST(range(0, $NumBands)) AS u(b)),
+       |bcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bb x JOIN bb y
+       |            ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** fbands/fcand: the full-width banded candidate self-join. */
+  private[graft] val bbitFcandCtesSql: String = {
+    val rowsPerBand = NumPerms / NumBands
+    val nPacks = (rowsPerBand + 1) / 2
     val packCols = (0 until nPacks).map { i =>
       val v1 = s"sig[b*$rowsPerBand + ${2 * i + 1}]"
       val v2 = if (2 * i + 1 < rowsPerBand) s"sig[b*$rowsPerBand + ${2 * i + 2}]"
@@ -611,6 +645,31 @@ object Dedup {
       s"$v1 * $MersenneP + $v2 AS k$i"
     }.mkString(",\n                  ")
     val keyEq = (0 until nPacks).map(i => s"x.k$i = y.k$i").mkString(" AND ")
+    s"""fbands AS (SELECT doc_id, b,
+       |                  $packCols
+       |           FROM sig, UNNEST(range(0, $NumBands)) AS u(b)),
+       |fcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM fbands x JOIN fbands y
+       |            ON x.b = y.b AND $keyEq AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** sz/inter/truth: exact-Jaccard ground truth over the audit sample. */
+  private[graft] val bbitTruthCtesSql: String =
+    s"""sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |          FROM shf a JOIN shf b
+       |            ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |truth AS (SELECT doc_a, doc_b FROM inter
+       |          JOIN sz sa ON doc_a = sa.doc_id
+       |          JOIN sz sb ON doc_b = sb.doc_id
+       |          CROSS JOIN sk
+       |          WHERE CAST(n_common AS DOUBLE)
+       |                  / (sa.n + sb.n - n_common) >= $JaccardThreshold
+       |            AND ${hash60Sql("'bbit:' || CAST(doc_a AS VARCHAR)")} % k = 0
+       |            AND ${hash60Sql("'bbit:' || CAST(doc_b AS VARCHAR)")} % k = 0)""".stripMargin
+
+  val bbitMinhashSql: String = {
     def metricsSql(method: String, cand: String) =
       s"""SELECT '$method' AS method,
          |       (SELECT COUNT(*) FROM $cand) AS n_candidates,
@@ -627,38 +686,10 @@ object Dedup {
          |                   // (SELECT COUNT(*) FROM $cand) END AS precision_bp""".stripMargin
     s"""WITH $shingleIndexSql,
        |$cappedShingleIndexSql,
-       |shb AS (SELECT doc_id, h % $MersenneP AS base FROM sh),
-       |sigc AS (SELECT doc_id,
-       |       $minCols
-       |       FROM shb GROUP BY doc_id),
-       |sk AS (SELECT (COUNT(*) + ${BbitSampleTarget - 1}) // $BbitSampleTarget
-       |         AS k FROM documents),
-       |sig AS (SELECT doc_id, $sigList AS sig FROM sigc CROSS JOIN sk
-       |        WHERE ${hash60Sql("'bbit:' || CAST(doc_id AS VARCHAR)")} % k = 0),
-       |bb AS (SELECT doc_id, b, $bkeyExpr AS bkey
-       |       FROM sig, UNNEST(range(0, $NumBands)) AS u(b)),
-       |bcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |          FROM bb x JOIN bb y
-       |            ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |fbands AS (SELECT doc_id, b,
-       |                  $packCols
-       |           FROM sig, UNNEST(range(0, $NumBands)) AS u(b)),
-       |fcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |          FROM fbands x JOIN fbands y
-       |            ON x.b = y.b AND $keyEq AND x.doc_id < y.doc_id),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-       |          FROM shf a JOIN shf b
-       |            ON a.h = b.h AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2),
-       |truth AS (SELECT doc_a, doc_b FROM inter
-       |          JOIN sz sa ON doc_a = sa.doc_id
-       |          JOIN sz sb ON doc_b = sb.doc_id
-       |          CROSS JOIN sk
-       |          WHERE CAST(n_common AS DOUBLE)
-       |                  / (sa.n + sb.n - n_common) >= $JaccardThreshold
-       |            AND ${hash60Sql("'bbit:' || CAST(doc_a AS VARCHAR)")} % k = 0
-       |            AND ${hash60Sql("'bbit:' || CAST(doc_b AS VARCHAR)")} % k = 0)
+       |$bbitSigCtesSql,
+       |$bbitBcandCtesSql,
+       |$bbitFcandCtesSql,
+       |$bbitTruthCtesSql
        |${metricsSql("bbit2", "bcand")}
        |UNION ALL
        |${metricsSql("full", "fcand")}

@@ -51,12 +51,16 @@ class Round15Spec extends AnyFunSuite {
       rows.map(r => r.getAs[Long]("query_id") ->
         (r.getAs[Long]("hits"), r.getAs[Long]("n_cand"),
           r.getAs[Double]("recall_at_k"))).toMap
-    val single = byQ(Similarity.recallProbeAt(spark, dir, bits, 8,
-      multiprobe = false, nQ = 16).collect().toSeq)
-    val multi = byQ(Similarity.recallProbeAt(spark, dir, bits, 8,
-      multiprobe = true, nQ = 16).collect().toSeq)
-    val grown = byQ(Similarity.recallProbeAt(spark, dir, bits, 16,
-      multiprobe = false, nQ = 16).collect().toSeq)
+    def probe(tables: Int, multi: Boolean) = {
+      val cand = Similarity.probeCandidates(spark, dir, bits, tables,
+        multi, nQ = 16).persist()
+      try byQ(Similarity.recallProbeAt(spark, dir, cand, nQ = 16)
+        .collect().toSeq)
+      finally cand.unpersist()
+    }
+    val single = probe(8, multi = false)
+    val multi = probe(8, multi = true)
+    val grown = probe(16, multi = false)
     assert(single.keySet === multi.keySet)
     assert(single.keySet === grown.keySet)
     assert(single.nonEmpty)
@@ -79,10 +83,12 @@ class Round15Spec extends AnyFunSuite {
     "to nQ*K and bucket hits sum to the per-query hit total") {
     val dir = TestSpark.Sf0001
     val bits = Similarity.bandBits(Tables.embeddings(spark, dir).count())
-    val prof = Similarity.recallThetaProfile(spark, dir, bits, 8,
-      multiprobe = false, nQ = 16).collect()
-    val perQ = Similarity.recallProbeAt(spark, dir, bits, 8,
-      multiprobe = false, nQ = 16).collect()
+    val cand = Similarity.probeCandidates(spark, dir, bits, 8,
+      multiprobe = false, nQ = 16).persist()
+    val (prof, perQ) =
+      try (Similarity.recallThetaProfile(spark, dir, cand, nQ = 16).collect(),
+        Similarity.recallProbeAt(spark, dir, cand, nQ = 16).collect())
+      finally cand.unpersist()
     assert(prof.map(_.getAs[Long]("n_truth")).sum === 16L * Similarity.K)
     assert(prof.map(_.getAs[Long]("hits")).sum ===
       perQ.map(_.getAs[Long]("hits")).sum)

@@ -19,7 +19,11 @@ class StagedOracleSpec extends AnyFunSuite {
     // round 15: the lexical-closure family — sf3 disk-bound monolithically
     // (the recursive reach relation spilled >57 GB of DuckDB temp)
     "dedup_minhash_lsh", "dedup_lsh_recall", "dedup_components",
-    "dedup_cluster_keep", "dedup_cluster_reps")
+    "dedup_cluster_keep", "dedup_cluster_reps",
+    // round 16: the two sf6 disk-bound holes outside the families above —
+    // the classifier embeds the kNN graph, the split embeds the lexical
+    // closure; both now read the staged relations
+    "sim_knn_classifier", "sample_leakage_safe_split")
 
   test("staged map covers exactly the DuckDB-cost-bound class") {
     assert(StagedOracles.all.keySet === exclusionClass)
@@ -88,9 +92,78 @@ class StagedOracleSpec extends AnyFunSuite {
       .replace("stage_knng", s"(${Similarity.knnGraphSql})")
       .replace("stage_sem", s"(${Similarity.semanticClustersSql})")
     assert(restored === Similarity.modularitySql)
-    assert(so.stages.toMap.apply("stage_knng") === Similarity.knnGraphSql)
-    assert(so.stages.toMap.apply("stage_cospairs") ===
-      Similarity.embeddingCosinePairsSql)
+  }
+
+  test("stage_knng four-stage pipeline: the monolithic kNN-graph oracle " +
+    "is the byte-identical concatenation of the staged blocks") {
+    // round 16: the MONOLITHIC stage_knng CTAS died of disk at sf6
+    // (>62 GB temp — band-self-join DISTINCT, two vector-list joins, and
+    // the top-k window sort concurrently in one out-of-core plan), so the
+    // graph is built in four sequential sub-stages, each the matching CTE
+    // block of the SAME monolithic text with upstream CTEs redirected to
+    // the previous stage table.
+    assert(Similarity.knnGraphSql ===
+      s"${Similarity.knnGraphHeadSql},\n${Similarity.knnGraphCandSql},\n" +
+        s"${Similarity.knnGraphScoredSql},\n${Similarity.knnGraphTailSql}")
+    val byName = StagedOracles.all("sim_knn_graph").stages.toMap
+    assert(byName("stage_knng_bands") ===
+      Similarity.knnGraphHeadSql + "\nSELECT vec_id, tbl, bkey FROM bands")
+    assert(byName("stage_knng_cand") ===
+      "WITH bands AS (SELECT vec_id, tbl, bkey FROM stage_knng_bands),\n" +
+        Similarity.knnGraphCandSql + "\nSELECT vec_id, neighbor_id FROM cand")
+    assert(byName("stage_knng_scored") ===
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+        "cand AS (SELECT vec_id, neighbor_id FROM stage_knng_cand),\n" +
+        Similarity.knnGraphScoredSql +
+        "\nSELECT vec_id, neighbor_id, cos_sim FROM scored")
+    assert(byName("stage_knng") ===
+      "WITH scored AS (SELECT vec_id, neighbor_id, cos_sim FROM stage_knng_scored),\n" +
+        Similarity.knnGraphTailSql)
+    // every kNN-graph consumer shares the identical pipeline bytes
+    for (q <- Seq("sim_pagerank", "sim_triangles", "sim_kcore",
+      "sim_neighbor_jaccard", "sim_assortativity", "sim_modularity",
+      "sim_knn_classifier")) {
+      val other = StagedOracles.all(q).stages.toMap
+      Seq("stage_knng_bands", "stage_knng_cand", "stage_knng_scored",
+        "stage_knng").foreach { t =>
+        assert(other.get(t).contains(byName(t)), s"$q stage $t diverged")
+      }
+    }
+  }
+
+  test("stage_cospairs three-stage pipeline: the monolithic cosine-pairs " +
+    "oracle is the byte-identical concatenation of the staged blocks") {
+    assert(Similarity.embeddingCosinePairsSql ===
+      s"${Similarity.cosinePairsHeadSql},\n${Similarity.cosinePairsCandSql}\n" +
+        Similarity.cosinePairsTailSql)
+    val byName = StagedOracles.all("sim_semantic_clusters").stages.toMap
+    assert(byName("stage_cosp_bands") ===
+      Similarity.cosinePairsHeadSql + "\nSELECT vec_id, tbl, bkey FROM bands")
+    assert(byName("stage_cosp_cand") ===
+      "WITH bands AS (SELECT vec_id, tbl, bkey FROM stage_cosp_bands),\n" +
+        Similarity.cosinePairsCandSql + "\nSELECT vec_a, vec_b FROM cand")
+    assert(byName("stage_cospairs") ===
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+        "cand AS (SELECT vec_a, vec_b FROM stage_cosp_cand)\n" +
+        Similarity.cosinePairsTailSql)
+    // every cosine-pair consumer shares the identical pipeline bytes
+    for (q <- Seq("sim_modularity", "dedup_cascade",
+      "dedup_modality_agreement")) {
+      val other = StagedOracles.all(q).stages.toMap
+      Seq("stage_cosp_bands", "stage_cosp_cand", "stage_cospairs").foreach {
+        t => assert(other.get(t).contains(byName(t)), s"$q stage $t diverged")
+      }
+    }
+  }
+
+  test("classifier and leakage-split staged finals invert back to the " +
+    "monolithic oracles") {
+    assert(StagedOracles.all("sim_knn_classifier").finalSql
+      .replace("stage_knng", s"(\n${Similarity.knnGraphSql}\n)") ===
+      Similarity.knnClassifierSql)
+    assert(StagedOracles.all("sample_leakage_safe_split").finalSql
+      .replace("stage_comp", s"(\n${Dedup.componentsSql}\n)") ===
+      graft.operators.Sampling.leakageSafeSplitSql)
   }
 
   test("stage_sem iterative-closure pipeline: edges from the verbatim " +
@@ -268,8 +341,32 @@ class StagedOracleSpec extends AnyFunSuite {
       Dedup.weightedJaccardSql)
     assert(unswapShf(StagedOracles.all("dedup_threshold_sweep").finalSql) ===
       Dedup.thresholdSweepSql)
-    assert(unswapShf(StagedOracles.all("dedup_bbit_minhash").finalSql) ===
+    // bbit (round 16): the three audit-relation blocks are swapped as
+    // units (the truth block embeds interDef, so the inter swap happens
+    // inside the stage, not the final) — and the monolithic oracle is the
+    // byte-identical concatenation of those blocks
+    assert(Dedup.bbitMinhashSql.contains(
+      s"${Dedup.bbitSigCtesSql},\n${Dedup.bbitBcandCtesSql},\n" +
+        s"${Dedup.bbitFcandCtesSql},\n${Dedup.bbitTruthCtesSql}"))
+    assert(unswapShf(StagedOracles.all("dedup_bbit_minhash").finalSql
+      .replace("bcand AS (SELECT doc_a, doc_b FROM stage_bbit_bcand)",
+        Dedup.bbitBcandCtesSql)
+      .replace("fcand AS (SELECT doc_a, doc_b FROM stage_bbit_fcand)",
+        Dedup.bbitFcandCtesSql)
+      .replace("truth AS (SELECT doc_a, doc_b FROM stage_bbit_truth)",
+        Dedup.bbitTruthCtesSql)) ===
       Dedup.bbitMinhashSql)
+    // the three audit stages read only staged inputs and end in the
+    // block's own relation
+    val bbitStages = StagedOracles.all("dedup_bbit_minhash").stages.toMap
+    assert(bbitStages("stage_bbit_bcand").endsWith(
+      "SELECT doc_a, doc_b FROM bcand"))
+    assert(bbitStages("stage_bbit_fcand").endsWith(
+      "SELECT doc_a, doc_b FROM fcand"))
+    assert(bbitStages("stage_bbit_truth").endsWith(
+      "SELECT doc_a, doc_b FROM truth"))
+    assert(bbitStages("stage_bbit_truth").contains(
+      "inter AS (SELECT doc_a, doc_b, n_common FROM stage_inter)"))
     val ma = StagedOracles.all("dedup_modality_agreement").finalSql
       .replace("stage_lexpairs", s"(\n${Dedup.ngramJaccardSql}\n)")
       .replace("stage_cospairs", s"(\n${Similarity.embeddingCosinePairsSql}\n)")

@@ -254,6 +254,12 @@ if JSON_OUT:
     for name, msg in fails:
         failmap.setdefault(name, msg)
     report = {}
+    # a filtered run must be distinguishable from a full sweep INSIDE the
+    # artifact (round-15 advice): a partial isolated-re-run report could
+    # otherwise later be mistaken for, or merged over, a 220-query sweep
+    if only or skip:
+        report["_meta"] = {"partial": True,
+                           "only": sorted(only), "skip": sorted(skip)}
     for name in sorted(oracle):
         if name in failmap:
             report[name] = {"match": False, "err": failmap[name]}
