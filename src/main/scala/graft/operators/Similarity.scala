@@ -272,10 +272,13 @@ object Similarity {
     (4 until MaxBits).map(b => s"WHEN $c <= ${256L << b} THEN $b")
       .mkString("CASE ", " ", s" ELSE $MaxBits END")
 
-  /** The 8-table × 16-bit plane catalog as SQL VALUES rows; each oracle
-    * filters to its runtime-chosen (tbls, bits) slice. */
-  private lazy val planeValuesSql: String = (for {
-    t <- 0 until NumTables
+  /** The plane catalog as SQL VALUES rows (tables × [[MaxBits]]); each
+    * oracle filters to its runtime-chosen (tbls, bits) slice. Emitted per
+    * table budget: only the pair detector's grown-table schedule can pick
+    * more than [[NumTables]], so the other SRP oracles keep the 8-table
+    * block (the VALUES text is ~29 KB per table). */
+  private def planeValuesSql(tables: Int): String = (for {
+    t <- 0 until tables
     j <- 0 until MaxBits
   } yield {
     val coefs = (0 until 64).map(d => s"${planeCoef(planeIdx(t, j), d)}.0")
@@ -285,12 +288,14 @@ object Similarity {
 
   /** Shared adaptive-geometry CTE block (nn/prm/planes/bands) for every
     * SRP oracle; expects an `e(vec_id, v)` CTE upstream. `tablesExpr` is
-    * a SQL expression over the exact count `c`. */
-  private def bandsCteSql(tablesExpr: String): String =
+    * a SQL expression over the exact count `c`; `maxTables` sizes the
+    * emitted plane catalog (≥ every value tablesExpr can take). */
+  private def bandsCteSql(tablesExpr: String,
+      maxTables: Int = NumTables): String =
     s"""nn AS (SELECT COUNT(*) AS c FROM e),
        |prm AS (SELECT ${bandBitsSqlCase("c")} AS bits, $tablesExpr AS tbls FROM nn),
        |planes(tbl, j, coefs) AS (VALUES
-       |       $planeValuesSql),
+       |       ${planeValuesSql(maxTables)}),
        |bands AS (SELECT vec_id, tbl,
        |                 SUM(CASE WHEN list_dot_product(v, coefs) > 0
        |                          THEN (1 << j) ELSE 0 END) AS bkey
@@ -730,6 +735,29 @@ object Similarity {
   private val PairBits = 4
   private val PairTau = 0.35
 
+  /** Table-budget growth schedule for the PAIR detector — the round-15
+    * verdict's remaining quality-at-scale margin, closed by measurement
+    * in round 16: the planted-pair probe (PROBE_RECALL_sf60/sf600_r16,
+    * ≥128 exact-cosine pairs per 0.05 bucket) put single-probe 8-table
+    * pair recall at cos 0.95 at 0.883 (1.2M vectors, bits=13) — under
+    * the ~0.9 bar the near-duplicate operating point needs — while the
+    * grown 16-table budget (the ExtTableBase catalog block) measured
+    * 0.977. So past [[PairGrow16Rows]] vectors the detector draws 16
+    * tables, past [[PairGrow32Rows]] 32 (the catalog's full injective
+    * budget, Round15Spec). The thresholds are integers mirrored verbatim
+    * in the oracle's CASE (the usual idiom), and every oracle-swept
+    * scale sits below the first one — the sweeps pin the 4/8-table
+    * regimes, the 1.2M/12M planted probes pin the grown ones. */
+  private[graft] val PairGrow16Rows = 1L << 20
+  private[graft] val PairGrow32Rows = 1L << 24
+
+  /** The pair-detector table budget for an n-vector corpus. */
+  private[graft] def pairTablesFor(n: Long): Int =
+    if (n <= (256L << 4)) PairTables
+    else if (n <= PairGrow16Rows) NumTables
+    else if (n <= PairGrow32Rows) 16
+    else 32
+
   /** Embedding-cosine near-dup PAIRS over the whole corpus — the vector
     * face of the dedup tier (MinHash finds lexical near-dups; this finds
     * semantic ones). Candidates are vectors sharing any of [[PairTables]]
@@ -754,7 +782,7 @@ object Similarity {
       val n = e.count()
       val bits = bandBits(n)
       val bands = srpBands(spark, dir, "sim_srp_bands_pair",
-        if (bits == 4) PairTables else NumTables, bits)
+        pairTablesFor(n), bits)
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
@@ -782,7 +810,9 @@ object Similarity {
   /** `WITH e, nn/prm/planes/bands` at the PAIR-detector geometry. */
   private[graft] val cosinePairsHeadSql: String =
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
-      bandsCteSql(s"CASE WHEN c <= ${256L << 4} THEN $PairTables ELSE $NumTables END")
+      bandsCteSql(s"CASE WHEN c <= ${256L << 4} THEN $PairTables " +
+        s"WHEN c <= $PairGrow16Rows THEN $NumTables " +
+        s"WHEN c <= $PairGrow32Rows THEN 16 ELSE 32 END", maxTables = 32)
 
   /** Ordered band-bucket candidate pairs (vec_a < vec_b). */
   private[graft] val cosinePairsCandSql: String =

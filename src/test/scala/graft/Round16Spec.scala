@@ -84,4 +84,28 @@ class Round16Spec extends AnyFunSuite {
         r.getAs[Double]("cos_target")) < 1e-9)
     }
   }
+
+  test("pair-detector grown-table schedule: integer thresholds mirrored " +
+    "verbatim in the oracle CASE, inert at every oracle-swept scale") {
+    // the schedule (measured by the planted probes at 1.2M/12M vectors)
+    assert(Similarity.pairTablesFor(4096L) === 4)
+    assert(Similarity.pairTablesFor(4097L) === 8)
+    assert(Similarity.pairTablesFor(Similarity.PairGrow16Rows) === 8)
+    assert(Similarity.pairTablesFor(Similarity.PairGrow16Rows + 1) === 16)
+    assert(Similarity.pairTablesFor(Similarity.PairGrow32Rows) === 16)
+    assert(Similarity.pairTablesFor(Similarity.PairGrow32Rows + 1) === 32)
+    // oracle mirror: the same integers in the same CASE order
+    assert(Similarity.embeddingCosinePairsSql.contains(
+      s"CASE WHEN c <= 4096 THEN 4 " +
+        s"WHEN c <= ${Similarity.PairGrow16Rows} THEN 8 " +
+        s"WHEN c <= ${Similarity.PairGrow32Rows} THEN 16 ELSE 32 END"))
+    // the grown regimes need the grown plane catalog in the VALUES block
+    assert(Similarity.embeddingCosinePairsSql.contains("(31, 0, "))
+    // every oracle-swept corpus (<= 300k docs at sf6) stays in the 4/8
+    // regimes, so the schedule cannot move a swept result
+    assert(Similarity.PairGrow16Rows > 400000L)
+    // the grown budgets stay inside the injective catalog (Round15Spec
+    // pins planeIdx injectivity over 32 tables)
+    assert(Similarity.pairTablesFor(Long.MaxValue) <= 32)
+  }
 }
