@@ -64,8 +64,12 @@ def connect():
     c.execute(
         f"PRAGMA memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
-        c.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        # a GRAFT_GEN_MULTIFILE corpus stores each table as a DIRECTORY
+        # of part files; DuckDB needs the explicit glob there
+        src = f"{SF}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        c.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
     return c
 
 

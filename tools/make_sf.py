@@ -7,6 +7,8 @@ of the oracle reads the file directly, so the logical types must agree).
 
 Usage: python3 tools/make_sf.py <dir>
 """
+import os
+import shutil
 import sys
 
 import pyarrow as pa
@@ -19,6 +21,12 @@ ts = t.column("ts")
 if not pa.types.is_timestamp(ts.type):
     t = t.set_column(t.schema.get_field_index("ts"), "ts",
                      ts.cast(pa.timestamp("ns")))
+    # a GRAFT_GEN_MULTIFILE generation leaves events.parquet as a
+    # DIRECTORY of part files; the oracle reads the logical type from a
+    # single file, so collapse it (read_table above already merged the
+    # parts; row groups keep Spark-side parallelism)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
     # keep row groups small: one whole-file row group reads back as a
     # single Spark partition (see GenData.writeSf)
     pq.write_table(t, path, row_group_size=131072)
