@@ -349,14 +349,38 @@ object StagedOracles {
 
   // ---- staged decompositions, keyed like [[SparkEntry.oracleSql]] ----
 
+  /** Undirected kNN edge set + the per-node community/degree assignment —
+    * materialized as tables since round 16: as inlined CTEs over stage
+    * reads, DuckDB's join-order estimate in the final's `ein` aggregate
+    * joined the two `assign` sides on the community key FIRST, a |V|²
+    * build (~58 GB temp) on a giant-single-community graph. Real tables
+    * give the optimizer honest stats and the final runs in <1 s. Each
+    * stage is the monolithic CTE block ([[Similarity.modularityUndCteSql]]
+    * etc. — modularitySql is their byte-identical concatenation) with the
+    * embedded subtrees redirected to their stages. */
+  private val stModUnd = "stage_mod_und" ->
+    ("WITH " + swap(Similarity.modularityUndCteSql,
+      s"(${Similarity.knnGraphSql})", "stage_knng") + "\nSELECT a, b FROM und")
+
+  private val stModAssign = "stage_mod_assign" ->
+    ("WITH und AS (SELECT a, b FROM stage_mod_und),\n" +
+      Similarity.modularityDegCteSql + ",\n" +
+      swap(Similarity.modularitySemAssignCtesSql,
+        s"(${Similarity.semanticClustersSql})", "stage_sem") +
+      "\nSELECT vec_id, community, deg FROM assign")
+
   /** sim_modularity = und(knnGraph) × assign(semanticClusters) × two
-    * community-bounded aggregates; both heavy subtrees are embedded as
-    * direct `($sql)` parenthesized subqueries. */
+    * community-bounded aggregates; the und/assign blocks are swapped for
+    * their stage reads (deg stays defined but unreferenced — DuckDB never
+    * evaluates an unreferenced plain CTE). */
   private[graft] val modularityStaged: StagedOracle = StagedOracle(
-    stages = knngStages ++ semStages,
+    stages = knngStages ++ semStages ++ Seq(stModUnd, stModAssign),
     finalSql = swap(
-      swap(Similarity.modularitySql, s"(${Similarity.knnGraphSql})", "stage_knng"),
-      s"(${Similarity.semanticClustersSql})", "stage_sem"))
+      swap(Similarity.modularitySql,
+        Similarity.modularityUndCteSql,
+        "und AS (SELECT a, b FROM stage_mod_und)"),
+      Similarity.modularitySemAssignCtesSql,
+      "assign AS (SELECT vec_id, community, deg FROM stage_mod_assign)"))
 
   /** dedup_cascade = exact-hash stage + component closure + semantic
     * closure. The semantic subtree is a `(\n$sql\n)` subquery; the

@@ -1982,38 +1982,59 @@ object Similarity {
           .as("modularity"))
   }
 
-  val modularitySql: String =
-    s"""WITH und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+  // The CTE blocks of [[modularitySql]], exposed for StagedOracles (the
+  // round-16 lesson: the staged FINAL itself was the last sf3/sf6 disk
+  // bomb — with `und`/`assign` as inlined CTEs over stage reads, DuckDB's
+  // join-order estimate put `ein`'s two `assign` sides together on the
+  // community key FIRST, and on a giant-single-community graph that is a
+  // |V|² build (~3.6e9 rows, ~58 GB temp at sf3 — it had always spilled
+  // that much and simply fit round 15's freer disk). Materializing the
+  // two relations gives the optimizer honest table stats and the final
+  // runs in <1 s with zero temp; modularitySql is the byte-identical
+  // concatenation (StagedOracleSpec).
+
+  private[graft] val modularityUndCteSql: String =
+    s"""und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
        |                    greatest(vec_id, neighbor_id) AS b
-       |             FROM ($knnGraphSql)),
-       |deg AS (SELECT vec_id, COUNT(*) AS deg FROM (
-       |          SELECT a AS vec_id FROM und
-       |          UNION ALL SELECT b FROM und)
-       |        GROUP BY vec_id),
-       |sem AS (SELECT vec_id, cluster_root FROM ($semanticClustersSql)),
+       |             FROM ($knnGraphSql))""".stripMargin
+
+  private[graft] val modularityDegCteSql: String =
+    """deg AS (SELECT vec_id, COUNT(*) AS deg FROM (
+      |          SELECT a AS vec_id FROM und
+      |          UNION ALL SELECT b FROM und)
+      |        GROUP BY vec_id)""".stripMargin
+
+  private[graft] val modularitySemAssignCtesSql: String =
+    s"""sem AS (SELECT vec_id, cluster_root FROM ($semanticClustersSql)),
        |assign AS (SELECT deg.vec_id,
        |                  COALESCE(cluster_root, deg.vec_id) AS community,
        |                  deg
-       |           FROM deg LEFT JOIN sem USING (vec_id)),
-       |pc AS (SELECT community, COUNT(*) AS n_nodes,
-       |              CAST(SUM(deg) AS BIGINT) AS deg_sum
-       |       FROM assign GROUP BY community),
-       |ein AS (SELECT ca.community, COUNT(*) AS e_in
-       |        FROM und
-       |        JOIN assign ca ON und.a = ca.vec_id
-       |        JOIN assign cb ON und.b = cb.vec_id
-       |                      AND ca.community = cb.community
-       |        GROUP BY ca.community),
-       |t AS (SELECT pc.community, n_nodes, deg_sum,
-       |             COALESCE(e_in, 0) AS e_in,
-       |             CAST(SUM(deg_sum) OVER () AS BIGINT) AS total_deg
-       |      FROM pc LEFT JOIN ein USING (community))
-       |SELECT community, n_nodes, e_in, deg_sum, total_deg,
-       |       CAST(e_in * 2 AS DOUBLE) / total_deg
-       |         - (CAST(deg_sum AS DOUBLE) / total_deg)
-       |           * (CAST(deg_sum AS DOUBLE) / total_deg) AS modularity
-       |FROM t
-       |ORDER BY community""".stripMargin
+       |           FROM deg LEFT JOIN sem USING (vec_id))""".stripMargin
+
+  private[graft] val modularityTailSql: String =
+    """pc AS (SELECT community, COUNT(*) AS n_nodes,
+      |              CAST(SUM(deg) AS BIGINT) AS deg_sum
+      |       FROM assign GROUP BY community),
+      |ein AS (SELECT ca.community, COUNT(*) AS e_in
+      |        FROM und
+      |        JOIN assign ca ON und.a = ca.vec_id
+      |        JOIN assign cb ON und.b = cb.vec_id
+      |                      AND ca.community = cb.community
+      |        GROUP BY ca.community),
+      |t AS (SELECT pc.community, n_nodes, deg_sum,
+      |             COALESCE(e_in, 0) AS e_in,
+      |             CAST(SUM(deg_sum) OVER () AS BIGINT) AS total_deg
+      |      FROM pc LEFT JOIN ein USING (community))
+      |SELECT community, n_nodes, e_in, deg_sum, total_deg,
+      |       CAST(e_in * 2 AS DOUBLE) / total_deg
+      |         - (CAST(deg_sum AS DOUBLE) / total_deg)
+      |           * (CAST(deg_sum AS DOUBLE) / total_deg) AS modularity
+      |FROM t
+      |ORDER BY community""".stripMargin
+
+  val modularitySql: String =
+    s"WITH $modularityUndCteSql,\n$modularityDegCteSql,\n" +
+      s"$modularitySemAssignCtesSql,\n$modularityTailSql"
 
   private val PrIters = 3
   private[graft] val PrMass = 1000000L // per-node starting mass, in integer micro-units

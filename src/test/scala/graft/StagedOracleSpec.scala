@@ -87,11 +87,35 @@ class StagedOracleSpec extends AnyFunSuite {
   }
 
   test("modularity staged final inverts back to the monolithic oracle") {
+    // the monolithic oracle is the byte-identical concatenation of the
+    // exposed CTE blocks
+    assert(Similarity.modularitySql ===
+      s"WITH ${Similarity.modularityUndCteSql},\n" +
+        s"${Similarity.modularityDegCteSql},\n" +
+        s"${Similarity.modularitySemAssignCtesSql},\n" +
+        Similarity.modularityTailSql)
     val so = StagedOracles.all("sim_modularity")
+    // und/assign are table-backed (round 16: the inlined-CTE final was
+    // the last sf3/sf6 disk bomb — see stage_mod_* scaladoc); restoring
+    // the two block texts reproduces the monolithic oracle byte-for-byte
     val restored = so.finalSql
-      .replace("stage_knng", s"(${Similarity.knnGraphSql})")
-      .replace("stage_sem", s"(${Similarity.semanticClustersSql})")
+      .replace("und AS (SELECT a, b FROM stage_mod_und)",
+        Similarity.modularityUndCteSql)
+      .replace("assign AS (SELECT vec_id, community, deg FROM stage_mod_assign)",
+        Similarity.modularitySemAssignCtesSql)
     assert(restored === Similarity.modularitySql)
+    // and the two stages are the same blocks over the staged subtrees
+    val byName = so.stages.toMap
+    assert(byName("stage_mod_und") ===
+      "WITH " + Similarity.modularityUndCteSql
+        .replace(s"(${Similarity.knnGraphSql})", "stage_knng") +
+        "\nSELECT a, b FROM und")
+    assert(byName("stage_mod_assign") ===
+      "WITH und AS (SELECT a, b FROM stage_mod_und),\n" +
+        Similarity.modularityDegCteSql + ",\n" +
+        Similarity.modularitySemAssignCtesSql
+          .replace(s"(${Similarity.semanticClustersSql})", "stage_sem") +
+        "\nSELECT vec_id, community, deg FROM assign")
   }
 
   test("stage_knng four-stage pipeline: the monolithic kNN-graph oracle " +
