@@ -62,6 +62,15 @@ object ProbeTwoPass {
     require(n > gate,
       s"ProbeTwoPass: $sfDir holds $n rows <= the $gate-row gate — " +
         "the production regime needs an over-gate corpus (sf600emb+)")
+    // lane 2's composite key packs pmod(vec_id, 2^24) as the tiebreak:
+    // past 2^24 rows distinct vec_ids collide into one key, the prefix-sum
+    // ranks become order-dependent, and the mismatch join on "key" turns
+    // many-to-many — the probe would MISREPORT equality. Fail loudly
+    // instead (round-16 advice).
+    require(n <= (1L << 24),
+      s"ProbeTwoPass: $sfDir holds $n rows > 2^24 — lane 2's " +
+        "vec_id-mod-2^24 tiebreak would collide; widen the tiebreak " +
+        "field before probing corpora this large")
 
     // ---- lane 1: ntile over the 10-value label (Zipf-modal shape) ----
     val t0 = System.nanoTime()

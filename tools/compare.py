@@ -257,20 +257,25 @@ if JSON_OUT:
     failmap = {}
     for name, msg in fails:
         failmap.setdefault(name, msg)
-    report = {}
-    # a filtered run must be distinguishable from a full sweep INSIDE the
-    # artifact (round-15 advice): a partial isolated-re-run report could
-    # otherwise later be mistaken for, or merged over, a 220-query sweep
-    if only or skip:
-        report["_meta"] = {"partial": True,
-                           "only": sorted(only), "skip": sorted(skip)}
+    results = {}
     for name in sorted(oracle):
         if name in failmap:
-            report[name] = {"match": False, "err": failmap[name]}
+            results[name] = {"match": False, "err": failmap[name]}
         else:
             n = shapes.get(name)
-            report[name] = {"match": True, "spark_rows": n, "oracle_rows": n,
-                            "err": None}
+            results[name] = {"match": True, "spark_rows": n, "oracle_rows": n,
+                             "err": None}
+    # a filtered run must be distinguishable from a full sweep INSIDE the
+    # artifact (round-15 advice); the round-16 advice refinement: nest the
+    # query rows under "results" so a consumer iterating the report never
+    # mistakes the _meta marker for a query name. Full sweeps keep the
+    # historical flat name->result shape (byte-comparable across rounds).
+    if only or skip:
+        report = {"_meta": {"partial": True,
+                            "only": sorted(only), "skip": sorted(skip)},
+                  "results": results}
+    else:
+        report = results
     with open(JSON_OUT, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(f"wrote {JSON_OUT}")
