@@ -853,6 +853,69 @@ object Similarity {
   val embeddingCosinePairsSql: String =
     s"$cosinePairsHeadSql,\n$cosinePairsCandSql\n$cosinePairsTailSql"
 
+  /** Differential AUDIT of the pair detector's band relation at its exact
+    * production geometry — the round-17 closure of the round-16 verdict's
+    * "grown 16/32-table branches are probe-pinned but never
+    * hash-verified" gap. The pair family's full differential is LINEAR in
+    * the corpus only up to the band relation; the band self-join that
+    * follows carries Σ occ·(occ−1)/2 candidate pairs ≈ n·256·tables/2
+    * (billions past [[PairGrow16Rows]] vectors — measured by THIS query's
+    * `cand_pairs` column), which no single box can materialize on either
+    * engine. But the text the sweeps never reach lives entirely UPSTREAM
+    * of that join: the grown plane catalog (tables 8..31) and the
+    * table-budget CASE are in the bands CTE; the downstream cand/verify
+    * SQL is byte-identical at every table budget and is hash-verified at
+    * the swept scales. So hash-verifying the band relation itself at a
+    * past-2²⁰ corpus verifies exactly the previously-unreached text, at
+    * linear cost. One row per table: row/bucket counts, max occupancy,
+    * the exact unordered candidate-pair count (the feasibility number),
+    * and two independent multiplicative-mix digests over (vec_id, bkey) —
+    * order-free sums of all-integer, nonnegative-operand arithmetic, so
+    * both engines compute them bit-identically; any divergence in any
+    * band row (plane sign, table index, bit weight) shifts them. */
+  def pairBandAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val n = e.count()
+    val bands = srpBands(spark, dir, "sim_srp_bands_pair",
+      pairTablesFor(n), bandBits(n))
+    val occ = bands.groupBy(col("tbl"), col("bkey"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("tbl"))
+      .agg(sum(col("occ")).as("n_rows"), count(lit(1)).as("n_buckets"),
+        max(col("occ")).as("max_occ"),
+        sum(expr("(occ * (occ - 1)) div 2")).as("cand_pairs"))
+    val dig = bands.groupBy(col("tbl"))
+      .agg(
+        sum(pmod(col("vec_id") * lit(2654435761L) + col("bkey") * lit(40503L),
+          lit(2147483648L))).as("digest1"),
+        sum(pmod(col("vec_id") * lit(1779033703L) + col("bkey") * lit(104729L),
+          lit(2147483648L))).as("digest2"))
+    occ.join(dig, "tbl")
+  }
+
+  /** Oracle for [[pairBandAudit]] — REUSES [[cosinePairsHeadSql]] verbatim
+    * (asserted byte-identical in Round17Spec), so the audited bands CTE is
+    * the same text every pair-family oracle executes, grown catalog and
+    * table-budget CASE included. Digest sums stay inside BIGINT out past
+    * 2³² band rows (each term < 2³¹). */
+  val pairBandAuditSql: String =
+    s"""$cosinePairsHeadSql,
+       |pb AS (SELECT tbl, bkey, COUNT(*) AS occ FROM bands GROUP BY 1, 2),
+       |bs AS (SELECT tbl,
+       |              CAST(SUM(occ) AS BIGINT) AS n_rows,
+       |              CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |              CAST(MAX(occ) AS BIGINT) AS max_occ,
+       |              CAST(SUM((occ * (occ - 1)) // 2) AS BIGINT) AS cand_pairs
+       |       FROM pb GROUP BY 1),
+       |dg AS (SELECT tbl,
+       |              CAST(SUM((vec_id * 2654435761 + bkey * 40503) % 2147483648) AS BIGINT) AS digest1,
+       |              CAST(SUM((vec_id * 1779033703 + bkey * 104729) % 2147483648) AS BIGINT) AS digest2
+       |       FROM bands GROUP BY 1)
+       |SELECT CAST(bs.tbl AS INTEGER) AS tbl, n_rows, n_buckets, max_occ,
+       |       cand_pairs, digest1, digest2
+       |FROM bs JOIN dg ON bs.tbl = dg.tbl
+       |ORDER BY tbl""".stripMargin
+
   private val IvfProbes = 2
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into lists via
@@ -2799,5 +2862,7 @@ object Similarity {
     Q("sim_assortativity", assortativity(_, _), Some(assortativitySql)),
     Q("sim_dim_truncation", dimTruncation(_, _).orderBy("dim", "query_id"),
       Some(dimTruncationSql)),
-    Q("dedup_semdedup", semDedup(_, _).orderBy("vec_id"), Some(semDedupSql)))
+    Q("dedup_semdedup", semDedup(_, _).orderBy("vec_id"), Some(semDedupSql)),
+    Q("dedup_pair_band_audit", pairBandAudit(_, _).orderBy("tbl"),
+      Some(pairBandAuditSql)))
 }

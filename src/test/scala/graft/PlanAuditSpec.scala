@@ -37,6 +37,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_kmeans_topk" -> 1,
     "sim_ivfpq_topk" -> 1, // same broadcast-probes candidate join as IVF
     "dedup_embedding_cosine" -> 2, // plane table per self-join side
+    "dedup_pair_band_audit" -> 1, // the shared pair-band artifact's
+    // broadcast plane projection, visible only when this query plans
+    // before dedup_embedding_cosine has built it
     "sim_knn_graph" -> 2, // plane table per self-join side
     "sample_size_biased" -> 1, // one-row broadcast corpus-max scalar
     "rel_hll_union" -> 1, // one-row merged-sketch scalar × one-row direct scalar

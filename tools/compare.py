@@ -65,10 +65,17 @@ def connect():
         f"PRAGMA memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
         # a GRAFT_GEN_MULTIFILE corpus stores each table as a DIRECTORY
-        # of part files; DuckDB needs the explicit glob there
+        # of part files; DuckDB needs the explicit glob there. A probe
+        # corpus (sf60emb etc.) holds only a table subset — skip the
+        # missing ones so a GRAFT_COMPARE_ONLY run against it can
+        # connect; a query referencing a skipped table fails per-query.
         src = f"{SF}/{t}.parquet"
         if os.path.isdir(src):
+            if not glob.glob(f"{src}/*.parquet"):
+                continue
             src = f"{src}/*.parquet"
+        elif not os.path.exists(src):
+            continue
         c.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
     return c
 
