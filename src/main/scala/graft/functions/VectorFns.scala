@@ -37,6 +37,25 @@ object VectorFns {
         org.apache.spark.sql.GraftSql.expression(a),
         org.apache.spark.sql.GraftSql.expression(b)))
 
+  /** Dot product as a native codegen'd Catalyst expression
+    * ([[graft.functions.DotProduct]]) — one fused loop, bit-identical to
+    * [[dot]] (same sequential fold), codegen where the HOF form falls back
+    * to interpretation. */
+  def dotFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      DotProduct(
+        org.apache.spark.sql.GraftSql.expression(a),
+        org.apache.spark.sql.GraftSql.expression(b)))
+
+  /** Count of positions where two BIGINT arrays agree
+    * ([[graft.functions.ArrayEqCount]]) — the MinHash signature-agreement
+    * estimator as one fused native loop (integer-exact). */
+  def arrayEqCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      ArrayEqCount(
+        org.apache.spark.sql.GraftSql.expression(a),
+        org.apache.spark.sql.GraftSql.expression(b)))
+
   /** DuckDB rendering of [[cosine]] over DOUBLE[] columns. */
   def cosineSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"

@@ -378,6 +378,12 @@ object Dedup {
       .map(i => col(s"x.k$i") === col(s"y.k$i"))
       .foldLeft(col("x.band") === col("y.band"))(_ && _)
 
+  /** The default-geometry producer pipeline, for [[graft.ExplainBuild]]'s
+    * plan dumps (the declared query reads the materialized artifact). */
+  private[graft] def minhashPairsBuildForExplain(
+      spark: SparkSession, dir: String): DataFrame =
+    minhashPipeline(spark, dir, NumPerms, NumBands)
+
   private def minhashPipeline(
       spark: SparkSession,
       dir: String,
@@ -404,9 +410,12 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val estMatches = aggregate(
-      zip_with(col("sa.sig"), col("sb.sig"), (x, y) => (x === y).cast("int")),
-      lit(0), (acc, v) => acc + v)
+    // native fused loop (round-17): the zip_with+aggregate chain was
+    // CodegenFallback, breaking whole-stage codegen for the estimate
+    // projection over every candidate pair; integer equality count is
+    // arithmetic-free, so the result is exactly unchanged
+    val estMatches = graft.functions.VectorFns.arrayEqCount(
+      col("sa.sig"), col("sb.sig"))
     val withEst = cand
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))

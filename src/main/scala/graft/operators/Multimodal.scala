@@ -363,7 +363,10 @@ object Multimodal {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
     d.join(e, col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
-        dot(col("v"), col("v")).as("sq_norm"))
+        // native dotFast (round-17): the HOF dot is CodegenFallback and
+        // broke whole-stage codegen for the per-row norm projection; the
+        // fused loop folds identically, so sq_norm is bit-unchanged
+        dotFast(col("v"), col("v")).as("sq_norm"))
   }
 
   val modalityJoinSql: String =

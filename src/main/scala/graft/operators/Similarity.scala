@@ -339,14 +339,29 @@ object Similarity {
     * graph's self-join sides, the cosine-pair detector). */
   private def srpBands(spark: SparkSession, dir: String, name: String,
       tables: Int, bits: Int): DataFrame =
-    Artifacts.table(spark, dir, name) {
-      corpus(spark, dir).crossJoin(broadcast(planesTable(spark, tables, bits)))
-        .select(col("vec_id"), col("tbl"),
-          when(dot(col("v"), col("coefs")) > 0, expr("shiftleft(1, j)"))
-            .otherwise(lit(0)).as("bit"))
-        .groupBy(col("vec_id"), col("tbl"))
-        .agg(sum(col("bit")).as("bkey"))
-    }
+    Artifacts.table(spark, dir, name)(srpBandsBuild(spark, dir, tables, bits))
+
+  /** The band-table producer pipeline. The sign test uses the NATIVE
+    * [[dotFast]] expression (round-17): the HOF `dot` is CodegenFallback,
+    * which broke whole-stage codegen for the projection evaluating
+    * tables×bits dot products per vector — the hottest loop of every band
+    * build. Same sequential fold, so every band bit is unchanged. */
+  private[graft] def srpBandsBuild(spark: SparkSession, dir: String,
+      tables: Int, bits: Int): DataFrame =
+    corpus(spark, dir).crossJoin(broadcast(planesTable(spark, tables, bits)))
+      .select(col("vec_id"), col("tbl"),
+        when(dotFast(col("v"), col("coefs")) > 0, expr("shiftleft(1, j)"))
+          .otherwise(lit(0)).as("bit"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(col("bit")).as("bkey"))
+
+  /** [[srpBandsBuild]] at the default kNN-graph geometry, for
+    * [[graft.ExplainBuild]]'s plan dumps. */
+  private[graft] def srpBandsBuildForExplain(spark: SparkSession,
+      dir: String): DataFrame = {
+    val n = corpus(spark, dir).count()
+    srpBandsBuild(spark, dir, NumTables, bandBits(n))
+  }
 
   /** Per-table occupancy audit of the SRP band artifact — the ScaleCheck
     * `band_occupancy` gate's input (round-13 verdict: the geometry
@@ -1313,23 +1328,44 @@ object Similarity {
     // both self-join sides read the materialized band table
     val bands = srpBands(spark, dir, "sim_srp_bands", NumTables,
       bandBits(n))
+    // Round-17: generate UNORDERED candidate pairs (vec_a < vec_b) and
+    // score each once, then emit both directions through a 2-element
+    // generator. Band-sharing is symmetric, so the old ordered candidate
+    // set was exactly {(a,b),(b,a) : {a,b} band-mates} — and cosineFast is
+    // bit-symmetric (IEEE multiplication is commutative and the fold order
+    // is fixed), so exploding the half-set reproduces the old scored
+    // relation row-for-row while HALVING the self-join output, the
+    // DISTINCT state, both candidate->vector joins, and the cosine count
+    // (guide §2.3/§2.4: shuffle fewer bytes, compute less). The generator
+    // — not a self-union — keeps the join subtree single-execution.
+    // Round17Spec pins equality against the two-sided form.
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("neighbor_id"))
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand
       .join(vecSide(e.select(col("vec_id").as("sv"), col("v").as("va")), n),
-        col("src_id") === col("sv"))
+        col("vec_a") === col("sv"))
       .drop("sv")
       .join(vecSide(e.select(col("vec_id").as("nv"), col("v").as("vb")), n),
-        col("neighbor_id") === col("nv"))
+        col("vec_b") === col("nv"))
       .drop("nv")
-      .select(col("src_id").as("vec_id"), col("neighbor_id"),
+      .select(col("vec_a"), col("vec_b"),
         cosineFast(col("va"), col("vb")).as("cos_sim"))
+      // chained select: cos_sim is referenced twice below, so
+      // CollapseProject cannot inline (= duplicate) the cosine into the
+      // generator — it is computed once per unordered pair
+      .select(explode(array(
+        struct(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
+          col("cos_sim")),
+        struct(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"),
+          col("cos_sim")))).as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.cos_sim").as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= GraphK)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos_sim"))

@@ -76,4 +76,77 @@ class Round17Spec extends AnyFunSuite {
       "the audit oracle must reuse cosinePairsHeadSql so the audited " +
         "bands text is the text every pair-family oracle executes")
   }
+
+  // ---- round-17 optimization equivalences ----
+
+  test("native dotFast is bit-identical to the HOF dot fold") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+    val mism = e.select(
+        VectorFns.dot(col("v"), col("v")).as("hof"),
+        VectorFns.dotFast(col("v"), col("v")).as("native"))
+      // bit-level comparison: NaN-safe via the eqNullSafe of raw doubles
+      // is not enough for -0.0 vs 0.0 — compare the IEEE bit patterns
+      .filter(expr("cast(hof as string) <> cast(native as string)"))
+      .count()
+    assert(mism == 0L, s"$mism rows where dotFast diverges from the HOF dot")
+  }
+
+  test("native arrayEqCount matches the zip_with+aggregate signature count") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns
+    // arbitrary long arrays with ties: pairs of shuffled id-derived values
+    val df = spark.range(0, 500).selectExpr(
+      "array(id % 7, id % 3, id % 7, 42L, id) as a",
+      "array(id % 7, id % 5, (id + 1) % 7, 42L, id) as b")
+    val mism = df.select(
+        VectorFns.arrayEqCount(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x === y).cast("int")),
+          lit(0), (acc, v) => acc + v).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mism == 0L)
+  }
+
+  test("knnGraphBuild (unordered-pair scoring) equals the two-sided reference form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns._
+    // the pre-round-17 pipeline, inlined as the reference: ordered candidate
+    // pairs in both directions, each direction scored independently
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val opt = Similarity.knnGraphBuild(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    // recompute the band relation through the same deterministic producer
+    // (content-identical to the materialized artifact the build read)
+    val n = e.count()
+    val bands = Similarity.srpBandsBuild(spark, dir,
+      tables = 8, bits = Similarity.bandBits(n))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val ref = cand
+      .join(e.select(col("vec_id").as("sv"), col("v").as("va")), col("src_id") === col("sv"))
+      .drop("sv")
+      .join(e.select(col("vec_id").as("nv"), col("v").as("vb")), col("neighbor_id") === col("nv"))
+      .drop("nv")
+      .select(col("src_id").as("vec_id"), col("neighbor_id"),
+        cosineFast(col("va"), col("vb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos_sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(opt == ref,
+      s"optimized kNN graph diverges: only-opt=${(opt -- ref).take(5)} " +
+        s"only-ref=${(ref -- opt).take(5)}")
+  }
 }
