@@ -143,6 +143,25 @@ object Dedup {
        |        JOIN (SELECT h FROM sh GROUP BY h
        |              HAVING COUNT(*) <= $DfCap) r USING (h))""".stripMargin
 
+  /** Per-doc distinct-shingle counts over the FULL index — the `|A|`/`|B|`
+    * sizes the MinHash and incremental-LSH verifications divide by.
+    * Materialized (round-17, guide §2.4): the aggregate is keyed identically
+    * at every consumer, and each consumer was re-scanning the corpus-sized
+    * index to recompute a doc-cardinality relation — the doc-bucketed index
+    * makes the one build exchange-free, and every later read is ~doc-count
+    * rows of parquet. */
+  private[graft] def docSizesFull(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "dedup_doc_sizes_full")(
+      shingleIndex(spark, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+
+  /** Per-doc shingle counts over the CAPPED index — the size side of the
+    * Jaccard/containment/threshold-sweep scoring. Same rationale as
+    * [[docSizesFull]]; the two differ because the df cap removes rows from
+    * sizes AND intersections on both engines. */
+  private[graft] def docSizesCapped(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "dedup_doc_sizes_capped")(
+      cappedShingleIndex(spark, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+
   /** (doc_a, doc_b, n_common) — shared shingle counts for every candidate
     * pair meeting in the capped inverted index. The self-join + aggregate is
     * the expensive step of BOTH the Jaccard and the containment pipelines
@@ -174,8 +193,7 @@ object Dedup {
     // bucketed by doc_a to co-partition with the minhash-pairs table the
     // recall evaluation joins it against
     Artifacts.bucketedTable(spark, dir, "dedup_jaccard_pairs", Seq("doc_a")) {
-      val sh = cappedShingleIndex(spark, dir)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val sz = docSizesCapped(spark, dir)
       val inter = pairIntersections(spark, dir)
       inter
         .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -274,8 +292,7 @@ object Dedup {
     * generation as [[ngramJaccard]] (bucketed equi-join, never all-pairs);
     * only the final scoring differs. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingleIndex(spark, dir)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sz = docSizesCapped(spark, dir)
     val inter = pairIntersections(spark, dir)
     inter
       .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -425,7 +442,7 @@ object Dedup {
     // verify candidates with exact jaccard, computed ONLY for the candidate
     // pairs (shingle intersection semi-joined to the candidate set) — the
     // whole point of LSH is that the exact O(pairs) work touches ~nothing
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sz = docSizesFull(spark, dir)
     val nCommon = withEst
       .join(sh.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(sh.as("cb"),
@@ -998,8 +1015,7 @@ object Dedup {
     * jaccard double is an int/int division computed identically on both
     * engines, so the threshold comparisons agree bit-for-bit. */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingleIndex(spark, dir)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sz = docSizesCapped(spark, dir)
     val scored = pairIntersections(spark, dir)
       .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -1471,7 +1487,7 @@ object Dedup {
     // SLOWER here: it adds a collect + two extra stages to save shuffles
     // the broadcast join already avoids.)
     val sh = shingleIndex(spark, dir)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sz = docSizesFull(spark, dir)
     cand
       .join(sh.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(sh.as("cb"),

@@ -847,23 +847,29 @@ object EventTime {
     * primitive); this operator pins the exact semantics the sketch
     * approximates. */
   def dauWau(spark: SparkSession, dir: String): DataFrame = {
-    val du = Tables.events(spark, dir)
-      .select(datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
-        col("user_id"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     // trailing window as an EXPLODE, not a band join: each active (day,
     // user) contributes to exactly the 7 window anchors day..day+6, so the
     // trailing distinct becomes an equi-shuffle (a band join would plan a
-    // broadcast nested loop: spine × daily-active comparisons). Anchors
-    // past the observed range fall away in the dau equi-join.
-    val wau = du
+    // broadcast nested loop: spine × daily-active comparisons).
+    //
+    // ONE exploded pass (round-17, guide §2.4): carrying the anchor offset
+    // lets a single aggregate produce BOTH metrics — dau = rows at off 0
+    // (the relation is already (day, user)-distinct), wau = distinct users
+    // over the 7 anchors. The previous form persisted the distinct relation
+    // and paid two cached passes plus a dau⋈wau join; the cache scan
+    // measured no cheaper than recomputing at bench scale, and the join
+    // only re-discarded the anchor days past the observed range — exactly
+    // the rows dau = 0 identifies here.
+    Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+        col("user_id"))
+      .distinct()
       .select(explode(sequence(lit(0), lit(6))).as("off"), col("day"), col("user_id"))
-      .select((col("day") + col("off")).as("day"), col("user_id"))
+      .select((col("day") + col("off")).as("day"), col("off"), col("user_id"))
       .groupBy(col("day"))
-      .agg(count_distinct(col("user_id")).as("wau"))
-    dau.join(wau, Seq("day"))
+      .agg(count(when(col("off") === 0, 1)).as("dau"),
+        count_distinct(col("user_id")).as("wau"))
+      .filter(col("dau") > 0)
       .select(col("day"), col("dau"), col("wau"),
         (col("dau").cast("double") / col("wau")).as("stickiness"))
   }

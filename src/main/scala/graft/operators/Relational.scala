@@ -700,28 +700,44 @@ object Relational {
     * check is one key-projected scan per side (ReadSchema = the key
     * column), and the dim side broadcasts. */
   def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    def check(name: String, fact: DataFrame, key: String,
-        dim: DataFrame, dimKey: String): DataFrame = {
-      // the fact total rides along as a 1-row aggregate crossJoin — never a
-      // driver-side count() action (same policy as sample_size_biased's
-      // corpus-max scalar)
-      val total = fact.agg(count(lit(1)).as("n_rows"))
-      fact.join(dim.select(col(dimKey).as(key)).distinct(), Seq(key), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-        .crossJoin(broadcast(total))
-        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
-          (col("n_orphans").cast("double") / col("n_rows")).as("orphan_frac"))
-    }
-    val li = Tables.lineitem(spark, dir)
-    check("lineitem.l_orderkey->orders",
-        li.select(col("l_orderkey")), "l_orderkey",
-        Tables.orders(spark, dir), "o_orderkey")
-      .unionByName(check("orders.o_custkey->customer",
-        Tables.orders(spark, dir).select(col("o_custkey")), "o_custkey",
-        Tables.customer(spark, dir), "c_custkey"))
-      .unionByName(check("lineitem.l_partkey->part",
-        li.select(col("l_partkey")), "l_partkey",
-        Tables.part(spark, dir), "p_partkey"))
+    // Round-17 (guide §2.4): each branch is ONE aggregate over a left join
+    // against the distinct dim keys — distinct ⇒ no row multiplication, so
+    // COUNT(*) is the fact total and the null-count equals the old
+    // anti-join count exactly. The previous form paid a second full fact
+    // pass for the total plus a crossJoin per branch, and lineitem's two
+    // checks each re-scanned the fact; they now share a single scan with
+    // both broadcast dim-key sets attached.
+    val liChecks = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("l_orderkey")).distinct()
+          .withColumn("_ho", lit(1))),
+        Seq("l_orderkey"), "left")
+      .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey").as("l_partkey")).distinct()
+          .withColumn("_hp", lit(1))),
+        Seq("l_partkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("_ho").isNull, 1)).as("orph_o"),
+        count(when(col("_hp").isNull, 1)).as("orph_p"))
+      .selectExpr(
+        """stack(2,
+          |  'lineitem.l_orderkey->orders', n_rows, orph_o,
+          |  'lineitem.l_partkey->part',    n_rows, orph_p)
+          |AS (fk, n_rows, n_orphans)""".stripMargin)
+    val ordChecks = Tables.orders(spark, dir)
+      .select(col("o_custkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey")).distinct()
+          .withColumn("_hc", lit(1))),
+        Seq("o_custkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("_hc").isNull, 1)).as("n_orphans"))
+      .select(lit("orders.o_custkey->customer").as("fk"),
+        col("n_rows"), col("n_orphans"))
+    liChecks.unionByName(ordChecks)
+      .select(col("fk"), col("n_rows"), col("n_orphans"),
+        (col("n_orphans").cast("double") / col("n_rows")).as("orphan_frac"))
   }
 
   val refIntegritySql: String =

@@ -477,15 +477,26 @@ object TextAnalysis {
   def novelty(spark: SparkSession, dir: String): DataFrame = {
     // the distinct (doc, 3-gram-hash) relation IS the dedup tier's
     // materialized shingle-index artifact — read it instead of rebuilding
-    // the scan + explode + MD5 (both references below then scan parquet)
+    // the scan + explode + MD5
     val sh = Dedup.shingleIndex(spark, dir)
-    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    sh.join(df, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        count(when(col("df") === 1, 1)).as("n_unique"))
-      .select(col("doc_id"), col("n_grams"), col("n_unique"),
-        (col("n_unique").cast("double") / col("n_grams")).as("novelty"))
+    // ONE corpus-index shuffle (round-17, guide §2.3): a gram with df = 1
+    // has exactly one doc, so min(doc_id) on the df aggregate already
+    // carries the attribution — no join of the df table back onto the
+    // index (which re-shuffled the corpus-sized relation twice more just
+    // to move a 1-bit flag). Per-doc gram totals come from the shared
+    // doc-sizes artifact; docs whose grams are all shared get n_unique 0,
+    // exactly what the old inner-join count(when df=1) produced.
+    val uniq = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d"))
+      .filter(col("df") === 1)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_unique"))
+    Dedup.docSizesFull(spark, dir)
+      .select(col("doc_id"), col("n").as("n_grams"))
+      .join(uniq, col("doc_id") === col("d"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        (coalesce(col("n_unique"), lit(0L)).cast("double") / col("n_grams"))
+          .as("novelty"))
   }
 
   val noveltySql: String =
