@@ -81,6 +81,21 @@ object TextFns {
     s"[$joined for i in range(1, greatest(len($toksSql) - ${n - 2}, 1))]"
   }
 
+  /** Distinct sliding-window minima of [[hash60]] over character 8-grams —
+    * the winnowing fingerprint set, as one native codegen'd pass
+    * ([[WinnowFingerprints]]). Bit-identical to the chained HOF pipeline
+    * (spec-pinned in WinnowFnsSpec); empty below w full windows. */
+  def winnowFps(text: Column, w: Int): Column =
+    org.apache.spark.sql.GraftSql.column(
+      WinnowFingerprints(org.apache.spark.sql.GraftSql.expression(text), w))
+
+  /** Minimum [[hash60]] over character 8-grams ([[MinGramHash60]]) — the
+    * whole-document sketch, one fused native loop, no array. NULL below 8
+    * characters (callers filter those rows first). */
+  def minGramHash60(text: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      MinGramHash60(org.apache.spark.sql.GraftSql.expression(text)))
+
   /** Character n-gram substrings (for winnowing-style fingerprints).
     * Composed-builtins reference implementation of [[charNGrams]]. */
   def charGrams(text: Column, n: Int): Column =

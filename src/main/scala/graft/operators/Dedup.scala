@@ -961,16 +961,15 @@ object Dedup {
     // and the artifact layer only pays for itself on CROSS-query products
     val fps = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 8 + WinnowW - 1) // ≥ one full window
-      // two chained projections so the hash array materializes ONCE per
-      // row — inlining it into the window transform would re-evaluate the
-      // whole gram-hash pass per window position
+      // native one-pass fingerprinting (round-17): the chained HOF form
+      // (hash array projection, then array_min over a slice per window)
+      // was CodegenFallback and allocated a W-element slice per window
+      // position — O(len·W) interpreted evaluations per document, the
+      // heaviest per-row loop in the dedup tier. WinnowFingerprints is the
+      // same grams → windowed-min → first-occurrence-distinct computation
+      // as one compiled loop (WinnowFnsSpec pins bit-equality).
       .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("text")) - lit(7)),
-          i => hash60(col("text").substr(i, lit(8)))).as("hs"))
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("hs")) - lit(WinnowW - 1)),
-          i => array_min(slice(col("hs"), i, lit(WinnowW)))))).as("fp"))
+        explode(graft.functions.TextFns.winnowFps(col("text"), WinnowW)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select(col("fp"))
@@ -1479,18 +1478,28 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(false).as("is_cross"))
     val cand = cross.unionByName(within).distinct()
-    // exact-Jaccard verification, candidates only (the pipeline's tail):
-    // the candidate relation is delta-sized, so at scale AQE broadcasts it
-    // into both index joins and the corpus-sized shingle index streams
-    // without shuffling — verification cost scales with the delta.
-    // (An explicit broadcast-semi pre-reduction of the index measured
-    // SLOWER here: it adds a collect + two extra stages to save shuffles
-    // the broadcast join already avoids.)
-    val sh = shingleIndex(spark, dir)
+      // two consumers below (the semi-reduction's key set + the scoring
+      // join) — persist so the band self-joins run once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact-Jaccard verification, candidates only (the pipeline's tail).
+    // Round-17 (guide §3.2): semi-reduce the corpus-sized shingle index to
+    // the candidate docs ONCE — the former shape streamed the full index
+    // through BOTH broadcast verification joins (two complete index scans
+    // per run for a delta-sized candidate set). The key set is delta-sized
+    // by construction, so the semi-join broadcasts; scan cost now scales
+    // with the delta, not 2× the corpus. (An earlier pre-reduction via a
+    // driver collect measured slower — this form is a plain broadcast
+    // semi-join, no collect.)
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shCand = shingleIndex(spark, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = docSizesFull(spark, dir)
     cand
-      .join(sh.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(sh.as("cb"),
+      .join(shCand.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(shCand.as("cb"),
         col("doc_b") === col("cb.doc_id") && col("ca.h") === col("cb.h"))
       .groupBy(col("doc_a"), col("doc_b"), col("is_cross"))
       .agg(count(lit(1)).as("n_common"))

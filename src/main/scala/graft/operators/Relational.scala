@@ -283,22 +283,20 @@ object Relational {
   def catalogColumns(spark: SparkSession, dir: String): DataFrame = {
     val layers = medallionLayers(spark, dir)
     layers.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    // spark.catalog.listColumns yields schema (ordinal) order for views.
-    // ONE tagged union + ONE window (partitioned by table) computes every
-    // table's ordinals — the earlier per-table-window form paid 9× the
-    // plan/exchange overhead for the same metadata. _mid is monotonic
-    // within each union branch's partition, which is exactly the per-table
-    // order the window consumes.
+    // spark.catalog.listColumns yields schema (ordinal) order for views,
+    // as ONE single-partition LocalTableScan per view — so within a branch
+    // monotonically_increasing_id IS the 0-based ordinal (partition 0,
+    // rows in schema order), and the former row_number window (one shuffle
+    // + a 32-task sort over 44 metadata rows) computed exactly _mid + 1.
+    // Round-17: emit the ordinal directly; the union stays exchange-free.
     layers.map { case (name, _) =>
       spark.catalog.listColumns(name)
         .select(lit(name).as("name"), col("name").as("col_name"),
           monotonically_increasing_id().as("_mid"))
     }.reduce(_ unionByName _)
-      .withColumn("ordinal",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("name")).orderBy(col("_mid"))))
-      .filter(col("ordinal") <= 5)
+      .filter(col("_mid") <= 4)
+      .select(col("name"), (col("_mid") + 1).cast("int").as("ordinal"),
+        col("col_name"))
       .select(col("name"), col("ordinal"), col("col_name"))
   }
 

@@ -254,9 +254,11 @@ object TextAnalysis {
       .filter(length(col("text")) >= 8)
       .select(
         col("doc_id"),
-        array_min(transform(
-          sequence(lit(1), length(col("text")) - lit(7)),
-          i => hash60(col("text").substr(i, lit(8))))).as("min_gram_hash"),
+        // native fused min (round-17): the HOF form materialized the whole
+        // gram-hash array per row through interpreted lambdas just to take
+        // its min; MinGramHash60 is the same hash-per-gram minimum as one
+        // compiled loop with no array (WinnowFnsSpec pins bit-equality)
+        graft.functions.TextFns.minGramHash60(col("text")).as("min_gram_hash"),
         (length(col("text")) - lit(7)).cast("long").as("n_grams"))
 
   val winnowFingerprintSql: String =
@@ -1133,14 +1135,22 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(array_distinct(wordNGrams(col("text"), SpanN))).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
-      // two consumers (the df aggregate and the join-back side) — persist
+      // two consumers (the df aggregate and the per-doc totals) — persist
       // so the scan + n-gram explode + hash run once per execution
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docFreq = spans.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-    spans.join(docFreq, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        count(when(col("n_docs") >= 2, 1)).as("dup_spans"))
+    // ONE span-stream shuffle (round-17, guide §2.3 — the text_novelty
+    // trick): a span with df = 1 has exactly one doc, so min(doc_id) on
+    // the df aggregate attributes it — no join of the df table back onto
+    // the span stream. dup_spans = n_spans − n_unique, the complement of
+    // the old count(when n_docs >= 2) over the inner join.
+    val uniq = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("d"))
+      .filter(col("n_docs") === 1)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_unique"))
+    spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      .join(uniq, col("doc_id") === col("d"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_unique"), lit(0L))).as("dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("dup_spans"),
         expr("(dup_spans * 10000) div n_spans").as("dup_bp"))
   }
