@@ -96,6 +96,14 @@ object TextFns {
     org.apache.spark.sql.GraftSql.column(
       MinGramHash60(org.apache.spark.sql.GraftSql.expression(text)))
 
+  /** Per-language marker hit counts over a token array in one native pass
+    * ([[MarkerScores]]); element i = the INT count the HOF form
+    * `size(filter(toks, t → array_contains(markers_i, t)))` produced
+    * (spec-pinned in MarkerScoresSpec). */
+  def markerScores(toks: Column, markers: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.GraftSql.column(
+      MarkerScores(org.apache.spark.sql.GraftSql.expression(toks), markers))
+
   /** Character n-gram substrings (for winnowing-style fingerprints).
     * Composed-builtins reference implementation of [[charNGrams]]. */
   def charGrams(text: Column, n: Int): Column =

@@ -197,20 +197,28 @@ object TextAnalysis {
     * shared vocabulary, so this demonstrates the operator rather than
     * recovering the `lang` label. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val scores = LangMarkers.map { case (langCode, markers) =>
-      val arr = array(markers.map(lit): _*)
-      langCode -> size(filter(toks, t => array_contains(arr, t)))
+    // native one-pass scoring (round-17): each per-language
+    // size(filter(...)) HOF was CodegenFallback, and the argmax when-chain
+    // references every score several times, so the interpreted token scan
+    // ran ~12× per row. MarkerScores counts all four marker sets in one
+    // compiled pass; the chained select keeps the array materialized once
+    // (multi-referenced, so CollapseProject cannot inline it), and the
+    // argmax chain runs over plain INT element_ats.
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFns.markerScores(
+          tokens(col("text")), LangMarkers.map(_._2)).as("_sc"))
+    val scores = LangMarkers.zipWithIndex.map { case ((langCode, _), i) =>
+      langCode -> col("_sc").getItem(i)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val predicted = scores.reverse.foldLeft(lit("und")) {
       case (acc, (langCode, score)) => when(score === best && best > 0, langCode).otherwise(acc)
     }
-    Tables.documents(spark, dir)
-      .select(
-        Seq(col("doc_id")) ++
-          scores.map { case (langCode, s) => s.as(s"score_$langCode") } ++
-          Seq(predicted.as("predicted_lang"), col("lang").as("actual_lang")): _*)
+    scored.select(
+      Seq(col("doc_id")) ++
+        scores.map { case (langCode, s) => s.as(s"score_$langCode") } ++
+        Seq(predicted.as("predicted_lang"), col("lang").as("actual_lang")): _*)
   }
 
   val langIdSql: String = {
