@@ -859,7 +859,10 @@ object EventTime {
     // and paid two cached passes plus a dau⋈wau join; the cache scan
     // measured no cheaper than recomputing at bench scale, and the join
     // only re-discarded the anchor days past the observed range — exactly
-    // the rows dau = 0 identifies here.
+    // the rows dau = 0 identifies here. (A two-level min(off)-per-
+    // (anchor, user) variant that avoids the mixed-distinct Expand was
+    // probed at sf6 and REJECTED: its (day, user) group state costs ~3×
+    // the Expand's doubled stream — 2.14 s vs 0.72 s isolation probe.)
     Tables.events(spark, dir)
       .select(datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
         col("user_id"))

@@ -703,17 +703,20 @@ object Relational {
     // COUNT(*) is the fact total and the null-count equals the old
     // anti-join count exactly. The previous form paid a second full fact
     // pass for the total plus a crossJoin per branch, and lineitem's two
-    // checks each re-scanned the fact; they now share a single scan with
-    // both broadcast dim-key sets attached.
+    // checks each re-scanned the fact; they now share a single scan. NO
+    // broadcast hint on the dim-key sets: orders' key set is fact-scale at
+    // sf6+ (a forced broadcast measured 2.7× slower there) — AQE picks
+    // broadcast when the distinct output is actually small and a shuffled
+    // join when it is not, which is the scale-adaptive behavior.
     val liChecks = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-      .join(broadcast(Tables.orders(spark, dir)
+      .join(Tables.orders(spark, dir)
           .select(col("o_orderkey").as("l_orderkey")).distinct()
-          .withColumn("_ho", lit(1))),
+          .withColumn("_ho", lit(1)),
         Seq("l_orderkey"), "left")
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Tables.part(spark, dir)
           .select(col("p_partkey").as("l_partkey")).distinct()
-          .withColumn("_hp", lit(1))),
+          .withColumn("_hp", lit(1)),
         Seq("l_partkey"), "left")
       .agg(count(lit(1)).as("n_rows"),
         count(when(col("_ho").isNull, 1)).as("orph_o"),
@@ -725,9 +728,9 @@ object Relational {
           |AS (fk, n_rows, n_orphans)""".stripMargin)
     val ordChecks = Tables.orders(spark, dir)
       .select(col("o_custkey"))
-      .join(broadcast(Tables.customer(spark, dir)
+      .join(Tables.customer(spark, dir)
           .select(col("c_custkey").as("o_custkey")).distinct()
-          .withColumn("_hc", lit(1))),
+          .withColumn("_hc", lit(1)),
         Seq("o_custkey"), "left")
       .agg(count(lit(1)).as("n_rows"),
         count(when(col("_hc").isNull, 1)).as("n_orphans"))
