@@ -315,8 +315,10 @@ object GenData {
     // sf6/sf10 ANN-artifact scaling probes, where generating a 660 MB
     // lineitem nobody reads would dominate the run
     val only = args.drop(2).headOption.map(_.split(",").map(_.trim).toSet)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
+    // $SPARK_GRAFT_CPUS clamped to the effective cgroup/processor budget
+    // (round-18, verdict item 1): local[N] far above the granted CPUs
+    // oversubscribes the scheduler and degrades every CPU-bound task
+    val cpus = Cpus.effectiveStr()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

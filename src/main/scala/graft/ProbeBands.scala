@@ -24,8 +24,10 @@ object ProbeBands {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(sys.error("usage: ProbeBands <sfDir> [forcedBits ...]"))
     val forced = args.drop(1).map(_.toInt).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
+    // $SPARK_GRAFT_CPUS clamped to the effective cgroup/processor budget
+    // (round-18, verdict item 1): local[N] far above the granted CPUs
+    // oversubscribes the scheduler and degrades every CPU-bound task
+    val cpus = Cpus.effectiveStr()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -26,8 +26,10 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 object ProbePerf {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
+    // $SPARK_GRAFT_CPUS clamped to the effective cgroup/processor budget
+    // (round-18, verdict item 1): local[N] far above the granted CPUs
+    // oversubscribes the scheduler and degrades every CPU-bound task
+    val cpus = Cpus.effectiveStr()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,19 +70,20 @@ object ProbePerf {
     names.foreach { name =>
       spark.catalog.clearCache()
       try SparkEntry.queries(name)(spark, sfDir).count() // warm-up, untimed
-      catch { case _: Throwable => () }
-      // settle listener counters from the warm-up before the timed pass
-      // (the bus is async and private; a short drain is accurate enough for
-      // a diagnostic probe — events of a completed job land within ms)
-      Thread.sleep(300)
+      catch { case scala.util.control.NonFatal(_) => () }
+      // settle listener counters from the warm-up before the timed pass:
+      // drain the async bus to empty (deterministic), not a fixed sleep
+      // that late events on a loaded box could outlive (round-17 ADVICE)
+      org.apache.spark.GraftSpark.drainListenerBus(spark.sparkContext)
       jobs.set(0); stages.set(0); tasks.set(0); execRunNs.set(0L); gcMs.set(0L)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.queryExecution.executedPlan // force analysis + physical planning
       val t1 = System.nanoTime()
-      val ok = try { df.count(); true } catch { case _: Throwable => false }
+      val ok = try { df.count(); true }
+        catch { case scala.util.control.NonFatal(_) => false }
       val t2 = System.nanoTime()
-      Thread.sleep(300)
+      org.apache.spark.GraftSpark.drainListenerBus(spark.sparkContext)
       println(f"""{"query":"$name","ok":$ok,"plan_ms":${(t1 - t0) / 1e6}%.1f,"exec_ms":${(t2 - t1) / 1e6}%.1f,"jobs":${jobs.get()},"stages":${stages.get()},"tasks":${tasks.get()},"executor_run_ms":${execRunNs.get() / 1e6}%.0f,"gc_ms":${gcMs.get()}}""")
     }
     spark.stop()

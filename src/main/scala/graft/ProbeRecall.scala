@@ -47,8 +47,10 @@ object ProbeRecall {
       val g = if (nQArg.isDefined) rest.drop(1) else rest
       if (g.nonEmpty) g else Seq("8xA", "8xAm", "16xA")
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
+    // $SPARK_GRAFT_CPUS clamped to the effective cgroup/processor budget
+    // (round-18, verdict item 1): local[N] far above the granted CPUs
+    // oversubscribes the scheduler and degrades every CPU-bound task
+    val cpus = Cpus.effectiveStr()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

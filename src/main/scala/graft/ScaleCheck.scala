@@ -46,8 +46,10 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
+    // $SPARK_GRAFT_CPUS clamped to the effective cgroup/processor budget
+    // (round-18, verdict item 1): local[N] far above the granted CPUs
+    // oversubscribes the scheduler and degrades every CPU-bound task
+    val cpus = Cpus.effectiveStr()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
