@@ -283,21 +283,23 @@ object Relational {
   def catalogColumns(spark: SparkSession, dir: String): DataFrame = {
     val layers = medallionLayers(spark, dir)
     layers.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    // spark.catalog.listColumns yields schema (ordinal) order for views,
-    // as ONE single-partition LocalTableScan per view — so within a branch
-    // monotonically_increasing_id IS the 0-based ordinal (partition 0,
-    // rows in schema order), and the former row_number window (one shuffle
-    // + a 32-task sort over 44 metadata rows) computed exactly _mid + 1.
-    // Round-17: emit the ordinal directly; the union stays exchange-free.
-    layers.map { case (name, _) =>
-      spark.catalog.listColumns(name)
-        .select(lit(name).as("name"), col("name").as("col_name"),
-          monotonically_increasing_id().as("_mid"))
-    }.reduce(_ unionByName _)
-      .filter(col("_mid") <= 4)
-      .select(col("name"), (col("_mid") + 1).cast("int").as("ordinal"),
+    // spark.catalog.listColumns is driver-side catalog metadata in schema
+    // (ordinal) order; collect it and emit the ordinal with an explicit
+    // zipWithIndex into one LocalRelation. The round-17 form derived the
+    // ordinal from monotonically_increasing_id, which was only 0-based
+    // sequential while ConvertToLocalRelation constant-folded each branch
+    // driver-side (partitionIndex 0) — an undocumented optimizer contract
+    // (round-17 ADVICE, medium). This form has no plan at all: 44 metadata
+    // rows, zero jobs, and the ordinal is correct by construction
+    // (Round18Spec pins ordinals = 1..5 per table).
+    import spark.implicits._
+    layers.flatMap { case (name, _) =>
+      spark.catalog.listColumns(name).collect().toSeq
+        .take(5).zipWithIndex
+        .map { case (c, i) => (name, i + 1, c.name) }
+    }.toDF("name", "ordinal", "col_name")
+      .select(col("name"), col("ordinal").cast("int").as("ordinal"),
         col("col_name"))
-      .select(col("name"), col("ordinal"), col("col_name"))
   }
 
   val catalogColumnsSql: String = {
