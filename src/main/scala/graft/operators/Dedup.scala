@@ -971,13 +971,26 @@ object Dedup {
       .select(col("doc_id"),
         explode(graft.functions.TextFns.winnowFps(col("text"), WinnowW)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCap).select(col("fp"))
-    val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-    capped.as("a")
-      .join(capped.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Round-18 (guide §3.2/§2.4): semi-reduce then group-enumerate. A
+    // fingerprint can only form pairs when 2 ≤ df ≤ DfCap, so ONE semi-join
+    // against that (small) eligible set drops both the over-cap stop-prints
+    // AND the df=1 majority before any pair machinery — the former shape
+    // anti-joined only the hot set and then streamed every df=1 row through
+    // a fingerprint self-join (two more passes over the capped stream).
+    // Pair enumeration is a per-group generator fan-out over the collected
+    // doc list (bounded ≤ DfCap rows by the eligibility filter, so the
+    // aggregation state is bounded) — no self-join at all. Hint-free: AQE
+    // broadcasts the eligible set when it is small (r17 ref_integrity
+    // policy; at boilerplate-heavy scale it may legitimately not be).
+    // Round18Spec pins result equality to the self-join form.
+    val eligible = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= DfCap).select(col("fp"))
+    fps.join(eligible, Seq("fp"), "left_semi")
+      .groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowShared)
   }
@@ -1485,16 +1498,18 @@ object Dedup {
     // Round-17 (guide §3.2): semi-reduce the corpus-sized shingle index to
     // the candidate docs ONCE — the former shape streamed the full index
     // through BOTH broadcast verification joins (two complete index scans
-    // per run for a delta-sized candidate set). The key set is delta-sized
-    // by construction, so the semi-join broadcasts; scan cost now scales
-    // with the delta, not 2× the corpus. (An earlier pre-reduction via a
-    // driver collect measured slower — this form is a plain broadcast
-    // semi-join, no collect.)
+    // per run for a delta-sized candidate set). Scan cost now scales with
+    // the delta, not 2× the corpus. (An earlier pre-reduction via a driver
+    // collect measured slower.) Hint-free since round-18: the candidate
+    // set is delta-sized only while LSH band buckets stay small — a hot
+    // band bucket could grow it past broadcastable, and the explicit hint
+    // bypassed AQE's size threshold (r17 ADVICE; same policy as
+    // ref_integrity). AQE still picks a broadcast semi at bench scale.
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val shCand = shingleIndex(spark, dir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = docSizesFull(spark, dir)
     cand
