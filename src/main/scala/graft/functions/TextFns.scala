@@ -104,6 +104,15 @@ object TextFns {
     org.apache.spark.sql.GraftSql.column(
       MarkerScores(org.apache.spark.sql.GraftSql.expression(toks), markers))
 
+  /** Per-document token statistics (max token frequency, distinct adjacent
+    * bigrams, summed token chars, short-token count, stopword count) in one
+    * native pass ([[TokenStats]]); element values equal the composed-HOF
+    * forms in `text_repetition` / `text_gopher_rules` (spec-pinned in
+    * TokenStatsSpec). */
+  def tokenStats(toks: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.GraftSql.column(
+      TokenStats(org.apache.spark.sql.GraftSql.expression(toks), stopwords))
+
   /** Character n-gram substrings (for winnowing-style fingerprints).
     * Composed-builtins reference implementation of [[charNGrams]]. */
   def charGrams(text: Column, n: Int): Column =

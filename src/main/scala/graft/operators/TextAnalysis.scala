@@ -680,16 +680,25 @@ object TextAnalysis {
     * constant corpus-wide, so ranking by tf·N/df ≡ ranking by tf/df; the
     * ratio keeps the score a single int/int division, bit-identical across
     * engines, where ln-based idf is at the mercy of each engine's libm).
-    * Three shuffles: (doc,term) aggregation, df window on term, top-k
-    * window on doc. At 100 TB the df relation is Zipf-small after a min-df
-    * cut and becomes a broadcast join instead of the second shuffle. */
+    * Round-18 (guide §2.4/§3.1): the df side is an AGGREGATE + join back,
+    * not a `COUNT(*) OVER (PARTITION BY term)` window — the window form
+    * reshuffled the entire corpus-sized (doc, term, tf) relation by a
+    * Zipf-hot term key and sorted it, where the aggregate map-side-combines
+    * to the distinct-terms relation and AQE broadcasts it into the join
+    * (hint-free). df per term is COUNT of tf rows either way — exact
+    * (Round18Spec pins equality to the window form). tf feeds both the df
+    * aggregate and the join probe, so it persists for the query's scope
+    * (the twice-referenced-relation policy). Two shuffles remain: the
+    * (doc, term) aggregation and the per-doc top-k window. */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
       .withColumn("salience", col("tf").cast("double") / col("df"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("salience").desc, col("term"))))
@@ -1036,22 +1045,25 @@ object TextAnalysis {
     * scan-speed, no shuffle. Ratios are int/int divisions promoted to
     * double: bit-identical across engines. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks)
-    val topCnt = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
-    val bigrams = transform(sequence(lit(1), nTok - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-    val dupBigramFrac =
-      when(nTok > 1,
-        (nTok - 1 - size(array_distinct(bigrams))).cast("double") / (nTok - 1))
-        .otherwise(lit(0.0))
+    // native one-pass stats (round-18): the top-token count was an
+    // O(unique × tokens) CodegenFallback HOF scan per row and the bigram
+    // distinct a second interpreted transform chain; TokenStats computes
+    // both in one compiled hashmap pass (TokenStatsSpec pins equality).
+    // The chained select materializes the array once — multi-referenced,
+    // so CollapseProject cannot inline (duplicate) the call.
     Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokenStats(tokens(col("text")), Nil).as("_st"),
+        size(tokens(col("text"))).as("n_tokens"))
       .select(
         col("doc_id"),
-        nTok.as("n_tokens"),
-        (topCnt.cast("double") / nTok).as("top_token_frac"),
-        dupBigramFrac.as("dup_bigram_frac"))
+        col("n_tokens"),
+        (col("_st").getItem(0).cast("double") / col("n_tokens"))
+          .as("top_token_frac"),
+        when(col("n_tokens") > 1,
+          (col("n_tokens") - 1 - col("_st").getItem(1)).cast("double") /
+            (col("n_tokens") - 1))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
       .withColumn("repetitive",
         col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.5)
   }
@@ -1194,16 +1206,22 @@ object TextAnalysis {
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val ts = tokens(col("text"))
-    val stopArr = array(Stopwords.map(lit): _*)
+    // native one-pass stats (round-18): the five per-rule HOF scans —
+    // worst of them the O(unique × tokens) dominance count — were
+    // CodegenFallback; TokenStats computes all of them in one compiled
+    // hashmap pass (TokenStatsSpec pins equality). Chained select keeps
+    // the stats array materialized once (multi-referenced, so
+    // CollapseProject cannot inline it).
     Tables.documents(spark, dir)
+      .select(col("doc_id"), size(ts).as("n_words"),
+        graft.functions.TextFns.tokenStats(ts, Stopwords).as("_st"))
       .select(
         col("doc_id"),
-        size(ts).as("n_words"),
-        aggregate(ts, lit(0), (acc, t) => acc + length(t)).as("n_tok_chars"),
-        size(filter(ts, t => length(t) <= 2)).as("n_short"),
-        size(filter(ts, t => array_contains(stopArr, t))).as("n_stop"),
-        array_max(transform(array_distinct(ts),
-          d => size(filter(ts, t => t === d)))).as("max_tok_count"))
+        col("n_words"),
+        col("_st").getItem(2).as("n_tok_chars"),
+        col("_st").getItem(3).as("n_short"),
+        col("_st").getItem(4).as("n_stop"),
+        col("_st").getItem(0).as("max_tok_count"))
       .withColumn("r_word_count",
         col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("r_mean_len",
