@@ -1071,6 +1071,13 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("list_id").as("probe_list"))
+    ivfSearchTail(e, assign, probes)
+  }
+
+  /** The probe/search tail shared by every IVF variant: candidate
+    * generation by list equi-join, exact cosine re-rank, per-query top-k. */
+  private def ivfSearchTail(e: DataFrame, assign: DataFrame,
+      probes: DataFrame): DataFrame = {
     val cand = assign.join(broadcast(probes),
       col("list_id") === col("probe_list") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -1119,10 +1126,56 @@ object Similarity {
       cent
     }
 
-  def ivfKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** The Lloyd-refined list assignment — the k-means index's list column,
+    * materialized like [[seedAssign]] is for the seed index (round-18,
+    * guide §2.4): the k-means IVF search AND the cluster-purity evaluation
+    * both read it, where each previously re-derived corpus × k integer
+    * distances plus the per-vector argmin window at query time. At 100 TB
+    * the assignment IS index metadata written once at build time.
+    * Round18Spec pins content equality to the inline derivation. */
+  private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.table(spark, dir, "sim_kmeans_assign") {
+      val dims = quantDims(spark, dir)
+      val dist = centDist(dims, kmeansCentroids(spark, dir))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
+      dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("list_id"))
+    }
+
+  /** The pre-round-18 derivations, kept as differential references for
+    * Round18Spec: the artifact-backed assignment and the filtered-probe
+    * search must reproduce these rows exactly. */
+  private[graft] def kmeansAssignInline(spark: SparkSession, dir: String): DataFrame = {
+    val dims = quantDims(spark, dir)
+    val dist = centDist(dims, kmeansCentroids(spark, dir))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
+    dist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("list_id"))
+  }
+  private[graft] def ivfKmeansTopKInline(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
     val dims = quantDims(spark, dir)
     ivfSearch(e, dims, kmeansCentroids(spark, dir))
+  }
+
+  def ivfKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val dims = quantDims(spark, dir)
+    // probe distances are needed for the QUERY vectors only — the
+    // corpus-sized distance relation existed solely to derive the
+    // assignment, which is the materialized artifact now (round-18).
+    // Filtering dims before centDist is exact: the aggregate and the
+    // per-vector window are both keyed on vec_id.
+    val dist = centDist(dims.filter(col("vec_id") < NumQueries),
+      kmeansCentroids(spark, dir))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
+    val probes = dist
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("list_id").as("probe_list"))
+    ivfSearchTail(e, kmeansAssign(spark, dir), probes)
   }
 
   val ivfTopKSql: String =
@@ -1238,12 +1291,9 @@ object Similarity {
     * arbitrary, a silent cross-engine divergence). Reuses the persisted
     * refined-centroid tables; the label join broadcasts. */
   def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
-    val dims = quantDims(spark, dir)
-    val dist = centDist(dims, kmeansCentroids(spark, dir))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("list_id"))
-    val assign = dist.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("list_id"))
+    // reads the materialized k-means assignment (round-18) — previously
+    // re-derived corpus × k distances + the argmin window per run
+    val assign = kmeansAssign(spark, dir)
     val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     assign.join(broadcast(lab), "vec_id")
       .groupBy(col("list_id"), col("label"))
@@ -2240,21 +2290,35 @@ object Similarity {
   def recallEval(spark: SparkSession, dir: String): DataFrame = {
     val bf = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
     val qs = bf.select(col("query_id")).distinct()
-    def one(method: String, ap: DataFrame): DataFrame = {
-      val hits = bf
-        .join(ap.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
-      qs.join(hits, Seq("query_id"), "left")
-        .select(lit(method).as("method"), col("query_id"),
-          coalesce(col("h"), lit(0L)).as("hits"),
-          (coalesce(col("h"), lit(0L)).cast("double") / K).as("recall_at_k"))
-    }
-    one("ivf", ivfTopK(spark, dir))
-      .unionByName(one("ivfpq", ivfPqTopK(spark, dir)))
-      .unionByName(one("lsh", lshTopK(spark, dir)))
-      .unionByName(one("mplsh", multiProbeTopK(spark, dir)))
-      .unionByName(one("pq", pqTopK(spark, dir)))
+    // Round-18 (guide §2.4): ONE tagged union + one join + one aggregate
+    // replace five independent (semi-join + agg + left-join) branches —
+    // same artifact reads, a fifth of the plan/jobs (this query was
+    // plan-time-bound: 11 jobs, ~0.5 s at bench scale for ~300 output
+    // rows). Hit counting is exact: bf is unique on (query_id,
+    // neighbor_id) (top-k emits each rank once), and the per-method
+    // distinct() reduces each approximate result to the key set the old
+    // semi-join probed, so the inner-join count per (method, query) is
+    // |exact ∩ approx| — byte-identical to the semi form (Round18Spec
+    // pins equality to the round-17 body).
+    val tagged = Seq(
+      "ivf" -> ivfTopK(spark, dir),
+      "ivfpq" -> ivfPqTopK(spark, dir),
+      "lsh" -> lshTopK(spark, dir),
+      "mplsh" -> multiProbeTopK(spark, dir),
+      "pq" -> pqTopK(spark, dir))
+      .map { case (m, ap) =>
+        ap.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+      .distinct()
+    val hits = bf.join(tagged, Seq("query_id", "neighbor_id"))
+      .groupBy(col("method"), col("query_id")).agg(count(lit(1)).as("h"))
+    import spark.implicits._
+    val grid = Seq("ivf", "ivfpq", "lsh", "mplsh", "pq").toDF("method")
+      .crossJoin(qs)
+    grid.join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        (coalesce(col("h"), lit(0L)).cast("double") / K).as("recall_at_k"))
   }
 
   val recallEvalSql: String = {
