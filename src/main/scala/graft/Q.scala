@@ -33,6 +33,15 @@ object Q {
     */
   def dec2(c: Column): Column = c.cast(Dec18).cast(DoubleType)
 
+  /** Exact integer cents of a DOUBLE measure — bit-identical to
+    * `dec(c) * 100` as BIGINT (DoubleCentsSpec pins it), at primitive
+    * codegen cost ([[graft.functions.DoubleCents]]). ONLY for decimal
+    * aggregates that feed comparisons, never output columns (outputs keep
+    * the [[dec2]] contract). */
+  def cents(c: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      functions.DoubleCents(org.apache.spark.sql.GraftSql.expression(c)))
+
   def dbl(c: Column): Column = c.cast(DoubleType)
 
   import org.apache.spark.sql.functions.{col, expr, lit, when}

@@ -52,9 +52,15 @@ object Analytics {
     * only the qualifying keys). */
   def bigOrders(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // round-18 (guide §1.2 step 2): the qty aggregate feeds ONLY the
+    // HAVING comparison — never the output — so it sums exact integer
+    // cents (BIGINT, primitive codegen) instead of DECIMAL(18,2).
+    // Σ dec(q) > 90 ⇔ Σ cents(q) > 9000 exactly: DoubleCents is
+    // spec-pinned bit-identical to (dec(q)·100)::BIGINT including
+    // NULL-on-overflow, and per-order cent sums sit far below 2⁶³.
     val big = li.groupBy(col("l_orderkey"))
-      .agg(sum(dec(col("l_quantity"))).as("qty"))
-      .filter(col("qty") > 90)
+      .agg(sum(graft.Q.cents(col("l_quantity"))).as("qty_cents"))
+      .filter(col("qty_cents") > 9000)
       .select(col("l_orderkey").as("big_key"))
     Tables.orders(spark, dir)
       .join(big, col("o_orderkey") === col("big_key"), "left_semi")
