@@ -602,21 +602,41 @@ object Dedup {
     val truth =
       if (sampleK == 1L) truthAll
       else truthAll.filter(inSample(col("doc_a")) && inSample(col("doc_b")))
-    def metrics(method: String, cand: DataFrame): DataFrame =
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-          .agg(count(lit(1)).as("tp"))))
-        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
-        .select(lit(method).as("method"), col("n_candidates"), col("n_truth"),
-          col("tp"),
-          // n_truth = 0 guard: same engine-divergence trap as precision_bp
-          // (Spark div NULLs, DuckDB // errors) when the corpus slice has
-          // no true near-dup pairs at all
-          expr("""case when n_truth = 0 then 0
-                  else (tp * 10000) div n_truth end""").as("recall_bp"),
-          expr("""case when n_candidates = 0 then 0
-                  else (tp * 10000) div n_candidates end""").as("precision_bp"))
-    metrics("bbit2", bcand).unionByName(metrics("full", fcand))
+    // Round-18 (guide §2.4, the recall_eval shape): ONE tagged pass over
+    // both candidate artifacts replaces the per-method scalar-aggregate
+    // chain — the former tail ran 7 one-row aggregate jobs (each method:
+    // candidate count + semi-join'd tp count, plus the SAME truth count
+    // crossJoined once per method). Counting is exact: both candidate
+    // artifacts are distinct()-built, so the per-method inner-semi counts
+    // are unchanged, and grouped counts over the tagged union equal the
+    // per-method scalar counts. A method with zero candidates cannot
+    // occur (both artifacts are non-empty by the band construction at
+    // every swept scale), but the left join + coalesce keeps the row
+    // like the old crossJoin-of-1-row-aggregates did. Round18Spec pins
+    // row equality to the per-method form.
+    val tagged = bcand.select(lit("bbit2").as("method"), col("doc_a"), col("doc_b"))
+      .unionByName(fcand.select(lit("full").as("method"), col("doc_a"), col("doc_b")))
+    val nCand = tagged.groupBy(col("method")).agg(count(lit(1)).as("n_candidates"))
+    val tp = tagged.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("tp"))
+    import spark.implicits._
+    Seq("bbit2", "full").toDF("method")
+      .join(nCand, Seq("method"), "left")
+      .join(tp, Seq("method"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("method"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_truth"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("method"), col("n_candidates"), col("n_truth"),
+        col("tp"),
+        // n_truth = 0 guard: same engine-divergence trap as precision_bp
+        // (Spark div NULLs, DuckDB // errors) when the corpus slice has
+        // no true near-dup pairs at all
+        expr("""case when n_truth = 0 then 0
+                else (tp * 10000) div n_truth end""").as("recall_bp"),
+        expr("""case when n_candidates = 0 then 0
+                else (tp * 10000) div n_candidates end""").as("precision_bp"))
   }
 
   // The CTE blocks of [[bbitMinhashSql]], exposed individually so

@@ -120,6 +120,38 @@ class Round18Spec extends AnyFunSuite {
     assert(now.count() > 0)
   }
 
+  test("dedup_bbit_minhash tagged metrics equal the round-17 per-method form") {
+    import operators.Dedup
+    val now = Dedup.bbitMinhash(spark, dir)
+    assert(now.columns.toSeq === Seq("method", "n_candidates", "n_truth",
+      "tp", "recall_bp", "precision_bp"))
+    now.collect() // forces the candidate artifacts to exist
+    // this scale sits under the sample target, so truth is unfiltered —
+    // assert the regime instead of silently assuming it
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(nDocs <= 65536L, "test corpus unexpectedly above the bbit sample target")
+    val bcand = Artifacts.table(spark, dir, "dedup_bbit_cand")(
+      fail("dedup_bbit_cand artifact must pre-exist"))
+    val fcand = Artifacts.table(spark, dir, "dedup_bbit_fcand")(
+      fail("dedup_bbit_fcand artifact must pre-exist"))
+    val truth = Dedup.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    // round-17 body, verbatim: per-method scalar aggregates crossJoined
+    def metrics(method: String, cand: org.apache.spark.sql.DataFrame) =
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("tp"))))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(lit(method).as("method"), col("n_candidates"), col("n_truth"),
+          col("tp"),
+          expr("""case when n_truth = 0 then 0
+                  else (tp * 10000) div n_truth end""").as("recall_bp"),
+          expr("""case when n_candidates = 0 then 0
+                  else (tp * 10000) div n_candidates end""").as("precision_bp"))
+    val old = metrics("bbit2", bcand).unionByName(metrics("full", fcand))
+    assert(now.exceptAll(old).isEmpty && old.exceptAll(now).isEmpty)
+    assert(now.count() === 2)
+  }
+
   test("Cpus.effective honors SPARK_GRAFT_CPUS up to the budget") {
     val eff = Cpus.effective()
     val avail = Runtime.getRuntime.availableProcessors()
